@@ -1,0 +1,28 @@
+"""graphiti_spark — a from-scratch, PySpark-native knowledge-graph
+construction engine with the query/data-processing capabilities of the
+reference Graphiti library (/root/reference, graphiti-core v0.14.0).
+
+NOT a port: the reference is an asyncio + Neo4j/Cypher object pipeline;
+this engine is batch dataflow over partitioned parquet/Iceberg-style
+tables, expressed with the DataFrame API + Arrow-vectorized UDFs so
+Catalyst/Tungsten own the physical plan.
+
+Layout
+------
+- ``session``    SparkSession factory (UTC, Arrow, AQE).
+- ``schemas``    StructTypes for episodes/nodes/edges/mentions tables
+                 (SURVEY.md §1.3) + deterministic id helpers.
+- ``corpus``     shared constants of the deterministic synthetic corpus
+                 (entity pool, predicates, contradiction map).
+- ``synth``      deterministic interleaved-span episode synthesizer
+                 (BASELINE.json input_hint shape) — pure column ops.
+- ``operators``  extraction (X1/X3), dedup (J6/D4), connected components
+                 (D5), temporal resolution (T1/T2/T3), pointer rewrite (J1).
+- ``functions``  hash embedder (X7 stand-in), Jaro-Winkler, tokenizers.
+- ``pipeline``   the end-to-end episodes → nodes/edges/mentions DAG
+                 (reference flow: graphiti.py:540-665 add_episode_bulk,
+                 plus the invalidation stage bulk mode omits).
+- ``io``         TableIO: MERGE-INTO-semantics persistence on parquet.
+"""
+
+__version__ = "0.1.0"
