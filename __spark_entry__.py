@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship pipeline (episodes → canonical
+bi-temporal triples) at sf0.001. ``queries()`` exposes each pipeline
+stage as a (spark, sf_dir) → DataFrame callable; ``oracle_sql()`` pairs
+each with a DuckDB SQL string that re-derives the expected output from
+``documents`` independently (graphiti_spark/oracle.py). Column names
+and types are aligned on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +13,121 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from graphiti_spark import oracle
+from graphiti_spark.pipeline import run_on_sf
+from graphiti_spark.synth import exploded_spans, synthesize_episodes
+
+_CACHE: dict[str, object] = {}
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    """One pipeline run shared by all per-stage queries (the stages are
+    views over the same DAG; recomputing it per query would be pure
+    overhead)."""
+    key = f"{id(spark)}|{sf_dir}"
+    if key not in _CACHE:
+        _CACHE[key] = run_on_sf(spark, sf_dir)
+    return _CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: canonical bi-temporal (subj, pred, obj) triples."""
+    out = _graph(spark, "/root/testdata/sf0.001")
+    return out.edges.select(
+        "group_id", "subj_name", "predicate", "obj_name", "fact",
+        "valid_at", "invalid_at", "expired_at",
+        F.size("episodes").cast("long").alias("n_episodes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-stage queries
+# ---------------------------------------------------------------------------
+
+def _q_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eps = synthesize_episodes(spark, sf_dir)
+    return exploded_spans(eps).select("doc_id", "offset", "kind", "text", "media_ref")
+
+
+def _q_triples_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _graph(spark, sf_dir)
+    return out.triples_raw.select(
+        "doc_id", "group_id", "speaker", "subj_name", "predicate", "obj_name",
+        "fact", "valid_at",
+    )
+
+
+def _q_mentions_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from graphiti_spark.operators.extract import extract_mentions
+
+    out = _graph(spark, sf_dir)
+    return (
+        extract_mentions(out.triples_raw)
+        .groupBy("group_id", "name")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )
+
+
+def _q_uuid_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _graph(spark, sf_dir)
+    return out.uuid_map.select("group_id", "name", "canonical_name")
+
+
+def _q_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _graph(spark, sf_dir)
+    return out.nodes.select("group_id", "name", "uuid")
+
+
+def _q_edges_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _graph(spark, sf_dir)
+    return out.edges.select(
+        "group_id", "subj_name", "predicate", "obj_name", "fact",
+        "valid_at", "invalid_at", "expired_at",
+        F.size("episodes").cast("long").alias("n_episodes"),
+    )
+
+
+def _q_invalidation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _graph(spark, sf_dir)
+    return out.edges.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.sum(F.when(F.col("invalid_at").isNotNull(), 1).otherwise(0)).alias(
+            "n_invalidated"
+        ),
+    )
+
+
+def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _graph(spark, sf_dir)
+    return out.mentions.select("doc_id", "group_id", "name", "entity_uuid")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "spans": _q_spans,
+        "triples_raw": _q_triples_raw,
+        "mentions_by_name": _q_mentions_by_name,
+        "uuid_map": _q_uuid_map,
+        "nodes": _q_nodes,
+        "edges_resolved": _q_edges_resolved,
+        "invalidation_counts": _q_invalidation_counts,
+        "mentions": _q_mentions,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "spans": oracle.q_spans(),
+        "triples_raw": oracle.q_triples_raw(),
+        "mentions_by_name": oracle.q_mentions_raw(),
+        "uuid_map": oracle.q_uuid_map(),
+        "nodes": oracle.q_nodes(),
+        "edges_resolved": oracle.q_edges_resolved(),
+        "invalidation_counts": oracle.q_edge_invalidation_counts(),
+        "mentions": oracle.q_mentions_table(),
+    }

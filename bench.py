@@ -1,0 +1,147 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default mode: run the headline pipeline stages at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value" (total sec), "unit", "queries" (per-stage
+sec), "sf", plus triples/sec context}.
+
+The corpus is deterministically amplified by $BENCH_REPLICAS (default
+20) replicas of the documents table — sf0.1 alone is 5k docs, far too
+small to measure anything but fixed overhead; see
+graphiti_spark/synth.py::synthesize_episodes.
+
+Scaling mode (--scaling): run the same workload in two fresh
+subprocesses at local[8] and local[32] (the sandbox stand-in for N vs
+4N executors — no real cluster here), report throughput at both and the
+scaling efficiency (T32/T8)/4, and write BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.pipeline import run_pipeline
+    from graphiti_spark.session import get_spark
+    from graphiti_spark.synth import exploded_spans, synthesize_episodes
+
+    spark = get_spark(app_name="graphiti_spark_bench", cpus=cpus, shuffle_partitions=cpus)
+    queries: dict[str, float] = {}
+    t_all = time.perf_counter()
+
+    t = time.perf_counter()
+    eps = synthesize_episodes(spark, sf_dir, replicas=replicas)
+    n_spans = exploded_spans(eps).count()
+    queries["spans_explode"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    out = run_pipeline(spark, eps)
+    n_triples = out.triples_raw.count()
+    queries["extract_triples"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    n_map = out.uuid_map.count()
+    queries["entity_resolution"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    n_edges = out.edges.count()
+    n_inval = out.edges.where(F.col("invalid_at").isNotNull()).count()
+    queries["edges_bitemporal"] = round(time.perf_counter() - t, 3)
+
+    t = time.perf_counter()
+    n_mentions = out.mentions.count()
+    queries["mentions"] = round(time.perf_counter() - t, 3)
+
+    total = round(time.perf_counter() - t_all, 3)
+    spark.stop()
+    return {
+        "metric": "kg_pipeline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "replicas": replicas,
+        "n_spans": n_spans,
+        "n_triples_raw": n_triples,
+        "n_edges": n_edges,
+        "n_edges_invalidated": n_inval,
+        "n_mentions": n_mentions,
+        "n_uuid_map": n_map,
+        "triples_per_sec": round(n_triples / total, 1),
+    }
+
+
+def _subprocess_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = sf_dir
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["BENCH_REPLICAS"] = str(replicas)
+    out = subprocess.run(
+        [sys.executable, __file__],
+        env=env,
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def run_scaling(sf_dir: str, replicas: int) -> None:
+    low, high = 8, 32
+    r_low = _subprocess_bench(sf_dir, low, replicas)
+    r_high = _subprocess_bench(sf_dir, high, replicas)
+    thr_low = r_low["triples_per_sec"]
+    thr_high = r_high["triples_per_sec"]
+    eff = (thr_high / thr_low) / (high / low)
+    report = {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "low": r_low,
+        "high": r_high,
+    }
+    print(json.dumps(report))
+    os.makedirs("BENCH", exist_ok=True)
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(
+            f"""# BENCH — measured baseline (this repo)
+
+Workload: full KG pipeline (synthesize interleaved spans → extract →
+resolve → bi-temporal edges → mentions) on `{sf_dir}` ×{replicas}
+replicas ({r_low['n_triples_raw']} raw triples, {r_low['n_edges']}
+resolved edges).
+
+Two-parallelism scaling evidence (sandbox stand-in for N vs 4N
+executors per BASELINE.json north rule — no real cluster available):
+
+| parallelism | wall sec | triples/sec |
+|---|---|---|
+| local[{low}]  | {r_low['value']} | {thr_low} |
+| local[{high}] | {r_high['value']} | {thr_high} |
+
+**Scaling efficiency (throughput ratio / core ratio): {eff:.3f}**
+(target ≥ 0.8 per BASELINE.json)
+
+Per-stage seconds at local[{high}]: {json.dumps(r_high['queries'])}
+"""
+        )
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    replicas = int(os.environ.get("BENCH_REPLICAS", "20"))
+    if "--scaling" in sys.argv:
+        run_scaling(sf_dir, replicas)
+    else:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        print(json.dumps(run_bench(sf_dir, cpus, replicas)))

@@ -70,14 +70,19 @@ CANONICAL = {
 
 # (PREDICATE, surface phrase). SCREAMING_SNAKE_CASE predicates per the
 # reference's extract_edges contract (prompts/extract_edges.py:26,111).
+# Ordering note: contradicting pairs sit 4 apart (0↔4, 1↔5) so the
+# pred = (3d+5j) % 8 arithmetic (which fixes pred mod 4 per endpoint
+# pair) can actually emit BOTH members of a pair for the same endpoints
+# — otherwise the corpus would never exercise cross-predicate
+# invalidation (T1/T2).
 PREDICATES = [
     ("WORKS_FOR", "works for"),
     ("LIKES", "likes"),
-    ("DISLIKES", "dislikes"),
     ("LOCATED_IN", "is located in"),
     ("PARTNERED_WITH", "partnered with"),
-    ("ACQUIRED", "acquired"),
     ("LEFT_JOB", "left"),
+    ("DISLIKES", "dislikes"),
+    ("ACQUIRED", "acquired"),
     ("CEO_OF", "is the CEO of"),
 ]
 N_PREDICATES = len(PREDICATES)
@@ -117,7 +122,11 @@ def fact_params(doc_id: int, j: int) -> dict:
     if obj == subj:
         obj = (obj + 1) % N_ENTITIES
     pred = (doc_id * 3 + j * 5) % N_PREDICATES
-    year = BASE_YEAR + (doc_id + 2 * j) % 10
+    # year uses doc_id // 16 so it varies WITHIN the residue class that
+    # fixes the triple identity (everything else is mod-20/mod-8 of
+    # (d, j)) — otherwise every repeated triple would share one year and
+    # no contradiction would ever fire.
+    year = BASE_YEAR + (doc_id // 16 + 3 * j) % 10
     speaker = (doc_id + j) % len(SPEAKERS)
     return {
         "subj_idx": subj,

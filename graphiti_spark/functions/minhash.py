@@ -1,0 +1,115 @@
+"""MinHash-LSH blocking as pure column expressions.
+
+Replaces the reference's O(N²) pairwise-dot blocking
+(graphiti_core/utils/bulk_utils.py:304-375, dot products at 317-321 —
+quadratic in batch size) with banded MinHash over character shingles:
+candidate pairs come only from shared (band_id, band_hash) buckets, so
+pair generation is a self-equi-join that scales linearly with bucket
+occupancy. Everything is JVM-side (`xxhash64`, `transform`,
+`array_min`) — no Python in this stage at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_HASHES = 48
+BAND_SIZE = 2  # 24 bands of 2 → catches Jaccard ≳ 0.35 pairs w.h.p.
+SHINGLE_K = 3
+
+
+def shingles(col: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct lowercase character k-grams of ' '||col||' '."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(padded) - (k - 1), F.lit(1))),
+            lambda i: padded.substr(i, F.lit(k)),
+        )
+    )
+
+
+def _minhash(sh: Column, seed: int) -> Column:
+    """Min over seeded xxhash64 of each shingle. The seed is mixed in by
+    prefixing the shingle (the SQL surface of xxhash64 has a fixed
+    seed)."""
+    return F.array_min(
+        F.transform(sh, lambda s: F.xxhash64(F.concat(F.lit(f"{seed}|"), s)))
+    )
+
+
+def band_keys(sh: Column, num_hashes: int = NUM_HASHES, band_size: int = BAND_SIZE) -> Column:
+    """array<struct<band:int, key:long>> — one LSH bucket key per band.
+
+    IMPORTANT: built directly from the shingle column, NOT from an
+    intermediate signature array — ``element_at(sig, i)`` would inline
+    the whole num_hashes-element array expression once per reference
+    (num_hashes² copies of the shingle subtree), which blows plan
+    compilation up from milliseconds to minutes. This shape keeps it at
+    num_hashes min-hash subtrees total."""
+    n_bands = num_hashes // band_size
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[_minhash(sh, b * band_size + j) for j in range(band_size)]
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    partition_cols: list[str] | None = None,
+    num_hashes: int = NUM_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Self-join on LSH buckets → distinct unordered candidate pairs.
+
+    ``partition_cols`` (e.g. ['group_id']) are included in the bucket
+    key so pairs never cross graph partitions. Output columns:
+    partition_cols + (id_a, id_b, text_a, text_b) with id_a < id_b.
+    """
+    parts = partition_cols or []
+    sh = df.select(
+        *parts,
+        F.col(id_col).alias("_id"),
+        F.col(text_col).alias("_text"),
+        shingles(F.col(text_col)).alias("_sh"),
+    )
+    buckets = sh.select(
+        *parts,
+        "_id",
+        "_text",
+        F.explode(band_keys(F.col("_sh"), num_hashes, band_size)).alias("bk"),
+    ).select(*parts, "_id", "_text", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # The self-join would compile + execute the bucket plan twice; the
+    # bucket table is small (distinct keys only), so checkpoint it.
+    buckets = buckets.localCheckpoint(eager=True)
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    join_cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col("a._id") < F.col("b._id"))
+    )
+    for p in parts:
+        join_cond = join_cond & (F.col(f"a.{p}") == F.col(f"b.{p}"))
+    return (
+        a.join(b, join_cond)
+        .select(
+            *[F.col(f"a.{p}").alias(p) for p in parts],
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._text").alias("text_a"),
+            F.col("b._text").alias("text_b"),
+        )
+        .dropDuplicates(parts + ["id_a", "id_b"])
+    )

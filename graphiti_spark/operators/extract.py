@@ -1,0 +1,167 @@
+"""Mention + triple extraction (reference X1/X3) as an Arrow batch map.
+
+The reference extracts per episode with LLM calls —
+``extract_nodes`` (graphiti_core/utils/maintenance/node_operations.py:69-176)
+and ``extract_edges`` (edge_operations.py:106-240) — returning entity
+mentions and (relation_type, source, target, fact, valid_at?) triples,
+with the speaker-first rule for message episodes
+(prompts/extract_nodes.py:73-110) and SCREAMING_SNAKE_CASE predicates
+(prompts/extract_edges.py:26,111).
+
+Here the extractor is a pluggable pure function applied with
+``mapInPandas`` (Arrow batches, vectorized pandas string kernels — no
+per-row Python at the Spark level). The default ``RuleBasedExtractor``
+is deterministic: it is configured with a relation ontology
+(predicate → surface phrase), mirroring how the reference receives
+``edge_types`` (graphiti_core/graphiti.py:361-365), and parses
+"Speaker: Subj <phrase> Obj since <year>." sentences. An LLM-backed
+extractor would slot into the same interface (one batch per Arrow
+chunk), exactly like the reference's pluggable LLMClient
+(llm_client/client.py:129-169).
+
+Scale notes: the input is the exploded text-span table, partitioned by
+doc_id hash — extraction is embarrassingly parallel, no shuffle. The
+`spans` explode and the regex both run columnar; media spans are
+filtered out before the UDF (predicate pushdown to the scan).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import corpus
+
+TRIPLES_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("group_id", T.StringType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("speaker", T.StringType(), True),
+        T.StructField("subj_name", T.StringType(), False),
+        T.StructField("predicate", T.StringType(), False),
+        T.StructField("obj_name", T.StringType(), False),
+        T.StructField("fact", T.StringType(), False),
+        T.StructField("valid_at", T.TimestampType(), True),
+        T.StructField("episode_valid_at", T.TimestampType(), False),
+    ]
+)
+
+MENTIONS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("group_id", T.StringType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("role", T.StringType(), False),  # speaker|subject|object
+    ]
+)
+
+
+@dataclass
+class RuleBasedExtractor:
+    """Deterministic extractor over templated message sentences.
+
+    ``ontology``: list of (PREDICATE, surface phrase) — longest phrases
+    are tried first so e.g. 'works for' wins over a bare 'works'.
+    """
+
+    ontology: list[tuple[str, str]] = field(
+        default_factory=lambda: list(corpus.PREDICATES)
+    )
+
+    def __post_init__(self) -> None:
+        phrases = sorted((p for _, p in self.ontology), key=len, reverse=True)
+        alt = "|".join(re.escape(p) for p in phrases)
+        # Non-greedy subject/object lets multi-word entity names work:
+        # backtracking stops at the first split where the phrase + the
+        # ' since <year>.' suffix both parse.
+        self.pattern = re.compile(
+            rf"^(?P<speaker>[^:]+): (?P<subj>.+?) (?P<phrase>{alt}) "
+            rf"(?P<obj>.+?) since (?P<year>\d{{4}})\.$"
+        )
+        self.phrase_to_pred = {p: name for name, p in self.ontology}
+
+    def extract(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        """One Arrow batch of text spans → parsed triple columns.
+
+        Vectorized: a single ``str.extract`` over the batch does all
+        parsing; the per-row python is only the dict lookup for the
+        predicate id.
+        """
+        ext = pdf["text"].str.extract(self.pattern)
+        out = pdf[["doc_id", "group_id", "offset", "episode_valid_at"]].copy()
+        out["speaker"] = ext["speaker"]
+        out["subj_name"] = ext["subj"]
+        out["predicate"] = ext["phrase"].map(self.phrase_to_pred)
+        out["obj_name"] = ext["obj"]
+        # Fact = sentence body without the speaker prefix (the reference
+        # stores the extracted natural-language sentence, edges.py:199).
+        out["fact"] = pdf["text"].str.split(": ", n=1).str[1]
+        out["valid_at"] = pd.to_datetime(ext["year"], format="%Y", utc=True)
+        out = out[out["subj_name"].notna()]
+        # Distinct-endpoints rule (reference drops self-referential
+        # triples, bulk_utils.py:469-471).
+        out = out[out["subj_name"] != out["obj_name"]]
+        return out[
+            [
+                "doc_id", "group_id", "offset", "speaker", "subj_name",
+                "predicate", "obj_name", "fact", "valid_at", "episode_valid_at",
+            ]
+        ]
+
+
+def text_spans(episodes: DataFrame) -> DataFrame:
+    """Explode spans, keep kind='text' (columnar; media filtered before
+    any Python runs)."""
+    return (
+        episodes.select(
+            "doc_id",
+            "group_id",
+            F.col("valid_at").alias("episode_valid_at"),
+            F.explode("spans").alias("span"),
+        )
+        .where(F.col("span.kind") == "text")
+        .select(
+            "doc_id",
+            "group_id",
+            "episode_valid_at",
+            F.col("span.text").alias("text"),
+            F.col("span.offset").alias("offset"),
+        )
+    )
+
+
+def extract_triples(episodes: DataFrame, extractor: RuleBasedExtractor | None = None) -> DataFrame:
+    """Episodes → raw triples (one row per parsed sentence)."""
+    ex = extractor or RuleBasedExtractor()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield ex.extract(pdf)
+
+    return text_spans(episodes).mapInPandas(run, schema=TRIPLES_RAW_SCHEMA)
+
+
+def extract_mentions(triples_raw: DataFrame) -> DataFrame:
+    """Triples → entity mentions. Speaker-first rule: the speaker of a
+    message episode is always an extracted entity
+    (prompts/extract_nodes.py:79-84), plus subject and object."""
+    m = triples_raw.select(
+        "doc_id",
+        "group_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("speaker").alias("name"), F.lit("speaker").alias("role")),
+                F.struct(F.col("subj_name").alias("name"), F.lit("subject").alias("role")),
+                F.struct(F.col("obj_name").alias("name"), F.lit("object").alias("role")),
+            )
+        ).alias("m"),
+    ).select("doc_id", "group_id", F.col("m.name").alias("name"), F.col("m.role").alias("role"))
+    # Empty-name filter (reference node_operations.py:148).
+    return m.where(F.trim(F.col("name")) != "")

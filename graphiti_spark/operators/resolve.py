@@ -1,0 +1,186 @@
+"""Entity resolution: exact dedup → LSH blocking → scoring → components.
+
+Reference pipeline being re-expressed (NOT ported):
+- exact-name match within batch: ``node_name_match``
+  (graphiti_core/utils/bulk_utils.py:291-301) → here the entity id IS a
+  deterministic function of (group_id, lower(name)), so exact dedup is a
+  ``dropDuplicates`` — J6.
+- similarity blocking: ``compress_nodes`` (bulk_utils.py:304-375) does
+  O(N²) embedding dots + LLM chunk dedup; here MinHash-LSH banding
+  (functions/minhash.py) generates candidate pairs linearly — D4.
+- duplicate decision: LLM judgment (node_operations.py:229-338,
+  prompts/dedupe_nodes.py:106-168) → deterministic score: Jaro-Winkler ≥
+  θ_jw AND trigram-embedding cosine ≥ θ_cos (north-star rule).
+- transitive closure: ``compress_uuid_map`` (bulk_utils.py:400-409) →
+  connected components by iterative hash-join min-label propagation — D5.
+- pointer rewrite: ``resolve_edge_pointers`` (bulk_utils.py:415-422) →
+  broadcast left join + coalesce — J1.
+
+Scale notes: LSH join keys are (group_id, band, band_hash) — no
+cross-partition pairs; component propagation joins are on entity uuid
+(high cardinality, well distributed); each iteration is localCheckpointed
+to truncate lineage; the duplicate-pair graph is tiny relative to the
+corpus (only near-dup names), so the uuid_map broadcast in J1 is cheap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.minhash import lsh_candidate_pairs
+from ..functions.similarity import dot, jaro_winkler_udf
+from ..schemas import entity_uuid
+
+JW_THRESHOLD = 0.85
+COS_THRESHOLD = 0.40
+
+
+def distinct_entities(mentions: DataFrame) -> DataFrame:
+    """J6: (group_id, name) → one row, deterministic uuid. First-wins
+    ordering is irrelevant because ids are content-derived."""
+    return (
+        mentions.select("group_id", "name")
+        .dropDuplicates(["group_id", "name"])
+        .withColumn("uuid", entity_uuid(F.col("group_id"), F.col("name")))
+    )
+
+
+def duplicate_pairs(entities: DataFrame, embedded: DataFrame | None = None) -> DataFrame:
+    """D4 blocking + deterministic dedup decision.
+
+    ``embedded``: optional (uuid, name_embedding) — defaults to hashing
+    embeddings computed inline. Returns (group_id, id_a, id_b) with
+    id_a < id_b for accepted duplicate pairs.
+    """
+    from ..functions.similarity import hash_embed_udf
+
+    pairs = lsh_candidate_pairs(
+        entities, id_col="uuid", text_col="name", partition_cols=["group_id"]
+    )
+    if embedded is None:
+        embedded = entities.select(
+            "uuid", hash_embed_udf(F.col("name")).alias("name_embedding")
+        )
+    ea = embedded.select(
+        F.col("uuid").alias("id_a"), F.col("name_embedding").alias("emb_a")
+    )
+    eb = embedded.select(
+        F.col("uuid").alias("id_b"), F.col("name_embedding").alias("emb_b")
+    )
+    scored = (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("jw", jaro_winkler_udf(F.col("text_a"), F.col("text_b")))
+        .withColumn("cos", dot(F.col("emb_a"), F.col("emb_b")))
+    )
+    return scored.where(
+        (F.col("jw") >= JW_THRESHOLD) & (F.col("cos") >= COS_THRESHOLD)
+    ).select("group_id", "id_a", "id_b")
+
+
+def connected_components(
+    vertices: DataFrame, pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """D5: min-label propagation over the duplicate-pair graph.
+
+    vertices: (uuid, ...); pairs: (id_a, id_b). Returns (uuid, component)
+    where component = min uuid in the connected component. Iterative
+    hash joins with localCheckpoint per round (no Catalyst recursion);
+    converges in O(log component-diameter) rounds — near-dup clusters
+    are tiny, so 2-3 rounds in practice.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .dropDuplicates(["src", "dst"])
+    )
+    labels = vertices.select(F.col("uuid"), F.col("uuid").alias("component"))
+    edges = edges.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["uuid"])
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["uuid"] == neighbor_min["src"], "left")
+            .select(
+                "uuid",
+                F.least(F.col("component"), F.col("nbr_component")).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "uuid")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def build_uuid_map(entities: DataFrame, components: DataFrame) -> DataFrame:
+    """Component → canonical member; canonical = min by (len(name), name)
+    (the shortest, lexicographically-first surface form — deterministic
+    stand-in for the reference's 'existing node wins' rule,
+    node_operations.py:306-318).
+
+    Returns (group_id, uuid, name, canonical_uuid, canonical_name).
+    """
+    labeled = entities.join(components, "uuid")
+    canon = (
+        labeled.groupBy("component")
+        .agg(
+            F.min_by(
+                F.struct(F.col("uuid").alias("u"), F.col("name").alias("n")),
+                F.struct(F.length("name"), F.col("name")),
+            ).alias("c")
+        )
+        .select(
+            "component",
+            F.col("c.u").alias("canonical_uuid"),
+            F.col("c.n").alias("canonical_name"),
+        )
+    )
+    return labeled.join(canon, "component").select(
+        "group_id", "uuid", "name", "canonical_uuid", "canonical_name"
+    )
+
+
+def resolve_pointers(
+    triples: DataFrame, uuid_map: DataFrame, col_name: str, name_col: str
+) -> DataFrame:
+    """J1: rewrite one endpoint column through the uuid_map via broadcast
+    left join + coalesce (identity when unmapped). Joins on the NAME key
+    (group_id, name) because raw triples carry surface names."""
+    m = F.broadcast(
+        uuid_map.select(
+            F.col("group_id").alias(f"__g_{col_name}"),
+            F.col("name").alias(f"__k_{col_name}"),
+            F.col("canonical_uuid").alias(f"__cu_{col_name}"),
+            F.col("canonical_name").alias(f"__cn_{col_name}"),
+        )
+    )
+    joined = triples.join(
+        m,
+        (triples["group_id"] == m[f"__g_{col_name}"])
+        & (triples[name_col] == m[f"__k_{col_name}"]),
+        "left",
+    ).drop(f"__g_{col_name}")
+    return (
+        joined.withColumn(
+            col_name,
+            F.coalesce(
+                F.col(f"__cu_{col_name}"),
+                entity_uuid(F.col("group_id"), F.col(name_col)),
+            ),
+        )
+        .withColumn(name_col, F.coalesce(F.col(f"__cn_{col_name}"), F.col(name_col)))
+        .drop(f"__k_{col_name}", f"__cu_{col_name}", f"__cn_{col_name}")
+    )

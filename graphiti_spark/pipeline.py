@@ -1,0 +1,204 @@
+"""End-to-end episodes → knowledge-graph pipeline.
+
+The batch DAG mirrors the reference's bulk flow
+(``Graphiti.add_episode_bulk``, graphiti_core/graphiti.py:540-665:
+extract → dedupe nodes → resolve pointers → dedupe edges → save) PLUS
+the bi-temporal invalidation stage that bulk mode omits
+(add_episode runs it per-episode, graphiti.py:492-505; bulk explicitly
+skips it, graphiti.py:573-575) — bringing batch semantics to parity
+with the sequential path, resolved as window-ordered merges.
+
+Stages (all lazy DataFrames until materialized):
+
+  episodes ──X1/X3──► triples_raw ──► mentions ──J6──► entities
+      │                                                  │ D4+D5
+      │                                                  ▼
+      └──────────────► resolve_pointers (J1) ◄──── uuid_map
+                             │
+                             ▼
+                      edge dedup (D8: groupBy canonical triple+valid_at,
+                      union episode provenance, edges.py:468-469)
+                             │
+                             ▼
+                      resolve_bitemporal (T1/T2/T3)
+                             │
+                             ▼
+            nodes / edges / mentions tables (deterministic uuids)
+
+Scale notes: the only wide operations are (a) the edge-dedup groupBy on
+(group_id, src, predicate, dst, valid_at) — high-cardinality key, hot
+entities spread across many pairs; (b) the temporal window on
+(group_id, pair, class); (c) the tiny distinct-name resolution which is
+broadcast back. Extraction is shuffle-free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import corpus
+from .functions.similarity import hash_embed_udf
+from .operators.extract import RuleBasedExtractor, extract_mentions, extract_triples
+from .operators.resolve import (
+    build_uuid_map,
+    connected_components,
+    distinct_entities,
+    duplicate_pairs,
+    resolve_pointers,
+)
+from .operators.temporal import resolve_bitemporal
+from .schemas import edge_uuid, entity_uuid
+from .synth import synthesize_episodes
+
+
+@dataclass
+class GraphOutput:
+    episodes: DataFrame
+    triples_raw: DataFrame
+    entities: DataFrame
+    uuid_map: DataFrame
+    nodes: DataFrame
+    edges: DataFrame
+    mentions: DataFrame
+
+
+def _phrase_col(pred_col: str):
+    """predicate → surface phrase (constant-folded when-chain)."""
+    col = None
+    for name, phrase in corpus.PREDICATES:
+        col = (
+            F.when(F.col(pred_col) == name, F.lit(phrase))
+            if col is None
+            else col.when(F.col(pred_col) == name, F.lit(phrase))
+        )
+    return col.otherwise(F.lit(""))
+
+
+def dedupe_edges(resolved_triples: DataFrame) -> DataFrame:
+    """D8: one edge per (group, src, predicate, dst, valid_at); episode
+    provenance unioned (reference keeps the existing edge uuid and
+    appends episodes, edge_operations.py:460-469). The fact text is
+    regenerated from canonical names so a merged edge has ONE
+    deterministic surface form."""
+    g = resolved_triples.groupBy(
+        "group_id", "source_node_uuid", "predicate", "target_node_uuid", "valid_at"
+    ).agg(
+        F.min("subj_name").alias("subj_name"),
+        F.min("obj_name").alias("obj_name"),
+        F.sort_array(F.collect_set("doc_id")).alias("episodes"),
+        F.count(F.lit(1)).alias("n_mentions"),
+    )
+    fact = F.concat(
+        F.col("subj_name"),
+        F.lit(" "),
+        _phrase_col("predicate"),
+        F.lit(" "),
+        F.col("obj_name"),
+        F.lit(" since "),
+        F.year("valid_at").cast("string"),
+        F.lit("."),
+    )
+    return g.withColumn("fact", fact).withColumn(
+        "created_at", F.lit(corpus.BATCH_TIME).cast("timestamp")
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    episodes: DataFrame,
+    extractor: RuleBasedExtractor | None = None,
+    batch_time: str = corpus.BATCH_TIME,
+) -> GraphOutput:
+    # triples_raw feeds four downstream branches (mentions, entities,
+    # two pointer-rewrite joins) — persist it so extraction runs once.
+    # On a real cluster this is the stage-checkpoint table the north
+    # rule's resumability requires (see io.tables.TableIO).
+    triples_raw = extract_triples(episodes, extractor).persist()
+    mentions_raw = extract_mentions(triples_raw)
+
+    entities = distinct_entities(mentions_raw)
+    # Resolution runs on the distinct-name space (orders of magnitude
+    # smaller than the corpus); cache it — it feeds LSH, components and
+    # the canonical-node projection.
+    entities = entities.cache()
+    pairs = duplicate_pairs(entities)
+    comps = connected_components(entities, pairs)
+    uuid_map = build_uuid_map(entities, comps).cache()
+
+    resolved = resolve_pointers(
+        triples_raw.withColumn("source_node_uuid", F.lit(None).cast("string")),
+        uuid_map,
+        "source_node_uuid",
+        "subj_name",
+    )
+    resolved = resolve_pointers(
+        resolved.withColumn("target_node_uuid", F.lit(None).cast("string")),
+        uuid_map,
+        "target_node_uuid",
+        "obj_name",
+    )
+    # Self-loop filter P8 (endpoints can collapse after canonicalization;
+    # reference drops src==dst pairs, bulk_utils.py:469-471).
+    resolved = resolved.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
+
+    deduped = dedupe_edges(resolved)
+    edges = resolve_bitemporal(deduped, batch_time=batch_time)
+    edges = edges.withColumn(
+        "uuid",
+        edge_uuid(
+            F.col("group_id"),
+            F.col("source_node_uuid"),
+            F.col("predicate"),
+            F.col("target_node_uuid"),
+            F.col("valid_at"),
+        ),
+    )
+
+    # Canonical nodes: distinct canonical members of every component,
+    # plus hash name-embedding (X7) for the search layer.
+    nodes = (
+        uuid_map.select(
+            "group_id",
+            F.col("canonical_uuid").alias("uuid"),
+            F.col("canonical_name").alias("name"),
+        )
+        .dropDuplicates(["group_id", "uuid"])
+        .withColumn("labels", F.array(F.lit("Entity")))
+        .withColumn("summary", F.lit(None).cast("string"))
+        .withColumn("name_embedding", hash_embed_udf(F.col("name")))
+        .withColumn("created_at", F.lit(batch_time).cast("timestamp"))
+    )
+
+    # MENTIONS episodic edges: episode × canonical entity, distinct
+    # (reference build_episodic_edges, edge_operations.py:46-63).
+    speaker_m = resolve_pointers(mentions_raw, uuid_map, "entity_uuid", "name")
+    mentions = (
+        speaker_m.select("doc_id", "group_id", F.col("entity_uuid"), F.col("name"))
+        .dropDuplicates(["doc_id", "entity_uuid"])
+        .withColumn(
+            "uuid",
+            F.sha2(
+                F.concat_ws("|", F.lit("mention"), F.col("doc_id"), F.col("entity_uuid")),
+                256,
+            ),
+        )
+        .withColumn("created_at", F.lit(batch_time).cast("timestamp"))
+    )
+
+    return GraphOutput(
+        episodes=episodes,
+        triples_raw=triples_raw,
+        entities=entities,
+        uuid_map=uuid_map,
+        nodes=nodes,
+        edges=edges,
+        mentions=mentions,
+    )
+
+
+def run_on_sf(spark: SparkSession, sf_dir: str, replicas: int = 1) -> GraphOutput:
+    eps = synthesize_episodes(spark, sf_dir, replicas=replicas)
+    return run_pipeline(spark, eps)

@@ -43,7 +43,7 @@ def _sentence(d: Column, j: Column) -> Column:
     obj0 = (d * 11 + j * 17 + 1) % corpus.N_ENTITIES
     obj = F.when(obj0 == subj, (obj0 + 1) % corpus.N_ENTITIES).otherwise(obj0)
     pred = (d * 3 + j * 5) % corpus.N_PREDICATES
-    year = F.lit(corpus.BASE_YEAR) + (d + 2 * j) % 10
+    year = F.lit(corpus.BASE_YEAR) + (F.floor(d / 16) + 3 * j) % 10
     speaker = (d + j) % len(corpus.SPEAKERS)
     return F.concat(
         F.element_at(_SPEAKERS, speaker.cast("int") + 1),
@@ -59,13 +59,28 @@ def _sentence(d: Column, j: Column) -> Column:
     )
 
 
-def synthesize_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents.parquet → episodes table (EPISODES_SCHEMA shape)."""
+def synthesize_episodes(
+    spark: SparkSession, sf_dir: str, replicas: int = 1
+) -> DataFrame:
+    """documents.parquet → episodes table (EPISODES_SCHEMA shape).
+
+    ``replicas`` > 1 amplifies the corpus deterministically for
+    benchmarking (each replica r re-derives facts from d + r*500009, a
+    prime stride, so content varies per replica; doc_ids get an ``-r<i>``
+    suffix). Tests and the correctness oracle always use replicas=1.
+    """
     d = F.col("d")
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .select(F.col("doc_id").cast("long").alias("d"))
+        .select(F.col("doc_id").cast("long").alias("d0"))
     )
+    if replicas > 1:
+        docs = docs.crossJoin(
+            spark.range(replicas).select(F.col("id").cast("int").alias("rep"))
+        )
+    else:
+        docs = docs.withColumn("rep", F.lit(0))
+    docs = docs.select((F.col("d0") + F.col("rep") * F.lit(500009)).alias("d"), "rep", "d0")
 
     n_facts = F.lit(1) + d % 3
     k = F.element_at(
@@ -102,7 +117,13 @@ def synthesize_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<struct<kind:string,text:string>>"))
     base_spans = F.concat(base_spans, trailer)
 
-    doc_id_str = F.concat(F.lit("doc-"), F.lpad(d.cast("string"), 6, "0"))
+    doc_id_str = F.concat(
+        F.lit("doc-"),
+        F.lpad(F.col("d0").cast("string"), 6, "0"),
+        F.when(F.col("rep") > 0, F.concat(F.lit("-r"), F.col("rep").cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
 
     # Assign dense offsets positionally; media_ref derives from the FINAL
     # offset so the invariant is checkable from (doc_id, offset) alone.
