@@ -107,8 +107,212 @@ def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mentions.select("doc_id", "group_id", "name", "entity_uuid")
 
 
+# ---------------------------------------------------------------------------
+# docops / search / maintenance queries
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _q_token_stats(spark, sf_dir):
+    from graphiti_spark.operators.docops import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from graphiti_spark.operators.docops import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def _q_language_id(spark, sf_dir):
+    from graphiti_spark.operators.docops import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def _q_exact_duplicates(spark, sf_dir):
+    from graphiti_spark.operators.docops import exact_duplicates
+
+    return exact_duplicates(_docs(spark, sf_dir))
+
+
+def _perturbed_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    twin = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail tokens")).alias("text"),
+    )
+    return d.select("doc_id", "text").unionByName(twin)
+
+
+def _q_near_duplicates(spark, sf_dir):
+    from graphiti_spark.operators.docops import near_duplicates
+
+    return near_duplicates(_perturbed_docs(spark, sf_dir), threshold=0.5)
+
+
+def _q_simhash(spark, sf_dir):
+    from graphiti_spark.operators.docops import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def _q_fingerprint(spark, sf_dir):
+    from graphiti_spark.operators.docops import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def _q_bm25_docs(spark, sf_dir):
+    from graphiti_spark.operators.docops import tokenize  # noqa: F401
+    from graphiti_spark.operators.search import bm25_score, build_postings
+    from graphiti_spark.oracle_ops import BM25_QUERY
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    scored = bm25_score(build_postings(d, "doc_id", "text"), BM25_QUERY)
+    return scored.select("id", F.round("score", 6).alias("score"))
+
+
+def _q_cosine_topk(spark, sf_dir):
+    from graphiti_spark.operators.docops import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries_df, k=10).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+def _q_rrf_docs(spark, sf_dir):
+    from graphiti_spark.operators.search import rrf
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("id"), "n_chars", "doc_id"
+    )
+    l1 = (
+        d.select("id", F.col("n_chars").cast("double").alias("score"))
+        .orderBy(F.desc("score"), "id")
+        .limit(20)
+    )
+    l2 = (
+        d.select(
+            "id", (101 - (F.col("doc_id") * 37) % 101).cast("double").alias("score")
+        )
+        .orderBy(F.desc("score"), "id")
+        .limit(20)
+    )
+    return rrf([l1, l2]).select("id", F.round("score", 6).alias("score"))
+
+
+def _q_bfs_globex(spark, sf_dir):
+    import hashlib
+
+    from graphiti_spark.operators.search import bfs_neighborhood
+
+    out = _graph(spark, sf_dir)
+    origin = hashlib.sha256(b"entity|g0|globex").hexdigest()
+    reach = bfs_neighborhood(
+        out.edges.where(F.col("group_id") == "g0"), [origin], max_depth=3
+    )
+    names = out.nodes.where(F.col("group_id") == "g0").select("uuid", "name")
+    return reach.join(names, "uuid").select(
+        "name", F.col("depth").cast("int").alias("depth")
+    )
+
+
+def _q_point_in_time(spark, sf_dir):
+    from graphiti_spark.operators.maintenance import retrieve_episodes
+
+    eps = synthesize_episodes(spark, sf_dir)
+    return retrieve_episodes(eps, "2024-01-01 08:00:00", last_n=10).select(
+        "doc_id", "group_id", "valid_at"
+    )
+
+
+def _q_context_window(spark, sf_dir):
+    from graphiti_spark.operators.maintenance import with_previous_episode_context
+
+    eps = synthesize_episodes(spark, sf_dir)
+    return with_previous_episode_context(eps).select(
+        "doc_id",
+        "group_id",
+        F.coalesce(F.array_join("previous_episode_ids", ","), F.lit("")).alias(
+            "prev_ids"
+        ),
+    )
+
+
+def _q_pagination(spark, sf_dir):
+    from graphiti_spark.operators.maintenance import get_by_group_ids
+
+    out = _graph(spark, sf_dir)
+    return get_by_group_ids(
+        out.nodes, ["g0", "g1", "g2", "g3"], limit=20, cursor_uuid="8"
+    ).select("group_id", "name", "uuid")
+
+
+def _q_remove_episode_counts(spark, sf_dir):
+    from graphiti_spark.operators.maintenance import remove_episode
+
+    out = _graph(spark, sf_dir)
+    new = remove_episode(
+        "doc-000000", out.episodes, out.edges, out.mentions, out.nodes
+    )
+    row = (
+        int(new["mentions"].count()),
+        int(new["nodes"].count()),
+        int(new["edges"].count()),
+    )
+    return spark.createDataFrame(
+        [row], "n_mentions long, n_nodes long, n_edges long"
+    )
+
+
+def _q_media_catalog(spark, sf_dir):
+    from graphiti_spark.operators.multimodal import media_catalog
+
+    eps = synthesize_episodes(spark, sf_dir)
+    return media_catalog(eps).select(
+        "doc_id", "media_ref", "media_type", "content_len", "offset"
+    )
+
+
+# --- non-SQL-expressible ops: driver records a rows-only check --------------
+
+def _q_communities(spark, sf_dir):
+    from graphiti_spark.operators.community import detect_communities
+
+    out = _graph(spark, sf_dir)
+    return detect_communities(out.edges, out.nodes)
+
+
+def _q_ann_lsh(spark, sf_dir):
+    from graphiti_spark.operators.docops import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_bucketed_topk(emb, queries_df, k=10)
+
+
+def _q_media_features(spark, sf_dir):
+    from graphiti_spark.operators.multimodal import decode_features, media_catalog
+
+    eps = synthesize_episodes(spark, sf_dir)
+    return decode_features(media_catalog(eps))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # KG pipeline stages
         "spans": _q_spans,
         "triples_raw": _q_triples_raw,
         "mentions_by_name": _q_mentions_by_name,
@@ -117,10 +321,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_resolved": _q_edges_resolved,
         "invalidation_counts": _q_invalidation_counts,
         "mentions": _q_mentions,
+        # text analysis
+        "token_stats": _q_token_stats,
+        "quality": _q_quality,
+        "language_id": _q_language_id,
+        # dedup
+        "exact_duplicates": _q_exact_duplicates,
+        "near_duplicates": _q_near_duplicates,
+        "simhash": _q_simhash,
+        "fingerprint": _q_fingerprint,
+        # search / similarity
+        "bm25_docs": _q_bm25_docs,
+        "cosine_topk": _q_cosine_topk,
+        "rrf_docs": _q_rrf_docs,
+        "bfs_globex": _q_bfs_globex,
+        # maintenance
+        "point_in_time": _q_point_in_time,
+        "context_window": _q_context_window,
+        "pagination": _q_pagination,
+        "remove_episode_counts": _q_remove_episode_counts,
+        "media_catalog": _q_media_catalog,
+        # non-SQL-expressible (rows-only check)
+        "communities": _q_communities,
+        "ann_lsh": _q_ann_lsh,
+        "media_features": _q_media_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from graphiti_spark import oracle_ops as oo
+
     return {
         "spans": oracle.q_spans(),
         "triples_raw": oracle.q_triples_raw(),
@@ -130,4 +360,22 @@ def oracle_sql() -> dict[str, str]:
         "edges_resolved": oracle.q_edges_resolved(),
         "invalidation_counts": oracle.q_edge_invalidation_counts(),
         "mentions": oracle.q_mentions_table(),
+        "token_stats": oo.q_token_stats(),
+        "quality": oo.q_quality(),
+        "language_id": oo.q_language_id(),
+        "exact_duplicates": oo.q_exact_duplicates(),
+        "near_duplicates": oo.q_near_duplicates(),
+        "simhash": oo.q_simhash(),
+        "fingerprint": oo.q_fingerprint(),
+        "bm25_docs": oo.q_bm25_docs(),
+        "cosine_topk": oo.q_cosine_topk(),
+        "rrf_docs": oo.q_rrf_docs(),
+        "bfs_globex": oo.q_bfs_globex(),
+        "point_in_time": oo.q_point_in_time("2024-01-01 08:00:00"),
+        "context_window": oo.q_context_window(),
+        "pagination": oo.q_pagination(),
+        "remove_episode_counts": oo.q_remove_episode_counts(),
+        "media_catalog": oo.q_media_catalog(),
+        # communities / ann_lsh / media_features: intentionally no oracle
+        # (iterative or UDF-bound) → driver rows-only check
     }

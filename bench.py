@@ -42,9 +42,12 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     # episodes table once (in production this is the pre-existing
     # Iceberg input; synthesizing it is not pipeline work).
     eps_dir = tempfile.mkdtemp(prefix="bench_episodes_")
-    synthesize_episodes(spark, sf_dir, replicas=replicas).write.mode("overwrite").parquet(
-        eps_dir
-    )
+    # doc_id-hash partitioning (the north rule's input layout): without
+    # it the synthesized table lands in 1-2 parquet files and the scan
+    # caps pipeline parallelism at 1-2 tasks no matter the core count.
+    synthesize_episodes(spark, sf_dir, replicas=replicas).repartition(
+        128, "doc_id"
+    ).write.mode("overwrite").parquet(eps_dir)
 
     queries: dict[str, float] = {}
     t_all = time.perf_counter()

@@ -1,0 +1,345 @@
+"""Training-data pipeline operators over the `documents` /
+`embeddings` tables: dedup (exact, MinHash-LSH + n-gram Jaccard,
+SimHash), similarity search (brute-force + LSH-bucketed ANN), and text
+analysis (language id, quality scoring, token stats, fingerprinting).
+
+These are first-class engine components beyond the reference's own
+operator set — what a 100 TB corpus-preparation pipeline needs around
+KG construction. Design rules:
+- pure column expressions wherever possible (whole-stage codegen);
+- any hash that an oracle must reproduce uses md5 hex digits (same
+  function exists in DuckDB); xxhash64 is reserved for engine-internal
+  blocking where no oracle replays it;
+- near-dup = LSH blocking (linear) + exact verify (Jaccard) on the
+  candidate pairs only — never O(N²) at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.minhash import lsh_candidate_pairs
+from ..functions.similarity import dot, l2_norm
+from .search import tokenize
+
+# ---------------------------------------------------------------------------
+# tokenization + stats
+# ---------------------------------------------------------------------------
+
+STOPWORDS = {
+    # tiny per-language keyword lists for the heuristic language id —
+    # the testdata generator tags docs with lang but the text is a
+    # shared vocabulary, so this heuristic is honest about uncertainty.
+    "en": ["the", "a", "and", "of", "to"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "es": ["el", "la", "los", "y", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["de", "shi", "he", "zai", "you"],
+}
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, n_chars, avg_token_len)."""
+    toks = tokenize(F.col("text"))
+    return documents.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.round(
+            F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double")
+            / F.greatest(F.size(toks), F.lit(1)),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Deterministic quality heuristics: repetition ratio (distinct/total
+    tokens), length band, stopword presence. score in [0,1]."""
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
+    en_stop = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_ratio = F.size(
+        F.filter(toks, lambda t: F.array_contains(en_stop, t))
+    ) / F.greatest(n, F.lit(1))
+    length_ok = (n >= 10) & (n <= 100000)
+    score = (
+        0.5 * distinct_ratio
+        + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+        + 0.2 * length_ok.cast("double")
+    )
+
+    # floor(x*1e6 + 0.5) instead of round(x, 6): the ratios are exact
+    # small rationals that can land exactly on a .5 rounding boundary,
+    # where Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree; floor of
+    # the identical IEEE double is engine-independent.
+    def _micro(c):
+        return F.floor(c * 1000000 + 0.5).cast("long")
+
+    return documents.select(
+        "doc_id",
+        _micro(distinct_ratio).alias("distinct_ratio_micro"),
+        _micro(stop_ratio).alias("stopword_ratio_micro"),
+        length_ok.alias("length_ok"),
+        _micro(score).alias("quality_micro"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language id: per-language stopword hit rate, argmax
+    (ties → lexicographically first language)."""
+    toks = tokenize(F.col("text"))
+    n = F.greatest(F.size(toks), F.lit(1))
+    scores = []
+    for lang in sorted(STOPWORDS):
+        kw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        scores.append(
+            (F.size(F.filter(toks, lambda t: F.array_contains(kw, t))) / n).alias(
+                f"score_{lang}"
+            )
+        )
+    df = documents.select("doc_id", *scores)
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pred = None
+    for l in langs:  # first lang reaching the max wins (ties → asc name)
+        cond = F.col(f"score_{l}") == best
+        pred = F.when(cond, F.lit(l)) if pred is None else pred.when(cond, F.lit(l))
+    return df.select(
+        "doc_id",
+        *[F.round(F.col(f"score_{l}"), 6).alias(f"score_{l}") for l in langs],
+        pred.alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: (content_hash, n_docs, keep_doc_id)
+    for groups with n>1; keep = min doc_id (hash-groupBy, one shuffle)."""
+    h = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.md5(F.col("text")).alias("content_hash"),
+    )
+    return (
+        h.groupBy("content_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (joined by single spaces)."""
+    toks = tokenize(col)
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+            lambda s: s != "",
+        )
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
+
+
+def near_duplicates(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """MinHash-LSH blocking + EXACT n-gram-Jaccard verification.
+
+    Returns (id_a, id_b, jaccard) for pairs ≥ threshold, id_a < id_b.
+    Blocking bounds recall (documented: 24 bands of 2 catch J ≥ 0.5
+    with probability > 0.999); the verify step makes precision exact.
+    """
+    shingled = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array_join(word_shingles(F.col("text"), shingle_words), "").alias(
+            "_joined"
+        ),
+    )
+    cand = lsh_candidate_pairs(shingled, id_col="doc_id", text_col="_joined")
+    # re-derive shingle arrays on both sides, verify exactly
+    sh = documents.select(
+        F.col("doc_id").cast("string").alias("id"),
+        word_shingles(F.col("text"), shingle_words).alias("sh"),
+    )
+    out = (
+        cand.select("id_a", "id_b")
+        .join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+SIMHASH_BITS = 16  # oracle-checkable md5-hex variant; production would
+                   # widen to 64 via xxhash64 (engine-internal only).
+
+
+def _hex_digit_val(c: Column) -> Column:
+    return F.conv(c, 16, 10).cast("int")
+
+
+def simhash(documents: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over word tokens with md5-derived bit signs, pure column
+    algebra: bit j = hex digit j//4 of md5(token), bit (3 - j%4).
+    signed sum over tokens (+1/-1), sign → bit of the signature."""
+    toks = tokenize(F.col("text"))
+    bit_cols = []
+    for j in range(bits):
+        digit_idx = j // 4 + 1  # 1-based substr position in md5 hex
+        bit_in_digit = 3 - (j % 4)
+        contrib = F.aggregate(
+            toks,
+            F.lit(0),
+            lambda acc, t: acc
+            + F.when(
+                F.shiftright(
+                    _hex_digit_val(F.substring(F.md5(t), digit_idx, 1)),
+                    bit_in_digit,
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        )
+        bit_cols.append(
+            F.when(contrib > 0, F.lit(1 << (bits - 1 - j))).otherwise(F.lit(0))
+        )
+    sig = bit_cols[0]
+    for c in bit_cols[1:]:
+        sig = sig + c
+    return documents.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+def _md5_u32(s: Column) -> Column:
+    """Little-endian uint32 of md5 digest bytes 8..12 — chosen because
+    DuckDB's md5_number_lower(x) % 2^32 computes the identical value
+    (oracle parity)."""
+    v = F.lit(0).cast("long")
+    for k in range(4):
+        byte = F.conv(F.substring(F.md5(s), 17 + 2 * k, 2), 16, 10).cast("long")
+        v = v + byte * (256 ** k)
+    return v
+
+
+def fingerprint(documents: DataFrame, n: int = 3, mod: int = 8) -> DataFrame:
+    """Mod-p sampled n-gram fingerprint (winnowing-lite): keep shingle
+    hashes ≡ 0 (mod `mod`); emit count + min sampled hash as the doc
+    signature."""
+    sh = word_shingles(F.col("text"), n)
+    hashes = F.transform(sh, lambda s: _md5_u32(s))
+    sampled = F.filter(hashes, lambda h: h % mod == 0)
+    return documents.select(
+        "doc_id",
+        F.size(sampled).cast("long").alias("n_sampled"),
+        F.array_min(sampled).alias("min_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries × embeddings,
+    window top-k. The baseline every ANN variant is measured against."""
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(query_vec_col).alias("qv")
+        )
+    )
+    scored = embeddings.crossJoin(q).select(
+        "query_id",
+        F.col(id_col).alias("id"),
+        F.round(
+            dot(F.col(vec_col), F.col("qv"))
+            / (l2_norm(F.col(vec_col)) * l2_norm(F.col("qv"))),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )
+
+
+def lsh_bucketed_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate ANN: random-hyperplane LSH bucket join, then exact
+    scoring inside the bucket. Planes derive from a fixed seed —
+    deterministic across runs. The scale path when the corpus no longer
+    fits a cross join: candidates = bucket collisions only."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = dim_row[0]["d"] if dim_row else 0
+    planes = rng.randn(n_planes, dim)
+
+    def bucket_expr(vc: Column) -> Column:
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+            bits.append(
+                F.when(dot(vc, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+            )
+        s = bits[0]
+        for b in bits[1:]:
+            s = s + b
+        return s
+
+    emb_b = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        bucket_expr(F.col(vec_col)).alias("bucket"),
+    )
+    q_b = F.broadcast(
+        queries.select(
+            F.col("query_id"), F.col("query_vec").alias("qv"),
+            bucket_expr(F.col("query_vec")).alias("bucket"),
+        )
+    )
+    scored = emb_b.join(q_b, "bucket").select(
+        "query_id",
+        "id",
+        F.round(
+            dot(F.col("v"), F.col("qv")) / (l2_norm(F.col("v")) * l2_norm(F.col("qv"))),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )

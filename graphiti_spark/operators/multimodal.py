@@ -1,0 +1,135 @@
+"""Multimodal span handling: media columns as opaque binary + typed
+metadata, with Arrow-batched decode/feature plumbing.
+
+The input's media spans carry only a ``media_ref`` URI (BASELINE.json
+input_hint). At 100 TB the actual bytes live in object storage next to
+the parquet; this module provides the Spark-side plumbing — schema,
+partitioning, UDF signatures, batch shapes — for the media stages of a
+training-data pipeline:
+
+- ``media_catalog``: one row per media span with deterministic typed
+  metadata derived from the ref (the fetch step is I/O, not compute).
+- ``decode_features``: ``mapInPandas`` stage producing fixed-width
+  feature vectors per media item. The codec call itself is STUBBED —
+  image/audio libraries are not in this container — behind
+  ``FakeCodec`` (deterministic bytes→features) and ``RealCodec``
+  (raises NotImplementedError with the integration contract).
+
+Scale notes: media work is embarrassingly parallel keyed by media_ref
+hash; the feature stage is one Arrow-batched pass with no shuffle; the
+catalog join back to spans is on (doc_id, offset) — co-partitioned
+with the episodes table's doc_id-hash layout.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_FEATURE_DIM = 16
+
+MEDIA_CATALOG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("offset", T.IntegerType(), False),
+        T.StructField("media_type", T.StringType(), False),   # img|audio|video
+        T.StructField("content", T.BinaryType(), True),       # opaque payload
+        T.StructField("content_len", T.IntegerType(), False),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("features", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def media_catalog(episodes: DataFrame) -> DataFrame:
+    """Media spans → catalog rows. The payload here is a deterministic
+    pseudo-content derived from the ref (sha256 stream) standing in for
+    the object-store fetch; type comes from the URI scheme."""
+    media = (
+        episodes.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "media")
+        .select(
+            F.col("s.media_ref").alias("media_ref"),
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+        )
+    )
+    media_type = F.when(F.col("media_ref").startswith("img://"), "img").when(
+        F.col("media_ref").startswith("aud://"), "audio"
+    ).otherwise("video")
+    payload = F.to_binary(F.sha2(F.col("media_ref"), 256), F.lit("hex"))
+    return media.select(
+        "media_ref",
+        "doc_id",
+        "offset",
+        media_type.alias("media_type"),
+        payload.alias("content"),
+        F.length(payload).cast("int").alias("content_len"),
+    )
+
+
+@dataclass
+class FakeCodec:
+    """Deterministic bytes→features stand-in: feature vector = scaled
+    byte histogram of the payload folded to MEDIA_FEATURE_DIM."""
+
+    dim: int = MEDIA_FEATURE_DIM
+
+    def decode_batch(self, refs: pd.Series, payloads: pd.Series) -> pd.Series:
+        out = []
+        for ref, b in zip(refs, payloads):
+            data = bytes(b) if b is not None else hashlib.sha256(ref.encode()).digest()
+            arr = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+            folded = np.zeros(self.dim)
+            for i, v in enumerate(arr):
+                folded[i % self.dim] += v
+            n = np.linalg.norm(folded)
+            out.append((folded / n if n else folded).astype(np.float32))
+        return pd.Series(out)
+
+
+class RealCodec:
+    """Integration point for actual decoders (PIL/ffmpeg/torchaudio).
+
+    Contract: ``decode_batch(refs, payloads) -> pd.Series[np.ndarray]``
+    of fixed-width float32 vectors, one per input row, no exceptions
+    per-row (emit zeros + log to the metrics table on decode failure).
+    """
+
+    def decode_batch(self, refs: pd.Series, payloads: pd.Series) -> pd.Series:
+        raise NotImplementedError(
+            "media codecs (PIL/ffmpeg) are not available in this container; "
+            "plug a decoder implementing decode_batch(refs, payloads)"
+        )
+
+
+def decode_features(catalog: DataFrame, codec=None) -> DataFrame:
+    """Arrow-batched feature extraction over the media catalog."""
+    codec = codec or FakeCodec()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = codec.decode_batch(pdf["media_ref"], pdf["content"])
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "features": feats.map(lambda a: [float(x) for x in a]),
+                }
+            )
+
+    return catalog.mapInPandas(run, schema=FEATURES_SCHEMA)

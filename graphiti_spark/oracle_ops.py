@@ -1,0 +1,367 @@
+"""DuckDB oracle SQL for the docops / search / maintenance operators.
+
+Same contract as ``oracle.py`` (independent re-derivation; column names
+and arithmetic mirrored exactly), covering:
+- text analysis: token stats, quality score, language id
+- dedup: exact hash, MinHash-LSH + n-gram Jaccard, SimHash, fingerprint
+- similarity: BM25 over documents, brute-force cosine top-k
+- rank fusion: RRF over two deterministic lanes
+- graph: BFS reachability over the canonical edge graph
+- maintenance: point-in-time episodes, context window, keyset
+  pagination, remove-episode cascade counts
+
+Cross-engine determinism rules used throughout:
+- doubles rounded to 6 decimals AFTER identical-formula computation;
+- hashes via md5 (hex digits / md5_number_lower — both engines agree);
+- ties broken by id columns, never by floats alone.
+"""
+
+from __future__ import annotations
+
+from . import corpus
+from .oracle import CANON_CTE, EDGES_CTE, FACTS_CTE
+from .operators.docops import STOPWORDS
+
+# tokenizer macro (mirror of operators/search.py::tokenize)
+def _toks(col: str) -> str:
+    return (
+        f"list_filter(string_split_regex(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+    )
+
+
+def _sql_strlist(values: list[str]) -> str:
+    return "[" + ", ".join("'" + v + "'" for v in values) + "]"
+
+
+def q_token_stats() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, text, {_toks('text')} AS toks FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  round(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
+        / greatest(len(toks), 1), 6) AS avg_token_len
+FROM t
+"""
+
+
+def q_quality() -> str:
+    en = _sql_strlist(STOPWORDS["en"])
+    return f"""
+WITH t AS (SELECT doc_id, text, {_toks('text')} AS toks FROM documents),
+m AS (
+  SELECT doc_id,
+    len(list_distinct(toks)) / greatest(len(toks), 1) AS dr,
+    len(list_filter(toks, t -> list_contains({en}, t)))
+      / greatest(len(toks), 1) AS sr,
+    len(toks) BETWEEN 10 AND 100000 AS length_ok
+  FROM t
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(floor(dr * 1000000 + 0.5) AS BIGINT) AS distinct_ratio_micro,
+  CAST(floor(sr * 1000000 + 0.5) AS BIGINT) AS stopword_ratio_micro,
+  length_ok,
+  CAST(floor((0.5 * dr + 0.3 * least(sr * 5, 1.0)
+        + 0.2 * (CASE WHEN length_ok THEN 1.0 ELSE 0.0 END)) * 1000000 + 0.5)
+    AS BIGINT) AS quality_micro
+FROM m
+"""
+
+
+def q_language_id() -> str:
+    langs = sorted(STOPWORDS)
+    score_exprs = ",\n    ".join(
+        f"len(list_filter(toks, t -> list_contains({_sql_strlist(STOPWORDS[l])}, t)))"
+        f" / greatest(len(toks), 1) AS score_{l}"
+        for l in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{l} = {greatest} THEN '{l}'" for l in langs
+    ) + " END"
+    rounded = ", ".join(f"round(score_{l}, 6) AS score_{l}" for l in langs)
+    return f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+s AS (SELECT doc_id, {score_exprs} FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {rounded}, {pred} AS lang_pred
+FROM s
+"""
+
+
+def q_exact_duplicates() -> str:
+    return """
+SELECT md5(text) AS content_hash,
+  COUNT(*) AS n_docs,
+  MIN(CAST(doc_id AS VARCHAR)) AS keep_doc_id
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+# perturbed corpus used by the near-dup check: every 5th doc gets a
+# shifted twin so the operator provably finds known pairs.
+_PERTURBED = """
+corpus AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents
+  UNION ALL
+  SELECT CAST(doc_id + 1000000 AS VARCHAR), text || ' extra tail tokens'
+  FROM documents WHERE doc_id % 5 = 0
+)"""
+
+
+def _shingle_sql(toks: str, n: int = 3) -> str:
+    return (
+        f"list_distinct(list_filter(list_transform("
+        f"generate_series(1, greatest(len({toks}) - {n - 1}, 1)), "
+        f"i -> array_to_string({toks}[i:i+{n - 1}], ' ')), s -> s <> ''))"
+    )
+
+
+def q_near_duplicates(threshold: float = 0.5) -> str:
+    return f"""
+WITH {_PERTURBED},
+sh AS (
+  SELECT id, {_shingle_sql(_toks('text'))} AS s FROM corpus
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+    len(list_intersect(a.s, b.s))
+      / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+  FROM sh a JOIN sh b ON a.id < b.id
+)
+SELECT id_a, id_b, round(j, 6) AS jaccard
+FROM pairs WHERE round(j, 6) >= {threshold}
+"""
+
+
+def q_simhash(bits: int = 16) -> str:
+    terms = []
+    for j in range(bits):
+        digit = j // 4 + 1
+        shift = 3 - (j % 4)
+        contrib = (
+            f"COALESCE(list_sum(list_transform(toks, t -> CASE WHEN "
+            f"((strpos('0123456789abcdef', substr(md5(t), {digit}, 1)) - 1) "
+            f">> {shift}) & 1 = 1 THEN 1 ELSE -1 END)), 0)"
+        )
+        terms.append(f"(CASE WHEN {contrib} > 0 THEN {1 << (bits - 1 - j)} ELSE 0 END)")
+    sig = " + ".join(terms)
+    return f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST({sig} AS BIGINT) AS simhash
+FROM t
+"""
+
+
+def q_fingerprint(n: int = 3, mod: int = 8) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+sh AS (SELECT doc_id, {_shingle_sql('toks', n)} AS s FROM t),
+h AS (
+  SELECT doc_id,
+    list_filter(
+      list_transform(s, x -> CAST(md5_number_lower(x) % 4294967296 AS BIGINT)),
+      v -> v % {mod} = 0
+    ) AS sampled
+  FROM sh
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(sampled) AS BIGINT) AS n_sampled,
+  list_min(sampled) AS min_hash
+FROM h
+"""
+
+
+BM25_QUERY = "spark join merge window customer"
+
+
+def q_bm25_docs(k1: float = 1.2, b: float = 0.75) -> str:
+    terms = _sql_strlist(BM25_QUERY.split())
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, UNNEST({_toks('text')}) AS term
+  FROM documents
+),
+dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+matched AS (
+  SELECT tf.id, tf.term, tf.tf, dl.dl FROM tf JOIN dl USING (id)
+  WHERE list_contains({terms}, tf.term)
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM matched GROUP BY 1),
+scored AS (
+  SELECT m.id,
+    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (m.tf * ({k1} + 1))
+      / (m.tf + {k1} * (1 - {b} + {b} * m.dl / s.avgdl)) AS w
+  FROM matched m JOIN dfreq d USING (term) CROSS JOIN stats s
+)
+SELECT id, round(SUM(w), 6) AS score FROM scored GROUP BY 1
+"""
+
+
+def q_cosine_topk(k: int = 10) -> str:
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+    round(list_dot_product(e.embedding, q.qv)
+      / (sqrt(list_dot_product(e.embedding, e.embedding))
+         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank
+  FROM scored
+)
+SELECT query_id, id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def q_rrf_docs() -> str:
+    """RRF of two deterministic lanes over documents: lane1 = n_chars
+    desc, lane2 = (doc_id*37) % 101 asc; top-20 each; fused score."""
+    return """
+WITH l1 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+    row_number() OVER (ORDER BY n_chars DESC, CAST(doc_id AS VARCHAR)) - 1 AS rank
+  FROM documents QUALIFY rank < 20
+),
+l2 AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id,
+    row_number() OVER (ORDER BY (doc_id * 37) % 101, CAST(doc_id AS VARCHAR)) - 1 AS rank
+  FROM documents QUALIFY rank < 20
+),
+u AS (
+  SELECT id, 1.0 / (rank + 1) AS contrib FROM l1
+  UNION ALL
+  SELECT id, 1.0 / (rank + 1) FROM l2
+)
+SELECT id, round(SUM(contrib), 6) AS score FROM u GROUP BY 1
+"""
+
+
+def q_bfs_globex() -> str:
+    """Min-depth BFS (≤3 hops, undirected) from 'Globex' in group g0
+    over the canonical edge graph."""
+    return f"""
+WITH RECURSIVE {EDGES_CTE},
+adj AS (
+  SELECT subj_name AS a, obj_name AS b FROM edges WHERE group_id = 'g0'
+  UNION
+  SELECT obj_name, subj_name FROM edges WHERE group_id = 'g0'
+),
+reach(name, depth) AS (
+  SELECT 'Globex', 0
+  UNION
+  SELECT adj.b, reach.depth + 1 FROM reach JOIN adj ON adj.a = reach.name
+  WHERE reach.depth < 3
+)
+SELECT name, CAST(MIN(depth) AS INT) AS depth FROM reach GROUP BY 1
+"""
+
+
+def q_point_in_time(reference_time: str, last_n: int = 10) -> str:
+    return f"""
+WITH {FACTS_CTE},
+eps AS (
+  SELECT DISTINCT doc_id, d,
+    'g' || CAST(d % {corpus.N_GROUPS} AS VARCHAR) AS group_id,
+    TIMESTAMP '{corpus.EPISODE_EPOCH}' + INTERVAL (d) MINUTE AS valid_at
+  FROM facts
+),
+newest AS (
+  SELECT doc_id, group_id, valid_at FROM eps
+  WHERE valid_at <= TIMESTAMP '{reference_time}'
+  ORDER BY valid_at DESC, doc_id DESC LIMIT {last_n}
+)
+SELECT doc_id, group_id, valid_at FROM newest
+"""
+
+
+def q_context_window(window_len: int = 3) -> str:
+    return f"""
+WITH {FACTS_CTE},
+eps AS (
+  SELECT DISTINCT doc_id, d,
+    'g' || CAST(d % {corpus.N_GROUPS} AS VARCHAR) AS group_id,
+    TIMESTAMP '{corpus.EPISODE_EPOCH}' + INTERVAL (d) MINUTE AS valid_at
+  FROM facts
+)
+SELECT doc_id, group_id,
+  COALESCE(
+    string_agg(doc_id, ',') OVER (
+      PARTITION BY group_id ORDER BY valid_at, doc_id
+      ROWS BETWEEN {window_len} PRECEDING AND 1 PRECEDING
+    ), ''
+  ) AS prev_ids
+FROM eps
+"""
+
+
+def q_pagination(cursor: str = "8", limit: int = 20) -> str:
+    return f"""
+WITH {FACTS_CTE},
+{CANON_CTE},
+nodes AS (
+  SELECT DISTINCT group_id, canonical_name AS name,
+    sha256('entity|' || group_id || '|' || lower(canonical_name)) AS uuid
+  FROM canon_map
+)
+SELECT group_id, name, uuid FROM nodes
+WHERE uuid < '{cursor}' ORDER BY uuid DESC LIMIT {limit}
+"""
+
+
+def q_remove_episode_counts(doc_id: str = "doc-000000") -> str:
+    """Cascade counts after removing one episode: surviving mentions,
+    entities (those mentioned by some other episode), and edges (those
+    with provenance beyond the removed episode)."""
+    return f"""
+WITH {FACTS_CTE},
+{CANON_CTE},
+m AS (
+  SELECT DISTINCT r.doc_id, r.group_id, c.canonical_name AS name FROM (
+    SELECT doc_id, group_id, speaker AS name FROM facts WHERE subj_name <> obj_name
+    UNION ALL SELECT doc_id, group_id, subj_name FROM facts WHERE subj_name <> obj_name
+    UNION ALL SELECT doc_id, group_id, obj_name FROM facts WHERE subj_name <> obj_name
+  ) r JOIN canon_map c ON c.group_id = r.group_id AND c.name = r.name
+),
+canon AS (
+  SELECT f.doc_id, f.group_id, cs.canonical_name AS subj_name, f.predicate,
+    co.canonical_name AS obj_name, f.valid_at
+  FROM facts f
+  JOIN canon_map cs ON cs.group_id = f.group_id AND cs.name = f.subj_name
+  JOIN canon_map co ON co.group_id = f.group_id AND co.name = f.obj_name
+  WHERE cs.canonical_name <> co.canonical_name
+)
+SELECT
+  (SELECT COUNT(*) FROM m WHERE doc_id <> '{doc_id}') AS n_mentions,
+  (SELECT COUNT(*) FROM (
+     SELECT group_id, name FROM m GROUP BY 1, 2
+     HAVING COUNT(CASE WHEN doc_id <> '{doc_id}' THEN 1 END) > 0
+   )) AS n_nodes,
+  (SELECT COUNT(*) FROM (
+     SELECT group_id, subj_name, predicate, obj_name, valid_at FROM canon
+     GROUP BY 1, 2, 3, 4, 5
+     HAVING COUNT(DISTINCT CASE WHEN doc_id <> '{doc_id}' THEN doc_id END) > 0
+   )) AS n_edges
+"""
+
+
+def q_media_catalog() -> str:
+    from .oracle import q_spans
+
+    spans_sql = q_spans().strip()
+    return f"""
+WITH spans_q AS ({spans_sql})
+SELECT doc_id, media_ref, 'img' AS media_type, CAST(32 AS INT) AS content_len,
+  CAST("offset" AS INT) AS "offset"
+FROM spans_q WHERE kind = 'media'
+"""
