@@ -93,9 +93,10 @@ class TableIO:
         hash for ``stage``; append to the lineage table and return the
         summary. The hash is xor-of-row-hashes (commutative), computed
         JVM-side."""
-        summary = df.groupBy(F.col(partition_col).alias("part")).agg(
+        hashed = df.withColumn("_h", F.xxhash64(*[F.col(c) for c in df.columns]))
+        summary = hashed.groupBy(F.col(partition_col).alias("part")).agg(
             F.count(F.lit(1)).alias("row_count"),
-            F.sum(F.xxhash64(*[F.col(c) for c in df.columns])).alias("content_hash"),
+            F.expr("bit_xor(_h)").alias("content_hash"),  # xor: commutative, no overflow
         ).withColumn("stage", F.lit(stage))
         if self.exists("lineage"):
             prior = self.read("lineage").where(F.col("stage") != stage)

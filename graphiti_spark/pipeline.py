@@ -89,7 +89,6 @@ def dedupe_edges(resolved_triples: DataFrame) -> DataFrame:
         F.min("subj_name").alias("subj_name"),
         F.min("obj_name").alias("obj_name"),
         F.sort_array(F.collect_set("doc_id")).alias("episodes"),
-        F.count(F.lit(1)).alias("n_mentions"),
     )
     fact = F.concat(
         F.col("subj_name"),
@@ -111,7 +110,13 @@ def run_pipeline(
     episodes: DataFrame,
     extractor: RuleBasedExtractor | None = None,
     batch_time: str = corpus.BATCH_TIME,
+    extra_entity_names: DataFrame | None = None,
 ) -> GraphOutput:
+    """``extra_entity_names`` (group_id, name): the EXISTING graph's
+    entity surface forms. Incremental batches resolve new mentions
+    against them (the reference's resolve_extracted_nodes searches the
+    existing graph, node_operations.py:229-338) so cross-batch
+    duplicates land in one component and the uuid_map stays global."""
     # triples_raw feeds four downstream branches (mentions, entities,
     # two pointer-rewrite joins) — persist it so extraction runs once.
     # On a real cluster this is the stage-checkpoint table the north
@@ -119,7 +124,12 @@ def run_pipeline(
     triples_raw = extract_triples(episodes, extractor).persist()
     mentions_raw = extract_mentions(triples_raw)
 
-    entities = distinct_entities(mentions_raw)
+    mention_names = mentions_raw
+    if extra_entity_names is not None:
+        mention_names = mentions_raw.select("group_id", "name").unionByName(
+            extra_entity_names.select("group_id", "name")
+        )
+    entities = distinct_entities(mention_names)
     # Resolution runs on the distinct-name space (orders of magnitude
     # smaller than the corpus); cache it — it feeds LSH, components and
     # the canonical-node projection.
