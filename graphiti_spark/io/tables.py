@@ -99,7 +99,14 @@ class TableIO:
             F.expr("bit_xor(_h)").alias("content_hash"),  # xor: commutative, no overflow
         ).withColumn("stage", F.lit(stage))
         if self.exists("lineage"):
-            prior = self.read("lineage").where(F.col("stage") != stage)
+            # merge per (stage, part): a resume run records only ITS
+            # partitions — prior completions for the same stage must
+            # survive or a later resume would reprocess them.
+            prior = self.read("lineage").join(
+                summary.select(F.lit(stage).alias("stage"), "part"),
+                ["stage", "part"],
+                "left_anti",
+            )
             self.write("lineage", prior.unionByName(summary))
         else:
             self.write("lineage", summary)

@@ -113,6 +113,8 @@ def materialize_graph(
     resume: bool = False,
     batch_time: str = corpus.BATCH_TIME,
     n_buckets: int = N_BUCKETS,
+    incremental: bool | None = None,
+    skip_completed: bool | None = None,
 ) -> TableIO:
     """Run the pipeline and persist all outputs with lineage/metrics.
 
@@ -122,10 +124,19 @@ def materialize_graph(
     content-derived (never now()/uuid4), a partial re-run converges to
     the same table state.
     """
+    # resume = crash-recovery over the SAME logical batch: skip already
+    # completed partitions AND resolve against prior state. Streaming
+    # micro-batches want incremental=True / skip_completed=False (each
+    # batch has fresh doc_ids; the part buckets repeat, so the lineage
+    # anti-join must not apply — idempotency there comes from the
+    # sink's keyed merges + the stream checkpoint).
+    incremental = resume if incremental is None else incremental
+    skip_completed = resume if skip_completed is None else skip_completed
+
     io = TableIO(spark, out_dir)
     eps = with_part(episodes, n_buckets=n_buckets)
 
-    todo = io.resume_filter("extract", eps, "part") if resume else eps
+    todo = io.resume_filter("extract", eps, "part") if skip_completed else eps
     if todo.isEmpty():
         return io
 
@@ -133,7 +144,7 @@ def materialize_graph(
     # graph's surface forms, producing a GLOBAL uuid_map.
     existing_names = (
         io.read("uuid_map").select("group_id", "name")
-        if resume and io.exists("uuid_map")
+        if incremental and io.exists("uuid_map")
         else None
     )
     out = run_pipeline(
@@ -200,9 +211,17 @@ def materialize_graph(
     # nodes/uuid_map are fully derivable from the global map: overwrite
     # (stale canonicals disappear, exactly as in a from-scratch run).
     io.write("uuid_map", uuid_map)
-    io.write("nodes", out.nodes)
     upsert_edges(io, out.edges)
     io.merge_upsert("mentions", out.mentions, key_cols=["uuid"])
+
+    # Node enrichment (summary = all-time mention stats) must see the
+    # MERGED mentions table, not just this batch's.
+    from .operators.ontology import enrich_nodes
+
+    nodes_base = out.nodes.select(
+        "group_id", "uuid", "name", "name_embedding", "created_at"
+    )
+    io.write("nodes", enrich_nodes(nodes_base, io.read("mentions")))
 
     # lineage AFTER the writes (a crash before this point re-runs the
     # partitions; the keyed merges make that idempotent)

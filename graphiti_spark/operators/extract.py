@@ -74,6 +74,16 @@ class RuleBasedExtractor:
     ontology: list[tuple[str, str]] = field(
         default_factory=lambda: list(corpus.PREDICATES)
     )
+    # X2 reflexion: a second pass over sentences the main pattern missed
+    # (reference loops ≤ MAX_REFLEXION_ITERATIONS, default 0 —
+    # node_operations.py:48-66; helpers.py:38). Our fallback accepts
+    # sentences without the ' since <year>' suffix and dates them at the
+    # episode's valid_at (the reference's reference_time default).
+    reflexion: bool = False
+
+    # X8 input cleaning (LLMClient._clean_input, llm_client/client.py:68-88):
+    # strip control / zero-width characters before parsing.
+    CLEAN_RE = "[\\x00-\\x08\\x0b-\\x1f\\x7f\\u200b-\\u200d\\ufeff]"
 
     def __post_init__(self) -> None:
         phrases = sorted((p for _, p in self.ontology), key=len, reverse=True)
@@ -85,6 +95,10 @@ class RuleBasedExtractor:
             rf"^(?P<speaker>[^:]+): (?P<subj>.+?) (?P<phrase>{alt}) "
             rf"(?P<obj>.+?) since (?P<year>\d{{4}})\.$"
         )
+        self.fallback_pattern = re.compile(
+            rf"^(?P<speaker>[^:]+): (?P<subj>.+?) (?P<phrase>{alt}) "
+            rf"(?P<obj>.+?)\.$"
+        )
         self.phrase_to_pred = {p: name for name, p in self.ontology}
 
     def extract(self, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -94,7 +108,8 @@ class RuleBasedExtractor:
         parsing; the per-row python is only the dict lookup for the
         predicate id.
         """
-        ext = pdf["text"].str.extract(self.pattern)
+        cleaned = pdf["text"].str.replace(self.CLEAN_RE, "", regex=True)
+        ext = cleaned.str.extract(self.pattern)
         out = pdf[["doc_id", "group_id", "offset", "episode_valid_at"]].copy()
         out["speaker"] = ext["speaker"]
         out["subj_name"] = ext["subj"]
@@ -102,8 +117,19 @@ class RuleBasedExtractor:
         out["obj_name"] = ext["obj"]
         # Fact = sentence body without the speaker prefix (the reference
         # stores the extracted natural-language sentence, edges.py:199).
-        out["fact"] = pdf["text"].str.split(": ", n=1).str[1]
+        out["fact"] = cleaned.str.split(": ", n=1).str[1]
         out["valid_at"] = pd.to_datetime(ext["year"], format="%Y", utc=True)
+        if self.reflexion:
+            missed = out["subj_name"].isna()
+            if missed.any():
+                fb = cleaned[missed].str.extract(self.fallback_pattern)
+                out.loc[missed, "speaker"] = fb["speaker"]
+                out.loc[missed, "subj_name"] = fb["subj"]
+                out.loc[missed, "predicate"] = fb["phrase"].map(self.phrase_to_pred)
+                out.loc[missed, "obj_name"] = fb["obj"]
+                out.loc[missed, "valid_at"] = pd.to_datetime(
+                    out.loc[missed, "episode_valid_at"], utc=True
+                )
         out = out[out["subj_name"].notna()]
         # Distinct-endpoints rule (reference drops self-referential
         # triples, bulk_utils.py:469-471).

@@ -111,18 +111,40 @@ def run_pipeline(
     extractor: RuleBasedExtractor | None = None,
     batch_time: str = corpus.BATCH_TIME,
     extra_entity_names: DataFrame | None = None,
+    entity_types=None,
+    excluded_entity_types: list[str] | None = None,
 ) -> GraphOutput:
     """``extra_entity_names`` (group_id, name): the EXISTING graph's
     entity surface forms. Incremental batches resolve new mentions
     against them (the reference's resolve_extracted_nodes searches the
     existing graph, node_operations.py:229-338) so cross-batch
-    duplicates land in one component and the uuid_map stays global."""
+    duplicates land in one component and the uuid_map stays global.
+
+    ``entity_types`` / ``excluded_entity_types``: custom ontology
+    (operators/ontology.py) — excluded types are dropped post-
+    classification, before resolution (P6)."""
+    from .operators.ontology import classify, exclude_entity_types
+
     # triples_raw feeds four downstream branches (mentions, entities,
     # two pointer-rewrite joins) — persist it so extraction runs once.
     # On a real cluster this is the stage-checkpoint table the north
     # rule's resumability requires (see io.tables.TableIO).
     triples_raw = extract_triples(episodes, extractor).persist()
     mentions_raw = extract_mentions(triples_raw)
+
+    excluded = excluded_entity_types or []
+    if excluded:
+        mentions_raw = exclude_entity_types(mentions_raw, excluded, entity_types)
+        # edges touching an excluded endpoint are dropped with it
+        # (the reference's unresolved-pointer guard,
+        # edge_operations.py:197-203)
+        from .operators.ontology import DEFAULT_ENTITY_TYPES
+
+        types = entity_types if entity_types is not None else DEFAULT_ENTITY_TYPES
+        triples_raw = triples_raw.where(
+            ~classify(F.col("subj_name"), types).isin(excluded)
+            & ~classify(F.col("obj_name"), types).isin(excluded)
+        )
 
     mention_names = mentions_raw
     if extra_entity_names is not None:
@@ -167,21 +189,6 @@ def run_pipeline(
         ),
     )
 
-    # Canonical nodes: distinct canonical members of every component,
-    # plus hash name-embedding (X7) for the search layer.
-    nodes = (
-        uuid_map.select(
-            "group_id",
-            F.col("canonical_uuid").alias("uuid"),
-            F.col("canonical_name").alias("name"),
-        )
-        .dropDuplicates(["group_id", "uuid"])
-        .withColumn("labels", F.array(F.lit("Entity")))
-        .withColumn("summary", F.lit(None).cast("string"))
-        .withColumn("name_embedding", hash_embed_udf(F.col("name")))
-        .withColumn("created_at", F.lit(batch_time).cast("timestamp"))
-    )
-
     # MENTIONS episodic edges: episode × canonical entity, distinct
     # (reference build_episodic_edges, edge_operations.py:46-63).
     speaker_m = resolve_pointers(mentions_raw, uuid_map, "entity_uuid", "name")
@@ -197,6 +204,23 @@ def run_pipeline(
         )
         .withColumn("created_at", F.lit(batch_time).cast("timestamp"))
     )
+
+    # Canonical nodes: distinct canonical members of every component +
+    # hash name-embedding (X7) + ontology enrichment (X4: type labels,
+    # typed attributes, deterministic summary — operators/ontology.py).
+    from .operators.ontology import enrich_nodes
+
+    nodes_base = (
+        uuid_map.select(
+            "group_id",
+            F.col("canonical_uuid").alias("uuid"),
+            F.col("canonical_name").alias("name"),
+        )
+        .dropDuplicates(["group_id", "uuid"])
+        .withColumn("name_embedding", hash_embed_udf(F.col("name")))
+        .withColumn("created_at", F.lit(batch_time).cast("timestamp"))
+    )
+    nodes = enrich_nodes(nodes_base, mentions, entity_types)
 
     return GraphOutput(
         episodes=episodes,
