@@ -82,14 +82,22 @@ def dedupe_edges(resolved_triples: DataFrame) -> DataFrame:
     provenance unioned (reference keeps the existing edge uuid and
     appends episodes, edge_operations.py:460-469). The fact text is
     regenerated from canonical names so a merged edge has ONE
-    deterministic surface form."""
-    g = resolved_triples.groupBy(
-        "group_id", "source_node_uuid", "predicate", "target_node_uuid", "valid_at"
-    ).agg(
-        F.min("subj_name").alias("subj_name"),
-        F.min("obj_name").alias("obj_name"),
-        F.sort_array(F.collect_set("doc_id")).alias("episodes"),
-    )
+    deterministic surface form.
+
+    Provenance collection is SALTED two-phase (functions/skew.py): a
+    hot entity's triples concentrate a large share of all docs onto a
+    few keys, and a single-phase collect_set would put one such key's
+    entire doc set on one reducer at 10^12-doc scale."""
+    from .functions.skew import salted_collect_set
+
+    g = salted_collect_set(
+        resolved_triples,
+        key_cols=[
+            "group_id", "source_node_uuid", "predicate", "target_node_uuid", "valid_at",
+        ],
+        value_col="doc_id",
+        agg_aliases={"subj_name": F.col("subj_name"), "obj_name": F.col("obj_name")},
+    ).withColumnRenamed("doc_ids", "episodes").drop("n_doc_ids")
     fact = F.concat(
         F.col("subj_name"),
         F.lit(" "),

@@ -1,0 +1,277 @@
+"""The composed read path: 4-lane ``search()`` with config recipes.
+
+Reference surface (graphiti_core/search/):
+- ``search()`` runs up to four lanes concurrently — edges, nodes,
+  episodes, communities — each lane = (methods × reranker), every
+  method overscanning 2×limit, reranker trimming to limit
+  (search/search.py:66-158, overscan at 179-193).
+- ``SearchConfig`` + 15 canned recipes (search_config.py:32-126,
+  search_config_recipes.py:34-223). The recipe families are
+  parameterized here instead of 15 near-identical constants.
+- R3 cross-encoder reranker (cross_encoder/client.py:27-40) is a
+  pluggable scorer; the deterministic default scores token overlap
+  with the query (the LLM-logprob scorer plugs into the same slot).
+
+Spark shape: each lane is an independent DataFrame DAG over the graph
+tables; Spark schedules them concurrently when the caller materializes
+the result struct. A batched variant (many queries at once — queries
+DF ⋈ posting/vector tables) is the scale path the reference cannot
+express; ``search_many`` provides it for the node lane.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions.similarity import hash_embed_py
+from .operators.search import (
+    DEFAULT_SEARCH_LIMIT,
+    bfs_neighborhood,
+    episode_mentions_rerank,
+    fulltext_search,
+    mmr,
+    node_distance_rerank,
+    rrf,
+    similarity_search,
+    tokenize_py,
+)
+
+
+@dataclass
+class LaneConfig:
+    methods: list[str] = field(default_factory=lambda: ["bm25", "cosine"])
+    reranker: str = "rrf"  # rrf|mmr|node_distance|episode_mentions|cross_encoder
+    limit: int = DEFAULT_SEARCH_LIMIT
+    min_score: float = 0.0
+
+
+@dataclass
+class SearchConfig:
+    edges: LaneConfig | None = None
+    nodes: LaneConfig | None = None
+    episodes: LaneConfig | None = None
+    communities: LaneConfig | None = None
+
+
+def EDGE_HYBRID_SEARCH_RRF() -> SearchConfig:
+    return SearchConfig(edges=LaneConfig())
+
+
+def NODE_HYBRID_SEARCH_RRF() -> SearchConfig:
+    return SearchConfig(nodes=LaneConfig())
+
+
+def NODE_HYBRID_SEARCH_NODE_DISTANCE() -> SearchConfig:
+    return SearchConfig(nodes=LaneConfig(reranker="node_distance"))
+
+
+def NODE_HYBRID_SEARCH_EPISODE_MENTIONS() -> SearchConfig:
+    return SearchConfig(nodes=LaneConfig(reranker="episode_mentions"))
+
+
+def EDGE_HYBRID_SEARCH_MMR() -> SearchConfig:
+    return SearchConfig(edges=LaneConfig(reranker="mmr"))
+
+
+def COMBINED_HYBRID_SEARCH_RRF() -> SearchConfig:
+    return SearchConfig(
+        edges=LaneConfig(), nodes=LaneConfig(), episodes=LaneConfig(methods=["bm25"]),
+        communities=LaneConfig(),
+    )
+
+
+def COMBINED_HYBRID_SEARCH_CROSS_ENCODER() -> SearchConfig:
+    return SearchConfig(
+        edges=LaneConfig(reranker="cross_encoder"),
+        nodes=LaneConfig(reranker="cross_encoder"),
+        episodes=LaneConfig(methods=["bm25"], reranker="cross_encoder"),
+    )
+
+
+@dataclass
+class SearchResults:
+    edges: DataFrame | None = None
+    nodes: DataFrame | None = None
+    episodes: DataFrame | None = None
+    communities: DataFrame | None = None
+
+
+def _token_overlap_scorer(query: str):
+    """Deterministic cross-encoder default: |q ∩ passage| / |q|."""
+    q = set(tokenize_py(query))
+
+    def score(df: DataFrame, text_col: str) -> DataFrame:
+        toks = F.filter(
+            F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
+        )
+        qarr = F.array(*[F.lit(t) for t in sorted(q)]) if q else F.array()
+        inter = F.size(F.array_intersect(F.array_distinct(toks), qarr))
+        return df.withColumn(
+            "score", inter.cast("double") / F.lit(float(max(len(q), 1)))
+        )
+
+    return score
+
+
+def _run_lane(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vec_col: str | None,
+    cfg: LaneConfig,
+    query: str,
+    query_vec: list[float],
+    group_ids: list[str] | None,
+    edges: DataFrame | None,
+    mentions: DataFrame | None,
+    center_uuid: str | None,
+    bfs_origins: list[str] | None,
+) -> DataFrame:
+    lanes = []
+    if "bm25" in cfg.methods:
+        lanes.append(
+            fulltext_search(
+                df, id_col, text_col, query, limit=2 * cfg.limit, group_ids=group_ids
+            )
+        )
+    if "cosine" in cfg.methods and vec_col is not None:
+        lanes.append(
+            similarity_search(
+                df, id_col, vec_col, query_vec, limit=2 * cfg.limit,
+                group_ids=group_ids,
+            )
+        )
+    if "bfs" in cfg.methods and edges is not None and bfs_origins:
+        reach = bfs_neighborhood(edges, bfs_origins)
+        lanes.append(
+            reach.select(
+                F.col("uuid").alias("id"),
+                (1.0 / (F.col("depth") + 1)).alias("score"),
+            )
+        )
+    if not lanes:
+        raise ValueError("lane has no methods")
+
+    fused = rrf(lanes, min_score=cfg.min_score)
+
+    if cfg.reranker == "rrf":
+        out = fused
+    elif cfg.reranker == "node_distance" and center_uuid and edges is not None:
+        out = node_distance_rerank(fused.select("id"), edges, center_uuid)
+    elif cfg.reranker == "episode_mentions" and mentions is not None:
+        out = episode_mentions_rerank(fused.select("id"), mentions)
+    elif cfg.reranker == "mmr":
+        cand = (
+            fused.limit(2 * cfg.limit)
+            .join(df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id")
+            .collect()
+        )
+        picked = mmr([(r.id, r.v) for r in cand], query_vec, limit=cfg.limit)
+        spark = df.sparkSession
+        out = spark.createDataFrame(picked or [("", 0.0)], "id string, score double")
+        if not picked:
+            out = out.limit(0)
+    elif cfg.reranker == "cross_encoder":
+        scorer = _token_overlap_scorer(query)
+        passages = fused.select("id").join(
+            df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
+        )
+        out = scorer(passages, text_col).select("id", "score").orderBy(
+            F.desc("score"), "id"
+        )
+    else:
+        out = fused
+    return out.where(F.col("score") >= cfg.min_score).limit(cfg.limit)
+
+
+def search(
+    query: str,
+    config: SearchConfig,
+    nodes: DataFrame | None = None,
+    edges: DataFrame | None = None,
+    episodes_text: DataFrame | None = None,
+    communities: DataFrame | None = None,
+    mentions: DataFrame | None = None,
+    query_vec: list[float] | None = None,
+    group_ids: list[str] | None = None,
+    center_uuid: str | None = None,
+    bfs_origins: list[str] | None = None,
+) -> SearchResults:
+    """episodes_text: (doc_id/uuid, group_id, content) — build with
+    ``episode_content``. Edge lane needs a fact_embedding column
+    (``with_fact_embeddings``)."""
+    if query_vec is None:
+        query_vec = [float(x) for x in hash_embed_py(query)]
+    res = SearchResults()
+    if config.edges is not None and edges is not None:
+        res.edges = _run_lane(
+            edges, "uuid", "fact", "fact_embedding", config.edges, query, query_vec,
+            group_ids, edges, mentions, center_uuid, bfs_origins,
+        )
+    if config.nodes is not None and nodes is not None:
+        res.nodes = _run_lane(
+            nodes, "uuid", "name", "name_embedding", config.nodes, query, query_vec,
+            group_ids, edges, mentions, center_uuid, bfs_origins,
+        )
+    if config.episodes is not None and episodes_text is not None:
+        res.episodes = _run_lane(
+            episodes_text, "doc_id", "content", None, config.episodes, query,
+            query_vec, group_ids, edges, mentions, center_uuid, bfs_origins,
+        )
+    if config.communities is not None and communities is not None:
+        res.communities = _run_lane(
+            communities, "uuid", "name", "name_embedding", config.communities,
+            query, query_vec, group_ids, edges, mentions, center_uuid, bfs_origins,
+        )
+    return res
+
+
+def episode_content(episodes: DataFrame) -> DataFrame:
+    """Episode fulltext surface: ordered concatenation of text spans
+    (recovers the reference's `content` string per §1.3)."""
+    return episodes.select(
+        "doc_id",
+        "group_id",
+        F.array_join(
+            F.transform(
+                F.filter(F.col("spans"), lambda s: s["kind"] == "text"),
+                lambda s: s["text"],
+            ),
+            " ",
+        ).alias("content"),
+    )
+
+
+def with_fact_embeddings(edges: DataFrame) -> DataFrame:
+    from .functions.similarity import hash_embed_udf
+
+    return edges.withColumn("fact_embedding", hash_embed_udf(F.col("fact")))
+
+
+def search_many(
+    queries: DataFrame,
+    nodes: DataFrame,
+    limit: int = DEFAULT_SEARCH_LIMIT,
+) -> DataFrame:
+    """Batched node search: (query_id, query_vec) DF against the node
+    embeddings — one shuffle for ALL queries (window top-k per query),
+    the shape a 10^12-doc read path needs. The reference can only loop
+    one query at a time."""
+    from pyspark.sql.window import Window
+
+    from .functions.similarity import dot
+
+    q = F.broadcast(queries.select("query_id", F.col("query_vec").alias("qv")))
+    scored = nodes.crossJoin(q).select(
+        "query_id",
+        F.col("uuid").alias("id"),
+        dot(F.col("name_embedding"), F.col("qv")).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= limit)
+    )
