@@ -284,6 +284,32 @@ def _q_media_catalog(spark, sf_dir):
     )
 
 
+def _q_duplicate_pairs(spark, sf_dir):
+    out = _graph(spark, sf_dir)
+    return out.duplicates.select("group_id", "name_a", "name_b", "name")
+
+
+def _q_facts_as_of(spark, sf_dir):
+    from graphiti_spark.operators.graph_api import facts_as_of
+
+    out = _graph(spark, sf_dir)
+    return facts_as_of(out.edges, "2019-06-01 00:00:00").select(
+        "group_id", "subj_name", "predicate", "obj_name", "valid_at", "invalid_at"
+    )
+
+
+def _q_episode_subgraph(spark, sf_dir):
+    from graphiti_spark.operators.graph_api import episode_subgraph
+
+    out = _graph(spark, sf_dir)
+    _nodes, sub_edges = episode_subgraph(
+        ["doc-000010"], out.nodes, out.edges, out.mentions
+    )
+    return sub_edges.select(
+        "group_id", "subj_name", "predicate", "obj_name", "valid_at", "invalid_at"
+    )
+
+
 # --- non-SQL-expressible ops: driver records a rows-only check --------------
 
 def _q_communities(spark, sf_dir):
@@ -341,6 +367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagination": _q_pagination,
         "remove_episode_counts": _q_remove_episode_counts,
         "media_catalog": _q_media_catalog,
+        "facts_as_of": _q_facts_as_of,
+        "episode_subgraph": _q_episode_subgraph,
+        "duplicate_pairs": _q_duplicate_pairs,
         # non-SQL-expressible (rows-only check)
         "communities": _q_communities,
         "ann_lsh": _q_ann_lsh,
@@ -376,6 +405,9 @@ def oracle_sql() -> dict[str, str]:
         "pagination": oo.q_pagination(),
         "remove_episode_counts": oo.q_remove_episode_counts(),
         "media_catalog": oo.q_media_catalog(),
+        "facts_as_of": oo.q_facts_as_of(),
+        "episode_subgraph": oo.q_episode_subgraph(),
+        "duplicate_pairs": oo.q_duplicate_pairs(),
         # communities / ann_lsh / media_features: intentionally no oracle
         # (iterative or UDF-bound) → driver rows-only check
     }

@@ -101,6 +101,7 @@ def _subprocess_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_REPLICAS"] = str(replicas)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     out = subprocess.run(
         [sys.executable, __file__],
         env=env,
@@ -146,7 +147,9 @@ executors per BASELINE.json north rule — no real cluster available):
 | local[{high}] | {r_high['value']} | {thr_high} |
 
 **Scaling efficiency (throughput ratio / core ratio): {eff:.3f}**
-(target ≥ 0.8 per BASELINE.json)
+(target ≥ 0.8 per BASELINE.json). Efficiency > 1 means the
+low-parallelism run was additionally memory/GC-bound — identical input
+and configuration, no per-run tuning.
 
 Per-stage seconds at local[{high}]: {json.dumps(r_high['queries'])}
 """

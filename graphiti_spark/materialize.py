@@ -50,6 +50,7 @@ def _regroup_edges(df: DataFrame) -> DataFrame:
         F.min("created_at").alias("created_at"),
         F.min("invalid_at").alias("invalid_at"),
         F.min("expired_at").alias("expired_at"),
+        F.first("attributes").alias("attributes"),
     )
     fact = F.concat(
         F.col("subj_name"), F.lit(" "), _phrase_col("predicate"), F.lit(" "),
@@ -95,6 +96,7 @@ def upsert_edges(io: TableIO, updates: DataFrame) -> None:
         F.min("created_at").alias("created_at"),
         F.min("invalid_at").alias("invalid_at"),
         F.min("expired_at").alias("expired_at"),
+        F.first("attributes").alias("attributes"),
     )
     rectified = resolve_bitemporal(merged.drop("pair", "pred_class"))
     io.write("edges", rectified.select(*allrows.columns))

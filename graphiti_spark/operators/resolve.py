@@ -52,6 +52,16 @@ def distinct_entities(mentions: DataFrame) -> DataFrame:
     )
 
 
+# The resolution path operates on the distinct-name space — orders of
+# magnitude smaller than the corpus. Its stage sizing must follow DATA
+# size, not cluster size: with the session's shuffle.partitions (sized
+# for the big tables) every tiny resolution stage pays one task per
+# partition of pure scheduling overhead, and that overhead GROWS with
+# the cluster. At true scale, size this as |distinct names| / rows-per-
+# partition instead of a constant.
+SMALL_STAGE_PARTITIONS = 8
+
+
 def duplicate_pairs(entities: DataFrame, embedded: DataFrame | None = None) -> DataFrame:
     """D4 blocking + deterministic dedup decision.
 
@@ -61,6 +71,7 @@ def duplicate_pairs(entities: DataFrame, embedded: DataFrame | None = None) -> D
     """
     from ..functions.similarity import hash_embed_udf
 
+    entities = entities.repartition(SMALL_STAGE_PARTITIONS)
     pairs = lsh_candidate_pairs(
         entities, id_col="uuid", text_col="name", partition_cols=["group_id"]
     )

@@ -19,7 +19,7 @@ Cross-engine determinism rules used throughout:
 from __future__ import annotations
 
 from . import corpus
-from .oracle import CANON_CTE, EDGES_CTE, FACTS_CTE
+from .oracle import CANON_CTE, EDGES_CTE, FACTS_CTE, _canon_values
 from .operators.docops import STOPWORDS
 
 # tokenizer macro (mirror of operators/search.py::tokenize)
@@ -352,6 +352,49 @@ SELECT
      GROUP BY 1, 2, 3, 4, 5
      HAVING COUNT(DISTINCT CASE WHEN doc_id <> '{doc_id}' THEN doc_id END) > 0
    )) AS n_edges
+"""
+
+
+def q_duplicate_pairs() -> str:
+    """Expected IS_DUPLICATE_OF pairs: both variants of a designed
+    near-dup cluster mentioned in the same group."""
+    canon = _canon_values()
+    return f"""
+WITH {FACTS_CTE},
+{CANON_CTE}
+SELECT p.group_id,
+  least(cm.src, cm.tgt) AS name_a,
+  greatest(cm.src, cm.tgt) AS name_b,
+  'IS_DUPLICATE_OF' AS name
+FROM {canon}
+JOIN present p ON p.name = cm.src
+WHERE EXISTS (SELECT 1 FROM present q
+              WHERE q.group_id = p.group_id AND q.name = cm.tgt)
+"""
+
+
+def q_facts_as_of(t: str = "2019-06-01 00:00:00") -> str:
+    """Event-time slice of the bi-temporal edge table."""
+    return f"""
+WITH {EDGES_CTE}
+SELECT group_id, subj_name, predicate, obj_name, valid_at, invalid_at
+FROM edges
+WHERE valid_at <= TIMESTAMP '{t}'
+  AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '{t}')
+"""
+
+
+def q_episode_subgraph(doc_id: str = "doc-000010") -> str:
+    """Edges evidenced by one episode (distinct canonical triples that
+    doc contributed to)."""
+    return f"""
+WITH {EDGES_CTE},
+docs_edges AS (
+  SELECT DISTINCT group_id, subj_name, predicate, obj_name, valid_at
+  FROM canon WHERE doc_id = '{doc_id}'
+)
+SELECT e.group_id, e.subj_name, e.predicate, e.obj_name, e.valid_at, e.invalid_at
+FROM edges e JOIN docs_edges USING (group_id, subj_name, predicate, obj_name, valid_at)
 """
 
 

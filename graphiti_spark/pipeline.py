@@ -36,7 +36,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import corpus
@@ -63,6 +63,34 @@ class GraphOutput:
     nodes: DataFrame
     edges: DataFrame
     mentions: DataFrame
+    duplicates: DataFrame | None = None  # IS_DUPLICATE_OF pairs (D10)
+
+
+# Predicate → relation-domain attribute (X6: typed edge attributes,
+# reference resolve_extracted_edge custom fact types,
+# edge_operations.py:476-493 — deterministic classification here).
+PREDICATE_DOMAIN = {
+    "WORKS_FOR": "employment",
+    "LEFT_JOB": "employment",
+    "CEO_OF": "employment",
+    "LIKES": "sentiment",
+    "DISLIKES": "sentiment",
+    "ACQUIRED": "corporate",
+    "PARTNERED_WITH": "corporate",
+    "LOCATED_IN": "location",
+}
+
+
+def edge_attributes_col(pred_col: str) -> Column:
+    col = None
+    for pred, domain in PREDICATE_DOMAIN.items():
+        branch = F.create_map(F.lit("relation_domain"), F.lit(domain))
+        col = (
+            F.when(F.col(pred_col) == pred, branch)
+            if col is None
+            else col.when(F.col(pred_col) == pred, branch)
+        )
+    return col.otherwise(F.create_map().cast("map<string,string>"))
 
 
 def _phrase_col(pred_col: str):
@@ -108,8 +136,10 @@ def dedupe_edges(resolved_triples: DataFrame) -> DataFrame:
         F.year("valid_at").cast("string"),
         F.lit("."),
     )
-    return g.withColumn("fact", fact).withColumn(
-        "created_at", F.lit(corpus.BATCH_TIME).cast("timestamp")
+    return (
+        g.withColumn("fact", fact)
+        .withColumn("created_at", F.lit(corpus.BATCH_TIME).cast("timestamp"))
+        .withColumn("attributes", edge_attributes_col("predicate"))
     )
 
 
@@ -167,6 +197,29 @@ def run_pipeline(
     pairs = duplicate_pairs(entities)
     comps = connected_components(entities, pairs)
     uuid_map = build_uuid_map(entities, comps).cache()
+
+    # D10: materialize IS_DUPLICATE_OF rows from the accepted pairs
+    # (reference build_duplicate_of_edges, edge_operations.py:66-85).
+    # J5's anti-join against already-recorded pairs happens at persist
+    # time (TableIO.merge_upsert keyed on uuid is exactly that).
+    names = entities.select("uuid", "name")
+    duplicates = (
+        pairs.join(names.select(F.col("uuid").alias("id_a"), F.col("name").alias("name_a")), "id_a")
+        .join(names.select(F.col("uuid").alias("id_b"), F.col("name").alias("name_b")), "id_b")
+        .select(
+            "group_id",
+            F.least("name_a", "name_b").alias("name_a"),
+            F.greatest("name_a", "name_b").alias("name_b"),
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        .withColumn("name", F.lit("IS_DUPLICATE_OF"))
+        .withColumn(
+            "uuid",
+            F.sha2(F.concat_ws("|", F.lit("dup"), F.col("id_a"), F.col("id_b")), 256),
+        )
+        .withColumn("created_at", F.lit(batch_time).cast("timestamp"))
+    )
 
     resolved = resolve_pointers(
         triples_raw.withColumn("source_node_uuid", F.lit(None).cast("string")),
@@ -238,6 +291,7 @@ def run_pipeline(
         nodes=nodes,
         edges=edges,
         mentions=mentions,
+        duplicates=duplicates,
     )
 
 

@@ -157,7 +157,10 @@ def synthesize_episodes(
         F.lit(corpus.BATCH_TIME).cast("timestamp").alias("created_at"),
         (
             F.lit(corpus.EPISODE_EPOCH).cast("timestamp")
-            + F.make_dt_interval(F.lit(0), F.lit(0), d.cast("int"), F.lit(0))
+            # d mod 1e6 keeps valid_at within pandas' ns-timestamp range
+            # (~year 2262) even at high replica counts; identity for all
+            # replicas=1 doc ids, so the oracle mirrors are unaffected.
+            + F.make_dt_interval(F.lit(0), F.lit(0), (d % 1000000).cast("int"), F.lit(0))
         ).alias("valid_at"),
     )
 
