@@ -154,6 +154,12 @@ def _q_near_duplicates(spark, sf_dir):
     return near_duplicates(_perturbed_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_dedup_keep_list(spark, sf_dir):
+    from graphiti_spark.operators.docops import dedup_keep_list
+
+    return dedup_keep_list(_perturbed_docs(spark, sf_dir), threshold=0.5)
+
+
 def _q_simhash(spark, sf_dir):
     from graphiti_spark.operators.docops import simhash
 
@@ -354,6 +360,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "exact_duplicates": _q_exact_duplicates,
         "near_duplicates": _q_near_duplicates,
+        "dedup_keep_list": _q_dedup_keep_list,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         # search / similarity
@@ -394,6 +401,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": oo.q_language_id(),
         "exact_duplicates": oo.q_exact_duplicates(),
         "near_duplicates": oo.q_near_duplicates(),
+        "dedup_keep_list": oo.q_dedup_keep_list(),
         "simhash": oo.q_simhash(),
         "fingerprint": oo.q_fingerprint(),
         "bm25_docs": oo.q_bm25_docs(),

@@ -158,7 +158,7 @@ Per-stage seconds at local[{high}]: {json.dumps(r_high['queries'])}
 
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    replicas = int(os.environ.get("BENCH_REPLICAS", "60"))
+    replicas = int(os.environ.get("BENCH_REPLICAS", "300"))
     if "--scaling" in sys.argv:
         run_scaling(sf_dir, replicas)
     else:

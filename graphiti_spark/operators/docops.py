@@ -187,6 +187,29 @@ def near_duplicates(
     return out
 
 
+def dedup_keep_list(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-dup clustering → keep decision: connected components over
+    the near-duplicate pair graph (same D5 machinery as entity
+    canonicalization), keep = min doc_id per component. Returns
+    (doc_id, keep_doc_id, is_kept) for every clustered doc."""
+    from .resolve import connected_components
+
+    pairs = near_duplicates(documents, threshold=threshold).select(
+        "id_a", "id_b"
+    )
+    vertices = (
+        pairs.select(F.col("id_a").alias("uuid"))
+        .union(pairs.select("id_b"))
+        .dropDuplicates()
+    )
+    comps = connected_components(vertices, pairs)
+    return comps.select(
+        F.col("uuid").alias("doc_id"),
+        F.col("component").alias("keep_doc_id"),
+        (F.col("uuid") == F.col("component")).alias("is_kept"),
+    )
+
+
 SIMHASH_BITS = 16  # oracle-checkable md5-hex variant; production would
                    # widen to 64 via xxhash64 (engine-internal only).
 

@@ -134,6 +134,29 @@ FROM pairs WHERE round(j, 6) >= {threshold}
 """
 
 
+def q_dedup_keep_list(threshold: float = 0.5) -> str:
+    """Expected keep decisions on the perturbed corpus: each twin pair
+    (d, d+1000000) is its own component; keep = lexicographically
+    smaller id (the original, since '1...' > digits of d for d<1e6 is
+    not guaranteed — computed as least())."""
+    return f"""
+WITH {_PERTURBED},
+sh AS (SELECT id, {_shingle_sql(_toks('text'))} AS s FROM corpus),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(len(list_intersect(a.s, b.s))
+    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= {threshold}
+),
+members AS (
+  SELECT id_a AS doc_id, least(id_a, id_b) AS keep FROM pairs
+  UNION ALL SELECT id_b, least(id_a, id_b) FROM pairs
+),
+resolved AS (SELECT doc_id, MIN(keep) AS keep_doc_id FROM members GROUP BY 1)
+SELECT doc_id, keep_doc_id, doc_id = keep_doc_id AS is_kept FROM resolved
+"""
+
+
 def q_simhash(bits: int = 16) -> str:
     terms = []
     for j in range(bits):

@@ -1,0 +1,52 @@
+"""Multimodal plumbing: catalog schema, Arrow feature batching,
+codec contract (decode is stubbed — no image libs in this container)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from graphiti_spark.operators.multimodal import (
+    MEDIA_FEATURE_DIM,
+    FakeCodec,
+    RealCodec,
+    decode_features,
+    media_catalog,
+)
+from graphiti_spark.synth import synthesize_episodes
+from tests.conftest import SF_SMOKE
+
+
+def test_media_catalog_schema_and_payload(spark):
+    cat = media_catalog(synthesize_episodes(spark, SF_SMOKE))
+    rows = cat.limit(5).collect()
+    assert rows
+    for r in rows:
+        assert r.media_ref.startswith("img://")
+        assert r.media_type == "img"
+        assert r.content_len == 32  # sha256 payload stand-in
+        assert isinstance(r.content, (bytes, bytearray))
+
+
+def test_decode_features_deterministic(spark):
+    cat = media_catalog(synthesize_episodes(spark, SF_SMOKE)).limit(20)
+    f1 = {r.media_ref: r.features for r in decode_features(cat).collect()}
+    f2 = {r.media_ref: r.features for r in decode_features(cat).collect()}
+    assert f1 == f2
+    for v in f1.values():
+        assert len(v) == MEDIA_FEATURE_DIM
+        assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+
+
+def test_real_codec_contract():
+    with pytest.raises(NotImplementedError):
+        RealCodec().decode_batch(pd.Series(["img://x"]), pd.Series([b"\x00"]))
+
+
+def test_fake_codec_batch_shape():
+    refs = pd.Series(["img://a", "img://b"])
+    payloads = pd.Series([b"\x01\x02\x03", None])
+    out = FakeCodec().decode_batch(refs, payloads)
+    assert len(out) == 2
+    assert all(v.dtype == np.float32 for v in out)
