@@ -36,6 +36,10 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     from graphiti_spark.session import get_spark
     from graphiti_spark.synth import exploded_spans, synthesize_episodes
 
+    # the workload caches the triples stage + shuffles ~9M mention rows;
+    # at the 16g default the cache evicts and stages silently recompute
+    # (a 4x wall-time distortion), so size the driver for the data.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(app_name="graphiti_spark_bench", cpus=cpus, shuffle_partitions=cpus)
 
     # UNTIMED input preparation: materialize the interleaved-span

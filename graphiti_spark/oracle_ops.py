@@ -228,15 +228,21 @@ SELECT id, round(SUM(w), 6) AS score FROM scored GROUP BY 1
 
 def q_cosine_topk(k: int = 10) -> str:
     return f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 4
+WITH emb AS (
+  -- cast to double BEFORE the dot product: the column is FLOAT[] and
+  -- DuckDB accumulates float32 (error ~1e-7), while the engine
+  -- computes in double — the cast aligns the arithmetic.
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM emb WHERE vec_id < 4
 ),
 scored AS (
   SELECT q.query_id, e.vec_id AS id,
     round(list_dot_product(e.embedding, q.qv)
       / (sqrt(list_dot_product(e.embedding, e.embedding))
          * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
-  FROM embeddings e CROSS JOIN q
+  FROM emb e CROSS JOIN q
 ),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id) AS rank
