@@ -290,6 +290,29 @@ def _q_media_catalog(spark, sf_dir):
     )
 
 
+def _asof_probes(spark):
+    from graphiti_spark.oracle_ops import ASOF_PROBES
+
+    return spark.createDataFrame(
+        [(g, a, b, t) for g, a, b, t in ASOF_PROBES],
+        "group_id string, name_a string, name_b string, t string",
+    ).withColumn("t", F.col("t").cast("timestamp"))
+
+
+def _q_as_of_join(spark, sf_dir):
+    from graphiti_spark.operators.asof import as_of_join
+
+    out = _graph(spark, sf_dir)
+    return as_of_join(out.edges, _asof_probes(spark))
+
+
+def _q_interval_join(spark, sf_dir):
+    from graphiti_spark.operators.asof import interval_join
+
+    out = _graph(spark, sf_dir)
+    return interval_join(out.edges, _asof_probes(spark))
+
+
 def _q_duplicate_pairs(spark, sf_dir):
     out = _graph(spark, sf_dir)
     return out.duplicates.select("group_id", "name_a", "name_b", "name")
@@ -377,6 +400,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "facts_as_of": _q_facts_as_of,
         "episode_subgraph": _q_episode_subgraph,
         "duplicate_pairs": _q_duplicate_pairs,
+        "as_of_join": _q_as_of_join,
+        "interval_join": _q_interval_join,
         # non-SQL-expressible (rows-only check)
         "communities": _q_communities,
         "ann_lsh": _q_ann_lsh,
@@ -416,6 +441,8 @@ def oracle_sql() -> dict[str, str]:
         "facts_as_of": oo.q_facts_as_of(),
         "episode_subgraph": oo.q_episode_subgraph(),
         "duplicate_pairs": oo.q_duplicate_pairs(),
+        "as_of_join": oo.q_as_of_join(),
+        "interval_join": oo.q_interval_join(),
         # communities / ann_lsh / media_features: intentionally no oracle
         # (iterative or UDF-bound) → driver rows-only check
     }

@@ -427,6 +427,61 @@ FROM edges e JOIN docs_edges USING (group_id, subj_name, predicate, obj_name, va
 """
 
 
+# shared probe set for the as-of join check (engine + oracle build from
+# the same literals)
+ASOF_PROBES = [
+    ("g0", "Globex", "Acme Corp", "2016-06-01 00:00:00"),
+    ("g0", "Globex", "Acme Corp", "2019-06-01 00:00:00"),
+    ("g0", "Globex", "Acme Corp", "2023-06-01 00:00:00"),
+    ("g1", "Globex", "Acme Corp", "2019-06-01 00:00:00"),
+    ("g2", "J. Smith", "Globex", "2020-06-01 00:00:00"),
+    ("g3", "Globex", "Initech Inc", "2021-06-01 00:00:00"),
+]
+
+
+def q_as_of_join() -> str:
+    values = ", ".join(
+        f"('{g}', '{a}', '{b}', TIMESTAMP '{t}')" for g, a, b, t in ASOF_PROBES
+    )
+    return f"""
+WITH {EDGES_CTE},
+probes(group_id, name_a, name_b, t) AS (VALUES {values}),
+j AS (
+  SELECT e.group_id, p.t, e.subj_name, e.predicate, e.obj_name,
+    e.valid_at, e.invalid_at, e.fact,
+    row_number() OVER (
+      PARTITION BY e.group_id, least(p.name_a, p.name_b), p.t, e.predicate
+      ORDER BY e.valid_at DESC
+    ) AS rn
+  FROM edges e
+  JOIN probes p ON p.group_id = e.group_id
+   AND least(e.subj_name, e.obj_name) = least(p.name_a, p.name_b)
+   AND greatest(e.subj_name, e.obj_name) = greatest(p.name_a, p.name_b)
+   AND e.valid_at <= p.t
+)
+SELECT group_id, t, subj_name, predicate, obj_name, valid_at, invalid_at, fact
+FROM j WHERE rn = 1
+"""
+
+
+def q_interval_join() -> str:
+    values = ", ".join(
+        f"('{g}', '{a}', '{b}', TIMESTAMP '{t}')" for g, a, b, t in ASOF_PROBES
+    )
+    return f"""
+WITH {EDGES_CTE},
+probes(group_id, name_a, name_b, t) AS (VALUES {values})
+SELECT e.group_id, p.t, e.subj_name, e.predicate, e.obj_name,
+  e.valid_at, e.invalid_at, e.fact
+FROM edges e
+JOIN probes p ON p.group_id = e.group_id
+ AND least(e.subj_name, e.obj_name) = least(p.name_a, p.name_b)
+ AND greatest(e.subj_name, e.obj_name) = greatest(p.name_a, p.name_b)
+ AND e.valid_at <= p.t
+ AND (e.invalid_at IS NULL OR e.invalid_at > p.t)
+"""
+
+
 def q_media_catalog() -> str:
     from .oracle import q_spans
 
