@@ -1,0 +1,107 @@
+"""Property-based and randomized-invariant tests.
+
+Pure functions get hypothesis; Spark operators get ONE seeded random
+batch checked against invariants computed in plain python (per-example
+Spark actions would be prohibitively slow)."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from graphiti_spark.functions.similarity import jaro_winkler
+from graphiti_spark.operators.graph_api import pairwise_summary_reduce
+from graphiti_spark.operators.search import tokenize_py
+from graphiti_spark.operators.temporal import predicate_class_map, resolve_bitemporal
+
+names = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122), min_size=0, max_size=12
+)
+
+
+@given(names, names)
+@settings(max_examples=200, deadline=None)
+def test_jaro_winkler_properties(a, b):
+    s = jaro_winkler(a, b)
+    assert 0.0 <= s <= 1.0
+    assert jaro_winkler(b, a) == s          # symmetric
+    if a == b:
+        assert s == 1.0                      # identity
+    if a and b and s == 1.0:
+        assert a == b                        # 1.0 only for equality
+
+
+@given(st.lists(st.text(max_size=8), max_size=8))
+@settings(max_examples=100, deadline=None)
+def test_summary_reduce_order_invariant(items):
+    import itertools
+
+    base = pairwise_summary_reduce(items)
+    random.seed(7)
+    shuffled = list(items)
+    random.shuffle(shuffled)
+    assert pairwise_summary_reduce(shuffled) == base
+
+
+@given(st.text(max_size=40))
+@settings(max_examples=100, deadline=None)
+def test_tokenizer_properties(text):
+    toks = tokenize_py(text)
+    assert all(t == t.lower() and t for t in toks)
+    assert tokenize_py(" ".join(toks)) == toks  # idempotent round-trip
+
+
+def test_temporal_randomized_invariants(spark):
+    """200 random edges over few pairs/predicates: the resolved frame
+    must satisfy (a) invalid_at == min strictly-greater valid_at within
+    the (pair, class) group, (b) expired_at iff invalid_at, (c)
+    idempotence: resolving twice changes nothing."""
+    rng = random.Random(42)
+    preds = ["LIKES", "DISLIKES", "WORKS_FOR", "LEFT_JOB", "ACQUIRED"]
+    ents = ["a", "b", "c", "d"]
+    rows = []
+    for i in range(200):
+        s, o = rng.sample(ents, 2)
+        rows.append(
+            (
+                "g0", s, o, rng.choice(preds),
+                datetime.datetime(2015 + rng.randrange(10), 1 + rng.randrange(12), 1),
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "group_id string, source_node_uuid string, target_node_uuid string, "
+        "predicate string, valid_at timestamp",
+    ).dropDuplicates(["source_node_uuid", "target_node_uuid", "predicate", "valid_at"])
+
+    out = resolve_bitemporal(df, batch_time="2025-06-01 00:00:00")
+    got = out.collect()
+
+    cls = predicate_class_map()
+    groups: dict[tuple, set] = {}
+    for r in got:
+        key = (
+            tuple(sorted([r.source_node_uuid, r.target_node_uuid])),
+            cls[r.predicate],
+        )
+        groups.setdefault(key, set()).add(r.valid_at)
+
+    for r in got:
+        key = (
+            tuple(sorted([r.source_node_uuid, r.target_node_uuid])),
+            cls[r.predicate],
+        )
+        later = [v for v in groups[key] if v > r.valid_at]
+        expected = min(later) if later else None
+        assert r.invalid_at == expected, (r, expected)
+        assert (r.invalid_at is None) == (r.expired_at is None)
+
+    # idempotence
+    again = resolve_bitemporal(out, batch_time="2025-06-01 00:00:00")
+    a = sorted(tuple(str(v) for v in r) for r in out.collect())
+    b = sorted(tuple(str(v) for v in r) for r in again.collect())
+    assert a == b
