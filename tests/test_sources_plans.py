@@ -1,0 +1,70 @@
+"""Input validation (sources) + plan inspection (plans) helpers."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.extract import text_spans
+from graphiti_spark.operators.temporal import resolve_bitemporal
+from graphiti_spark.plans.explain import scan_summary
+from graphiti_spark.sources.episodes import (
+    InvalidEpisodesInput,
+    span_violations,
+    validated,
+)
+from graphiti_spark.synth import synthesize_episodes
+from tests.conftest import SF_SMOKE
+
+
+def test_validated_accepts_synth(spark):
+    eps = synthesize_episodes(spark, SF_SMOKE)
+    assert validated(eps) is eps
+
+
+def test_validated_rejects_missing_columns(spark):
+    bad = spark.createDataFrame([("d",)], "doc_id string")
+    with pytest.raises(InvalidEpisodesInput, match="missing columns"):
+        validated(bad)
+
+
+def test_validated_rejects_wrong_span_struct(spark):
+    eps = synthesize_episodes(spark, SF_SMOKE).withColumn(
+        "spans", F.expr("transform(spans, s -> struct(s.kind as kind, s.text as text))")
+    )
+    with pytest.raises(InvalidEpisodesInput, match="span struct fields"):
+        validated(eps)
+
+
+def test_span_violations_empty_on_valid_input(spark):
+    eps = synthesize_episodes(spark, SF_SMOKE)
+    assert span_violations(eps).count() == 0
+
+
+def test_span_violations_detects_bad_offsets(spark):
+    eps = synthesize_episodes(spark, SF_SMOKE).withColumn(
+        "spans",
+        F.expr(
+            "transform(spans, s -> struct(s.kind, s.text, s.media_ref, "
+            "s.offset + 1 as offset))"
+        ),
+    )
+    assert span_violations(eps).count() > 0
+
+
+def test_scan_summary_of_text_spans(spark):
+    eps = synthesize_episodes(spark, SF_SMOKE)
+    s = scan_summary(text_spans(eps))
+    assert s.n_scans == 1
+    assert s.read_schemas == ["struct<doc_id:bigint>"]  # column pruning
+    assert s.python_stages == []                        # no python pre-UDF
+    assert s.has_whole_stage_codegen
+
+
+def test_temporal_plan_has_no_python(spark):
+    e = spark.createDataFrame(
+        [("g0", "a", "b", "LIKES", "2020-01-01")],
+        "group_id string, source_node_uuid string, target_node_uuid string, "
+        "predicate string, va string",
+    ).withColumn("valid_at", F.col("va").cast("timestamp")).drop("va")
+    scan_summary(resolve_bitemporal(e)).assert_no_python()
