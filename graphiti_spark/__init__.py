@@ -26,3 +26,25 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy public API (keeps `import graphiti_spark` free of a JVM
+    dependency until something is actually used)."""
+    surface = {
+        "get_spark": ("graphiti_spark.session", "get_spark"),
+        "run_pipeline": ("graphiti_spark.pipeline", "run_pipeline"),
+        "run_on_sf": ("graphiti_spark.pipeline", "run_on_sf"),
+        "materialize_graph": ("graphiti_spark.materialize", "materialize_graph"),
+        "search": ("graphiti_spark.search_api", "search"),
+        "SearchConfig": ("graphiti_spark.search_api", "SearchConfig"),
+        "synthesize_episodes": ("graphiti_spark.synth", "synthesize_episodes"),
+        "read_episodes": ("graphiti_spark.sources.episodes", "read_episodes"),
+        "TableIO": ("graphiti_spark.io.tables", "TableIO"),
+    }
+    if name in surface:
+        import importlib
+
+        mod, attr = surface[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

@@ -120,9 +120,10 @@ def connected_components(
       O(log diameter) rounds — the north rule's 'iterative hash-join
       label propagation'.
     """
-    n_pairs = pairs.limit(driver_threshold + 1).count()
-    if n_pairs <= driver_threshold:
-        edges_local = pairs.select("id_a", "id_b").collect()
+    # one materialization decides the strategy AND feeds the fast path
+    probe = pairs.select("id_a", "id_b").limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        edges_local = probe
         parent: dict[str, str] = {}
 
         def find(x: str) -> str:
