@@ -189,7 +189,9 @@ def run_cpu_probe(cpus: int, n_rows: int) -> dict:
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = get_spark(app_name="cpu_probe", cpus=cpus, shuffle_partitions=cpus)
-    df = spark.range(n_rows).repartition(256).select(
+    # range with explicit numPartitions: no exchange anywhere in the
+    # probe — pure source → Arrow UDF → partial agg.
+    df = spark.range(0, n_rows, 1, 256).select(
         hash_embed_udf(F.concat(F.lit("text-"), F.col("id").cast("string"))).alias("v")
     )
     # warm python workers
