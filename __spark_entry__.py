@@ -107,6 +107,19 @@ def _q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.mentions.select("doc_id", "group_id", "name", "entity_uuid")
 
 
+def _q_episode_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward pointers (the reference's episode.entity_edges,
+    graphiti.py:513): episode → evidenced canonical triple. The
+    materialized index (materialize.merge_edges → episode_edges table)
+    holds (doc_id, edge_uuid); here projected onto oracle-comparable
+    triple columns."""
+    out = _graph(spark, sf_dir)
+    return out.edges.select(
+        F.explode("episodes").alias("doc_id"),
+        "group_id", "subj_name", "predicate", "obj_name", "valid_at",
+    )
+
+
 # ---------------------------------------------------------------------------
 # docops / search / maintenance queries
 # ---------------------------------------------------------------------------
@@ -359,10 +372,23 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
+    """One row per (media span, histogram bin): the codec's integer
+    pre-normalization histogram is an exact cross-engine surface (the
+    float feature vector itself is not canonicalizable / hashable)."""
     from graphiti_spark.operators.multimodal import decode_features, media_catalog
 
     eps = synthesize_episodes(spark, sf_dir)
-    return decode_features(media_catalog(eps))
+    feats = decode_features(media_catalog(eps))
+    return feats.select(
+        "media_ref",
+        "media_type",
+        F.posexplode("hist").alias("idx", "v"),
+    ).select(
+        "media_ref",
+        "media_type",
+        F.col("idx").cast("int").alias("idx"),
+        F.col("v").cast("long").alias("v"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -376,6 +402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edges_resolved": _q_edges_resolved,
         "invalidation_counts": _q_invalidation_counts,
         "mentions": _q_mentions,
+        "episode_edges": _q_episode_edges,
         # text analysis
         "token_stats": _q_token_stats,
         "quality": _q_quality,
@@ -421,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
         "edges_resolved": oracle.q_edges_resolved(),
         "invalidation_counts": oracle.q_edge_invalidation_counts(),
         "mentions": oracle.q_mentions_table(),
+        "episode_edges": oracle.q_episode_edges(),
         "token_stats": oo.q_token_stats(),
         "quality": oo.q_quality(),
         "language_id": oo.q_language_id(),
@@ -443,6 +471,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_pairs": oo.q_duplicate_pairs(),
         "as_of_join": oo.q_as_of_join(),
         "interval_join": oo.q_interval_join(),
-        # communities / ann_lsh / media_features: intentionally no oracle
+        "media_features": oo.q_media_features(),
+        # communities / ann_lsh: intentionally no oracle
         # (iterative or UDF-bound) → driver rows-only check
     }

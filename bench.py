@@ -80,8 +80,30 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     queries["mentions"] = round(time.perf_counter() - t, 3)
 
     total = round(time.perf_counter() - t_all, 3)
+
+    # Read path (NOT counted in the headline total, which stays the
+    # round-1-comparable write pipeline): persisted BM25 index build +
+    # one query against it (zero per-query driver actions; term-bucket
+    # partition pruning — see PLANS.md plan 4). Indexed sub-corpus:
+    # 1/16 of the docs, enough to measure the index shapes.
+    from graphiti_spark.io.tables import TableIO
+    from graphiti_spark.operators.search import SearchIndex
+    from graphiti_spark.search_api import episode_content
+
+    idx_dir = tempfile.mkdtemp(prefix="bench_ftidx_")
+    content = episode_content(eps).where(F.pmod(F.xxhash64("doc_id"), F.lit(16)) == 0)
+    t = time.perf_counter()
+    idx = SearchIndex(TableIO(spark, idx_dir), "ep")
+    idx.merge(content, "doc_id", "content")
+    queries["bm25_index_build"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    n_hits = idx.search("acme corp works since", limit=10).count()
+    queries["bm25_query_persisted"] = round(time.perf_counter() - t, 3)
+    assert n_hits > 0
+
     spark.stop()
     shutil.rmtree(eps_dir, ignore_errors=True)
+    shutil.rmtree(idx_dir, ignore_errors=True)
     return {
         "metric": "kg_pipeline_total_sec",
         "value": total,

@@ -41,6 +41,8 @@ def __getattr__(name):
         "synthesize_episodes": ("graphiti_spark.synth", "synthesize_episodes"),
         "read_episodes": ("graphiti_spark.sources.episodes", "read_episodes"),
         "TableIO": ("graphiti_spark.io.tables", "TableIO"),
+        "SearchIndex": ("graphiti_spark.operators.search", "SearchIndex"),
+        "RECIPES": ("graphiti_spark.search_api", "RECIPES"),
     }
     if name in surface:
         import importlib

@@ -38,9 +38,16 @@ class TableIO:
 
     def exists(self, name: str) -> bool:
         p = self.path(name)
-        return os.path.isdir(p) and any(
-            f.endswith(".parquet") for f in os.listdir(p)
-        ) or os.path.isfile(os.path.join(p, "_SUCCESS"))
+        if not os.path.isdir(p):
+            return False
+        if any(f.endswith(".parquet") for f in os.listdir(p)) or os.path.isfile(
+            os.path.join(p, "_SUCCESS")
+        ):
+            return True
+        # hive-partitioned layout: part=<v>/ dirs holding the files
+        return any(
+            "=" in d and os.path.isdir(os.path.join(p, d)) for d in os.listdir(p)
+        )
 
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(self.path(name))
@@ -64,21 +71,104 @@ class TableIO:
         if os.path.exists(old):
             shutil.rmtree(old, ignore_errors=True)
 
-    def merge_upsert(self, name: str, updates: DataFrame, key_cols: list[str]) -> None:
-        """MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT:
-        updates win on key collision; all other existing rows survive."""
+    def append(
+        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+    ) -> None:
+        """Append-only file add (Iceberg fast-append): new files land
+        inside the existing partition dirs; nothing is rewritten. The
+        caller guarantees key-disjointness (e.g. anti-join on already
+        present ids first)."""
         if not self.exists(name):
-            self.write(name, updates)
+            self.write(name, df, partition_by=partition_by)
             return
-        existing = self.read(name)
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def merge_upsert(
+        self,
+        name: str,
+        updates: DataFrame,
+        key_cols: list[str],
+        partition_col: str | None = None,
+    ) -> None:
+        """MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT:
+        updates win on key collision; all other existing rows survive.
+
+        With ``partition_col`` (a hash-bucket column present in
+        ``updates``), the merge is PARTITION-SCOPED: only the buckets
+        the batch touches are read-modified-rewritten; every other
+        bucket's files are left in place — O(batch), not O(table), work
+        and I/O per incremental batch (Iceberg MERGE INTO file-level
+        rewrite semantics)."""
+        if not self.exists(name):
+            self.write(
+                name, updates, partition_by=[partition_col] if partition_col else None
+            )
+            return
+        if partition_col is None:
+            existing = self.read(name)
+            kept = existing.join(
+                F.broadcast(updates.select(*key_cols).dropDuplicates(key_cols))
+                if len(key_cols) <= 2
+                else updates.select(*key_cols).dropDuplicates(key_cols),
+                key_cols,
+                "left_anti",
+            )
+            self.write(name, kept.unionByName(updates, allowMissingColumns=True))
+            return
+        parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        # static partition pruning: only the affected buckets are scanned
+        existing = self.read(name).where(F.col(partition_col).isin(parts))
         kept = existing.join(
-            F.broadcast(updates.select(*key_cols).dropDuplicates(key_cols))
-            if len(key_cols) <= 2
-            else updates.select(*key_cols).dropDuplicates(key_cols),
+            F.broadcast(updates.select(*key_cols).dropDuplicates(key_cols)),
             key_cols,
             "left_anti",
         )
-        self.write(name, kept.unionByName(updates, allowMissingColumns=True))
+        self.overwrite_partitions(
+            name,
+            kept.unionByName(updates, allowMissingColumns=True),
+            partition_col,
+            parts=parts,
+        )
+
+    def overwrite_partitions(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_col: str,
+        parts: list | None = None,
+    ) -> None:
+        """Dynamic partition overwrite: replace ONLY the hive partitions
+        named in ``parts`` (default: those present in ``df``) with the
+        rows of ``df``; all other partition directories are untouched on
+        disk. ``df`` must carry the FULL new content of every partition
+        it replaces; a part listed in ``parts`` with no rows in ``df``
+        becomes empty (its directory is removed).
+
+        This is the parquet stand-in for Iceberg's partition-level
+        commit; the per-partition dir swap is not atomic across
+        partitions (Iceberg's snapshot commit is), which the idempotent
+        keyed merges above tolerate."""
+        final = self.path(name)
+        if not self.exists(name):
+            self.write(name, df, partition_by=[partition_col])
+            return
+        staging = final + ".staging-" + _uuid.uuid4().hex[:8]
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(staging)
+        prefix = partition_col + "="
+        written = {d for d in os.listdir(staging) if d.startswith(prefix)}
+        expected = (
+            {f"{prefix}{p}" for p in parts} if parts is not None else set(written)
+        )
+        for d in sorted(expected | written):
+            src, dst = os.path.join(staging, d), os.path.join(final, d)
+            if os.path.exists(dst):
+                shutil.rmtree(dst, ignore_errors=True)
+            if os.path.exists(src):
+                os.rename(src, dst)
+        shutil.rmtree(staging, ignore_errors=True)
 
     def delete_where(self, name: str, condition) -> None:
         """MERGE ... WHEN MATCHED THEN DELETE equivalent (S8)."""
@@ -130,10 +220,21 @@ class TableIO:
         )
 
     def record_metric(self, stage: str, metric: str, value: float) -> None:
-        row = self.spark.createDataFrame(
-            [(stage, metric, float(value))], "stage string, metric string, value double"
-        )
+        """Append one metric row; ``seq`` is a monotone write counter so
+        readers can order rows across batches."""
         if self.exists("metrics"):
-            self.write("metrics", self.read("metrics").unionByName(row))
+            prior = self.read("metrics")
+            if "seq" not in prior.columns:
+                prior = prior.withColumn("seq", F.lit(0).cast("long"))
+            seq = prior.count()
+            row = self.spark.createDataFrame(
+                [(stage, metric, float(value), seq)],
+                "stage string, metric string, value double, seq long",
+            )
+            self.write("metrics", prior.unionByName(row))
         else:
+            row = self.spark.createDataFrame(
+                [(stage, metric, float(value), 0)],
+                "stage string, metric string, value double, seq long",
+            )
             self.write("metrics", row)

@@ -3,7 +3,7 @@
 North-rule requirements implemented here:
 - every stage output lands in a partitioned table (parquet stand-in for
   Iceberg; see io.tables.TableIO) — `episodes`, `triples_raw`, `nodes`,
-  `edges`, `mentions`, `uuid_map`;
+  `edges`, `mentions`, `uuid_map`, `node_stats`;
 - per-partition lineage rows (stage, partition, row_count,
   content_hash) written after each stage;
 - per-stage metrics (row counts — the triple-count metrics);
@@ -12,6 +12,25 @@ North-rule requirements implemented here:
   processes what is missing, then merges (keyed upserts) into the
   downstream tables. Re-running after a crash (or running twice) gives
   byte-identical tables.
+
+Incremental batches are O(batch), not O(table):
+- `episodes`/`triples_raw` merge partition-scoped on the doc-hash
+  bucket (`part`); only buckets the batch touches are rewritten.
+- `edges` is hive-partitioned by `epart` = hash of the unordered
+  endpoint pair. The bi-temporal rectify window is per
+  (group_id, pair, pred_class) — entirely inside one `epart` bucket —
+  so an incremental merge only re-groups/re-rectifies the buckets that
+  hold (a) pairs present in the incoming batch and (b) stored rows
+  whose endpoints appear in the CHANGED uuid-map entries (cluster
+  merges). Every other bucket's files stay on disk untouched, and the
+  result is byte-identical to a full-table re-merge (the window never
+  crosses a pair, and rectify is idempotent on unchanged pairs).
+- `mentions` likewise on the doc-hash bucket `mpart` (a remap never
+  moves a mention across docs).
+- `node_stats` (per-entity distinct-episode counts feeding node
+  summaries) is maintained incrementally: only entities mentioned in
+  the batch or touched by a cluster merge are re-aggregated (semi-join
+  on the merged mentions table); all other rows carry over.
 
 Partition key: `part = pmod(xxhash64(doc_id), n_buckets)` — the north
 rule's doc_id-hash partitioning. Entity/edge tables key on
@@ -28,14 +47,45 @@ from .io.tables import TableIO
 from .operators.temporal import resolve_bitemporal
 from .pipeline import run_pipeline
 
+N_BUCKETS = 32
+EDGE_PARTS = 64
+
+EDGE_COLS = [
+    "uuid", "group_id", "source_node_uuid", "predicate", "target_node_uuid",
+    "valid_at", "subj_name", "obj_name", "fact", "episodes", "created_at",
+    "invalid_at", "expired_at", "attributes",
+]
+
+
+def with_part(df: DataFrame, col: str = "doc_id", n_buckets: int = N_BUCKETS) -> DataFrame:
+    return df.withColumn(
+        "part", F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+    )
+
+
+def edge_part(
+    group_id=None, src=None, dst=None, n_parts: int = EDGE_PARTS
+):
+    """Hash bucket of the unordered endpoint pair — the edge table's
+    physical partition. All rows of one (group, pair) land in one
+    bucket, so per-pair regroup + bi-temporal rectify never cross a
+    partition boundary."""
+    group_id = F.col("group_id") if group_id is None else group_id
+    src = F.col("source_node_uuid") if src is None else src
+    dst = F.col("target_node_uuid") if dst is None else dst
+    pair = F.concat_ws("~", F.least(src, dst), F.greatest(src, dst))
+    return F.pmod(F.xxhash64(F.concat_ws("|", group_id, pair)), F.lit(n_parts)).cast(
+        "int"
+    )
+
 
 def _regroup_edges(df: DataFrame) -> DataFrame:
     """After endpoint re-canonicalization, rows can collide on the
     canonical triple: regroup, union provenance, rebuild the fact text
     from canonical names, recompute the deterministic uuid. Interval
-    fields keep their tightest (min) values; the following upsert's
-    bi-temporal rectify recomputes them over the merged table (the
-    merge lattice is monotone, so replays and partial runs converge)."""
+    fields keep their tightest (min) values; the following bi-temporal
+    rectify recomputes them over the merged rows (the merge lattice is
+    monotone, so replays and partial runs converge)."""
     from .pipeline import _phrase_col
     from .schemas import edge_uuid
 
@@ -66,46 +116,300 @@ def _regroup_edges(df: DataFrame) -> DataFrame:
     )
 
 
-def upsert_edges(io: TableIO, updates: DataFrame) -> None:
-    """Edge MERGE with provenance union + bi-temporal rectification.
+def _apply_edge_remap(edges: DataFrame, remap: DataFrame) -> DataFrame:
+    """J1 over stored rows: rewrite endpoints (and their surface names)
+    through old→canonical mappings, then drop collapsed self-loops."""
+    out = edges
+    for endpoint, name_col in (
+        ("source_node_uuid", "subj_name"),
+        ("target_node_uuid", "obj_name"),
+    ):
+        out = (
+            out.join(F.broadcast(remap), out[endpoint] == remap["_old"], "left")
+            .withColumn(endpoint, F.coalesce("_new", F.col(endpoint)))
+            .withColumn(name_col, F.coalesce("_new_name", F.col(name_col)))
+            .drop("_old", "_new", "_new_name")
+        )
+    return out.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
 
-    Unlike a plain keyed upsert, colliding edge uuids UNION their
-    episode provenance (the reference appends episodes on duplicate,
-    edge_operations.py:468-469) and keep the tightest validity interval;
-    then T1/T2/T3 re-runs over the merged table so facts arriving in a
-    later batch invalidate earlier ones. All operations are monotone
-    (min / array-union / least), so replays converge — idempotent
-    resume.
-    """
-    if not io.exists("edges"):
-        io.write("edges", updates)
-        return
-    allrows = io.read("edges").unionByName(updates)
-    merged = allrows.groupBy("uuid").agg(
-        F.first("group_id").alias("group_id"),
-        F.first("source_node_uuid").alias("source_node_uuid"),
-        F.first("predicate").alias("predicate"),
-        F.first("target_node_uuid").alias("target_node_uuid"),
-        F.first("valid_at").alias("valid_at"),
-        F.first("subj_name").alias("subj_name"),
-        F.first("obj_name").alias("obj_name"),
-        F.first("fact").alias("fact"),
-        F.sort_array(F.array_distinct(F.flatten(F.collect_list("episodes")))).alias(
-            "episodes"
-        ),
-        F.min("created_at").alias("created_at"),
-        F.min("invalid_at").alias("invalid_at"),
-        F.min("expired_at").alias("expired_at"),
-        F.first("attributes").alias("attributes"),
+
+def _rebuild_episode_edges(io: TableIO, edges: DataFrame, n_buckets: int) -> None:
+    """Full rebuild of the forward-pointer index (first write / legacy
+    full-rewrite path)."""
+    ee = with_part(
+        edges.select(F.explode("episodes").alias("doc_id"), "uuid"),
+        n_buckets=n_buckets,
     )
-    rectified = resolve_bitemporal(merged.drop("pair", "pred_class"))
-    io.write("edges", rectified.select(*allrows.columns))
-
-N_BUCKETS = 32
+    io.write("episode_edges", ee, partition_by=["part"])
 
 
-def with_part(df: DataFrame, col: str = "doc_id", n_buckets: int = N_BUCKETS) -> DataFrame:
-    return df.withColumn("part", F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)))
+def _sync_episode_edges(
+    io: TableIO, replaced: DataFrame, rect: DataFrame, n_buckets: int
+) -> None:
+    """Incrementally maintain ``episode_edges`` (doc_id, edge_uuid) —
+    the forward pointers the reference stores as
+    ``episode.entity_edges`` (graphiti.py:513). A table (doc-hash
+    partitioned) instead of an array column on episodes: episode rows
+    never need rewriting when their edges change, and the subgraph
+    lookup becomes an indexed semi-join instead of an
+    ``arrays_overlap`` scan of all edges.
+
+    ``replaced``: the stored edge rows being superseded this merge;
+    ``rect``: their replacement rows. Only the doc-hash buckets holding
+    either side's provenance are rewritten — O(affected), not O(table).
+    """
+    removed = with_part(
+        replaced.select(F.explode("episodes").alias("doc_id"), "uuid"),
+        n_buckets=n_buckets,
+    )
+    added = with_part(
+        rect.select(F.explode("episodes").alias("doc_id"), "uuid"),
+        n_buckets=n_buckets,
+    )
+    if not io.exists("episode_edges"):
+        io.write("episode_edges", added.dropDuplicates(["doc_id", "uuid"]),
+                 partition_by=["part"])
+        return
+    parts = sorted(
+        {r.part for r in removed.select("part").unionByName(
+            added.select("part")
+        ).dropDuplicates().collect()}
+    )
+    if not parts:
+        return
+    stored = io.read("episode_edges").where(F.col("part").isin(parts))
+    kept = stored.join(
+        replaced.select("uuid").dropDuplicates(), "uuid", "left_anti"
+    )
+    content = kept.unionByName(added.where(F.col("part").isin(parts))).dropDuplicates(
+        ["doc_id", "uuid"]
+    )
+    io.overwrite_partitions("episode_edges", content, "part", parts=parts)
+
+
+def merge_edges(
+    io: TableIO,
+    updates: DataFrame,
+    remap: DataFrame | None = None,
+    n_parts: int = EDGE_PARTS,
+    full_rewrite: bool = False,
+    n_doc_buckets: int = N_BUCKETS,
+) -> dict:
+    """Edge MERGE with provenance union + bi-temporal rectification,
+    scoped to the affected pair-hash partitions.
+
+    Colliding edge uuids UNION their episode provenance (the reference
+    appends episodes on duplicate, edge_operations.py:468-469) and keep
+    the tightest validity interval; T1/T2/T3 re-run ONLY over the
+    (group, pair, pred_class) groups present in the incoming batch or
+    touched by ``remap`` (changed old→canonical mappings) — the rectify
+    window is per-pair, so this is exactly equivalent to the full-table
+    pass (``full_rewrite=True`` keeps that legacy path for A/B tests).
+    All operations are monotone (min / array-union / least), so replays
+    converge — idempotent resume.
+
+    Returns {"n_rows_rewritten", "n_parts_rewritten"}.
+    """
+    updates = updates.select(*EDGE_COLS)
+    if not io.exists("edges"):
+        out = updates.withColumn("epart", edge_part(n_parts=n_parts))
+        io.write("edges", out, partition_by=["epart"])
+        _rebuild_episode_edges(io, io.read("edges"), n_doc_buckets)
+        n = io.read("edges").count()
+        return {
+            "n_rows_rewritten": n, "n_parts_rewritten": -1,
+            "replaced": None, "written": io.read("edges"),
+        }
+
+    if full_rewrite:
+        stored = io.read("edges").select(*EDGE_COLS)
+        if remap is not None:
+            stored = _apply_edge_remap(stored, remap)
+        merged = _regroup_edges(stored.unionByName(updates))
+        rect = resolve_bitemporal(merged).select(*EDGE_COLS)
+        out = rect.withColumn("epart", edge_part(n_parts=n_parts))
+        io.write("edges", out, partition_by=["epart"])
+        _rebuild_episode_edges(io, io.read("edges"), n_doc_buckets)
+        n = io.read("edges").count()
+        return {
+            "n_rows_rewritten": n, "n_parts_rewritten": -1,
+            "replaced": None, "written": io.read("edges"),
+        }
+
+    stored = io.read("edges")
+    touched = None
+    delta = updates
+    if remap is not None and not remap.isEmpty():
+        keys = remap.select("_old").dropDuplicates()
+        t_src = stored.join(
+            F.broadcast(keys.withColumnRenamed("_old", "source_node_uuid")),
+            "source_node_uuid",
+            "left_semi",
+        )
+        t_dst = stored.join(
+            F.broadcast(keys.withColumnRenamed("_old", "target_node_uuid")),
+            "target_node_uuid",
+            "left_semi",
+        )
+        touched = t_src.unionByName(t_dst).dropDuplicates(["uuid"]).localCheckpoint(
+            eager=True
+        )
+        remapped = _apply_edge_remap(touched.select(*EDGE_COLS), remap)
+        delta = remapped.unionByName(updates)
+
+    # affected buckets: where delta rows land + where touched rows leave
+    part_src = delta.select(edge_part(n_parts=n_parts).alias("epart"))
+    if touched is not None:
+        part_src = part_src.unionByName(touched.select("epart"))
+    parts = sorted({r.epart for r in part_src.dropDuplicates().collect()})
+    if not parts:
+        return {
+            "n_rows_rewritten": 0, "n_parts_rewritten": 0,
+            "replaced": None, "written": None,
+        }
+
+    replaced = stored.where(F.col("epart").isin(parts)).localCheckpoint(eager=True)
+    in_parts = replaced
+    if touched is not None:
+        in_parts = in_parts.join(
+            F.broadcast(touched.select("uuid")), "uuid", "left_anti"
+        )
+    merged = _regroup_edges(in_parts.select(*EDGE_COLS).unionByName(delta))
+    rect = (
+        resolve_bitemporal(merged)
+        .select(*EDGE_COLS)
+        .withColumn("epart", edge_part(n_parts=n_parts))
+        .localCheckpoint(eager=True)
+    )
+    io.overwrite_partitions("edges", rect, "epart", parts=parts)
+    _sync_episode_edges(io, replaced, rect, n_doc_buckets)
+    n = io.read("edges").where(F.col("epart").isin(parts)).count()
+    return {
+        "n_rows_rewritten": n, "n_parts_rewritten": len(parts),
+        "replaced": replaced, "written": rect,
+    }
+
+
+def upsert_edges(io: TableIO, updates: DataFrame) -> None:
+    """Back-compat wrapper: partition-scoped edge merge, no remap."""
+    merge_edges(io, updates)
+
+
+def merge_mentions(
+    io: TableIO,
+    updates: DataFrame,
+    remap: DataFrame | None = None,
+    n_buckets: int = N_BUCKETS,
+    full_rewrite: bool = False,
+) -> dict:
+    """MENTIONS merge scoped to the doc-hash buckets holding (a) the
+    batch's docs and (b) stored rows whose entity was re-canonicalized.
+    A remap never changes doc_id, so rows never cross buckets; the
+    per-doc dedup after remap stays inside one bucket."""
+    mcols = ["uuid", "doc_id", "group_id", "name", "entity_uuid", "created_at"]
+
+    def _remap_rows(df: DataFrame) -> DataFrame:
+        if remap is None:
+            return df
+        return (
+            df.join(F.broadcast(remap), df["entity_uuid"] == remap["_old"], "left")
+            .withColumn("entity_uuid", F.coalesce("_new", F.col("entity_uuid")))
+            .withColumn("name", F.coalesce("_new_name", F.col("name")))
+            .drop("_old", "_new", "_new_name")
+            .dropDuplicates(["doc_id", "entity_uuid"])
+            .withColumn(
+                "uuid",
+                F.sha2(
+                    F.concat_ws(
+                        "|", F.lit("mention"), F.col("doc_id"), F.col("entity_uuid")
+                    ),
+                    256,
+                ),
+            )
+        )
+
+    updates = with_part(updates, n_buckets=n_buckets).withColumnRenamed(
+        "part", "mpart"
+    )
+    if not io.exists("mentions"):
+        io.write("mentions", updates, partition_by=["mpart"])
+        return {"n_rows_rewritten": io.read("mentions").count(), "n_parts_rewritten": -1}
+
+    if full_rewrite:
+        stored = _remap_rows(io.read("mentions").select(*mcols))
+        kept = stored.join(
+            F.broadcast(updates.select("uuid").dropDuplicates()), "uuid", "left_anti"
+        )
+        out = with_part(
+            kept.unionByName(updates.select(*mcols)), n_buckets=n_buckets
+        ).withColumnRenamed("part", "mpart")
+        io.write("mentions", out, partition_by=["mpart"])
+        # count via a fresh read: `out` lazily references the files the
+        # snapshot swap just replaced
+        return {"n_rows_rewritten": io.read("mentions").count(), "n_parts_rewritten": -1}
+
+    stored = io.read("mentions")
+    batch_parts = updates.select("mpart")
+    if remap is not None and not remap.isEmpty():
+        keys = remap.select("_old").dropDuplicates()
+        touched_parts = stored.join(
+            F.broadcast(keys.withColumnRenamed("_old", "entity_uuid")),
+            "entity_uuid",
+            "left_semi",
+        ).select("mpart")
+        batch_parts = batch_parts.unionByName(touched_parts)
+    parts = sorted({r.mpart for r in batch_parts.dropDuplicates().collect()})
+    if not parts:
+        return {"n_rows_rewritten": 0, "n_parts_rewritten": 0}
+
+    in_parts = _remap_rows(
+        stored.where(F.col("mpart").isin(parts)).select(*mcols)
+    )
+    kept = in_parts.join(
+        F.broadcast(updates.select("uuid").dropDuplicates()), "uuid", "left_anti"
+    )
+    out = with_part(
+        kept.unionByName(updates.select(*mcols)), n_buckets=n_buckets
+    ).withColumnRenamed("part", "mpart")
+    io.overwrite_partitions("mentions", out, "mpart", parts=parts)
+    n = io.read("mentions").where(F.col("mpart").isin(parts)).count()
+    return {"n_rows_rewritten": n, "n_parts_rewritten": len(parts)}
+
+
+def _update_node_stats(
+    io: TableIO, batch_mentions: DataFrame, changed: DataFrame | None
+) -> DataFrame:
+    """Maintain per-entity distinct-episode counts incrementally: only
+    entities mentioned in this batch or involved in a cluster merge are
+    re-aggregated (against the already-merged mentions table); all
+    other rows carry over, and old uuids swallowed by a merge are
+    dropped. Returns the new stats table (entity_uuid, n_episodes)."""
+    merged_mentions = io.read("mentions")
+    if not io.exists("node_stats"):
+        stats = merged_mentions.groupBy("entity_uuid").agg(
+            F.countDistinct("doc_id").alias("n_episodes")
+        )
+        io.write("node_stats", stats)
+        return io.read("node_stats")
+
+    affected = batch_mentions.select("entity_uuid").dropDuplicates()
+    dead = None
+    if changed is not None and not changed.isEmpty():
+        affected = affected.unionByName(
+            changed.select(F.col("_new").alias("entity_uuid"))
+        ).dropDuplicates()
+        dead = changed.select(F.col("_old").alias("entity_uuid")).dropDuplicates()
+    fresh = (
+        merged_mentions.join(F.broadcast(affected), "entity_uuid", "left_semi")
+        .groupBy("entity_uuid")
+        .agg(F.countDistinct("doc_id").alias("n_episodes"))
+    )
+    drop_keys = affected if dead is None else affected.unionByName(dead)
+    kept = io.read("node_stats").join(
+        F.broadcast(drop_keys.dropDuplicates()), "entity_uuid", "left_anti"
+    )
+    io.write("node_stats", kept.unionByName(fresh))
+    return io.read("node_stats")
 
 
 def materialize_graph(
@@ -117,6 +421,9 @@ def materialize_graph(
     n_buckets: int = N_BUCKETS,
     incremental: bool | None = None,
     skip_completed: bool | None = None,
+    full_rewrite: bool = False,
+    edge_parts: int = EDGE_PARTS,
+    search_indexes: bool = False,
 ) -> TableIO:
     """Run the pipeline and persist all outputs with lineage/metrics.
 
@@ -124,7 +431,8 @@ def materialize_graph(
     'extract' lineage are skipped; outputs MERGE into existing tables
     keyed on their deterministic ids. Because ids and timestamps are
     content-derived (never now()/uuid4), a partial re-run converges to
-    the same table state.
+    the same table state. ``full_rewrite=True`` forces the legacy
+    O(table) re-merge path (kept for equivalence tests).
     """
     # resume = crash-recovery over the SAME logical batch: skip already
     # completed partitions AND resolve against prior state. Streaming
@@ -158,72 +466,75 @@ def materialize_graph(
     uuid_map = out.uuid_map
 
     triples = with_part(out.triples_raw, n_buckets=n_buckets)
-    io.merge_upsert("episodes", eps, key_cols=["doc_id"])
-    io.merge_upsert("triples_raw", triples, key_cols=["doc_id", "offset"])
+    io.merge_upsert("episodes", eps, key_cols=["doc_id"], partition_col="part")
+    io.merge_upsert(
+        "triples_raw", triples, key_cols=["doc_id", "offset"], partition_col="part"
+    )
 
     # A new batch can merge clusters the old graph kept separate, so
-    # STORED edges/mentions are re-canonicalized through the new global
-    # map before the merge (J1 over the stored tables — the incremental
-    # form of compress_uuid_map + resolve_edge_pointers).
-    remap = F.broadcast(
-        uuid_map.select(
-            F.col("uuid").alias("_old"),
-            F.col("canonical_uuid").alias("_new"),
-            F.col("canonical_name").alias("_new_name"),
-        )
+    # stored edges/mentions must be re-canonicalized through the new
+    # global map — but ONLY the rows whose endpoints appear in a CHANGED
+    # mapping (identity mappings are no-ops by construction: canonical
+    # names are a deterministic function of the canonical uuid). The
+    # merges below scope all re-grouping, rectification, and file
+    # rewrites to the affected hash buckets.
+    remap = uuid_map.select(
+        F.col("uuid").alias("_old"),
+        F.col("canonical_uuid").alias("_new"),
+        F.col("canonical_name").alias("_new_name"),
     )
-    if io.exists("edges"):
-        old_edges = io.read("edges")
-        for endpoint, name_col in (
-            ("source_node_uuid", "subj_name"),
-            ("target_node_uuid", "obj_name"),
-        ):
-            old_edges = (
-                old_edges.join(
-                    remap, old_edges[endpoint] == remap["_old"], "left"
-                )
-                .withColumn(endpoint, F.coalesce("_new", F.col(endpoint)))
-                .withColumn(name_col, F.coalesce("_new_name", F.col(name_col)))
-                .drop("_old", "_new", "_new_name")
-            )
-        old_edges = old_edges.where(
-            F.col("source_node_uuid") != F.col("target_node_uuid")
-        )
-        io.write("edges", _regroup_edges(old_edges))
-    if io.exists("mentions"):
-        old_m = io.read("mentions")
-        old_m = (
-            old_m.join(remap, old_m["entity_uuid"] == remap["_old"], "left")
-            .withColumn("entity_uuid", F.coalesce("_new", F.col("entity_uuid")))
-            .withColumn("name", F.coalesce("_new_name", F.col("name")))
-            .drop("_old", "_new", "_new_name")
-            .dropDuplicates(["doc_id", "entity_uuid"])
-            .withColumn(
-                "uuid",
-                F.sha2(
-                    F.concat_ws(
-                        "|", F.lit("mention"), F.col("doc_id"), F.col("entity_uuid")
-                    ),
-                    256,
-                ),
-            )
-        )
-        io.write("mentions", old_m)
+    changed = remap.where(F.col("_old") != F.col("_new")).localCheckpoint(eager=True)
+
+    edge_stats = merge_edges(
+        io, out.edges, remap=changed, n_parts=edge_parts, full_rewrite=full_rewrite
+    )
+    mention_stats = merge_mentions(
+        io, out.mentions, remap=changed, n_buckets=n_buckets,
+        full_rewrite=full_rewrite,
+    )
 
     # nodes/uuid_map are fully derivable from the global map: overwrite
     # (stale canonicals disappear, exactly as in a from-scratch run).
     io.write("uuid_map", uuid_map)
-    upsert_edges(io, out.edges)
-    io.merge_upsert("mentions", out.mentions, key_cols=["uuid"])
 
     # Node enrichment (summary = all-time mention stats) must see the
-    # MERGED mentions table, not just this batch's.
-    from .operators.ontology import enrich_nodes
+    # MERGED mention counts; node_stats maintains them incrementally.
+    from .operators.ontology import enrich_nodes_with_stats
 
+    stats = _update_node_stats(io, out.mentions, changed)
     nodes_base = out.nodes.select(
         "group_id", "uuid", "name", "name_embedding", "created_at"
     )
-    io.write("nodes", enrich_nodes(nodes_base, io.read("mentions")))
+    io.write("nodes", enrich_nodes_with_stats(nodes_base, stats))
+
+    # Opt-in persistent fulltext indexes (reference index DDL,
+    # graph_queries.py:68-86), maintained O(batch) per micro-batch:
+    # episodes are immutable → append-only merge; node/edge ids merged
+    # away by canonicalization are tombstoned (SearchIndex.delete) and
+    # new ids appended — the ledger skips everything already indexed.
+    # Node summaries churn per batch and are deliberately NOT indexed
+    # incrementally (search them via the inline fulltext path).
+    if search_indexes:
+        from .operators.search import SearchIndex
+        from .search_api import episode_content
+
+        SearchIndex(io, "ft_episodes").merge(
+            episode_content(out.episodes), "doc_id", "content"
+        )
+        nidx = SearchIndex(io, "ft_nodes")
+        if nidx.exists() and not changed.isEmpty():
+            nidx.delete(changed.select("_old"))
+        nidx.merge(out.nodes.select("uuid", "name"), "uuid", "name")
+        eidx = SearchIndex(io, "ft_edges")
+        if eidx.exists() and edge_stats["replaced"] is not None:
+            dead = edge_stats["replaced"].select("uuid").join(
+                edge_stats["written"].select("uuid"), "uuid", "left_anti"
+            )
+            eidx.delete(dead)
+        if edge_stats["written"] is not None:
+            eidx.merge(
+                edge_stats["written"].select("uuid", "fact"), "uuid", "fact"
+            )
 
     # lineage AFTER the writes (a crash before this point re-runs the
     # partitions; the keyed merges make that idempotent)
@@ -237,4 +548,16 @@ def materialize_graph(
         io.read("edges").where(F.col("invalid_at").isNotNull()).count(),
     )
     io.record_metric("mentions", "n_mentions", io.read("mentions").count())
+    # O(batch) evidence: how much the edge/mention merges actually
+    # rewrote (-1 parts = initial or full rewrite).
+    io.record_metric("edges_merge", "n_rows_rewritten", edge_stats["n_rows_rewritten"])
+    io.record_metric(
+        "edges_merge", "n_parts_rewritten", edge_stats["n_parts_rewritten"]
+    )
+    io.record_metric(
+        "mentions_merge", "n_rows_rewritten", mention_stats["n_rows_rewritten"]
+    )
+    io.record_metric(
+        "mentions_merge", "n_parts_rewritten", mention_stats["n_parts_rewritten"]
+    )
     return io

@@ -126,7 +126,13 @@ def build_communities(
 
     Community name = first member name (sorted); summary = pluggable
     reduce over member names; uuid = sha2 of group + community id.
+    Communities carry a ``name_embedding`` (the reference embeds
+    community names, nodes.py:415-417, community_operations.py:188-192)
+    so the V3 community-similarity lane (search_utils.py:561-609) runs
+    directly on this output.
     """
+    from ..functions.similarity import hash_embed_udf
+
     members = membership.join(
         nodes.select("uuid", "name"), "uuid"
     )
@@ -147,7 +153,7 @@ def build_communities(
         F.lit(batch_time).cast("timestamp").alias("created_at"),
         "community",
         "n_members",
-    )
+    ).withColumn("name_embedding", hash_embed_udf(F.col("name")))
     community_members = (
         membership.select(
             "group_id",

@@ -103,17 +103,33 @@ def episode_subgraph(
     nodes: DataFrame,
     edges: DataFrame,
     mentions: DataFrame,
+    episode_edges: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Nodes mentioned by + edges evidenced by the given episodes."""
+    """Nodes mentioned by + edges evidenced by the given episodes.
+
+    Pass the materialized ``episode_edges`` forward-pointer table (the
+    reference's ``episode.entity_edges``, graphiti.py:513 — maintained
+    by materialize.merge_edges) to resolve edges via an indexed
+    semi-join (a two-column scan with the doc filter pushed to
+    parquet); without it the lookup falls back to an ``arrays_overlap``
+    scan of the whole edge table."""
     m = mentions.where(F.col("doc_id").isin(doc_ids))
     sub_nodes = nodes.join(
         m.select(F.col("entity_uuid").alias("uuid")).dropDuplicates(), "uuid"
     )
-    sub_edges = edges.where(
-        F.arrays_overlap(
-            F.col("episodes"), F.array(*[F.lit(d) for d in doc_ids])
+    if episode_edges is not None:
+        keys = (
+            episode_edges.where(F.col("doc_id").isin(doc_ids))
+            .select("uuid")
+            .dropDuplicates()
         )
-    )
+        sub_edges = edges.join(F.broadcast(keys), "uuid", "left_semi")
+    else:
+        sub_edges = edges.where(
+            F.arrays_overlap(
+                F.col("episodes"), F.array(*[F.lit(d) for d in doc_ids])
+            )
+        )
     return sub_nodes, sub_edges
 
 
@@ -131,26 +147,39 @@ def update_community(
     entity_name: str,
 ) -> DataFrame:
     """C6 incremental: fold one entity's name into its community's
-    summary (deterministic merge; the reference re-summarizes with an
-    LLM and re-embeds). Returns updated communities DF."""
+    summary and re-embed the touched community's name (the reference
+    re-summarizes with an LLM, regenerates the name and re-embeds it,
+    community_operations.py:292-312 — here name/embedding derivation is
+    deterministic, so re-embedding is a recompute of the hash vector
+    for the affected row only). Returns updated communities DF."""
+    from ..functions.similarity import hash_embed_udf
+
     target = membership.where(F.col("uuid") == entity_uuid_value).select(
         "group_id", "community"
     )
-    return (
+    out = (
         communities.join(
             F.broadcast(target.withColumnRenamed("community", "c")),
             ["group_id"],
             "left",
         )
+        .withColumn("_touched", F.col("community") == F.col("c"))
         .withColumn(
             "summary",
             F.when(
-                F.col("community") == F.col("c"),
+                F.col("_touched"),
                 F.concat(F.col("summary"), F.lit(" +"), F.lit(entity_name)),
             ).otherwise(F.col("summary")),
         )
-        .drop("c")
     )
+    if "name_embedding" in communities.columns:
+        out = out.withColumn(
+            "name_embedding",
+            F.when(
+                F.col("_touched"), hash_embed_udf(F.col("name"))
+            ).otherwise(F.col("name_embedding")),
+        )
+    return out.drop("c", "_touched")
 
 
 def pairwise_summary_reduce(

@@ -51,6 +51,10 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("media_ref", T.StringType(), False),
         T.StructField("media_type", T.StringType(), False),
         T.StructField("features", T.ArrayType(T.FloatType()), False),
+        # integer pre-normalization histogram: an exact (drift-free)
+        # integrity channel for oracle checks; null for codecs that
+        # don't expose one (RealCodec integrations).
+        T.StructField("hist", T.ArrayType(T.LongType()), True),
     ]
 )
 
@@ -89,8 +93,8 @@ class FakeCodec:
 
     dim: int = MEDIA_FEATURE_DIM
 
-    def decode_batch(self, refs: pd.Series, payloads: pd.Series) -> pd.Series:
-        out = []
+    def decode_batch(self, refs: pd.Series, payloads: pd.Series) -> pd.DataFrame:
+        feats, hists = [], []
         for ref, b in zip(refs, payloads):
             data = bytes(b) if b is not None else hashlib.sha256(ref.encode()).digest()
             arr = np.frombuffer(data, dtype=np.uint8).astype(np.float64)
@@ -98,15 +102,18 @@ class FakeCodec:
             for i, v in enumerate(arr):
                 folded[i % self.dim] += v
             n = np.linalg.norm(folded)
-            out.append((folded / n if n else folded).astype(np.float32))
-        return pd.Series(out)
+            feats.append((folded / n if n else folded).astype(np.float32))
+            hists.append(folded.astype(np.int64))
+        return pd.DataFrame({"features": feats, "hist": hists})
 
 
 class RealCodec:
     """Integration point for actual decoders (PIL/ffmpeg/torchaudio).
 
-    Contract: ``decode_batch(refs, payloads) -> pd.Series[np.ndarray]``
-    of fixed-width float32 vectors, one per input row, no exceptions
+    Contract: ``decode_batch(refs, payloads)`` returns either a
+    ``pd.Series`` of fixed-width float32 vectors or a ``pd.DataFrame``
+    with columns ``features`` (float32 vectors) and optional ``hist``
+    (int64 integrity vectors) — one row per input, no exceptions
     per-row (emit zeros + log to the metrics table on decode failure).
     """
 
@@ -123,12 +130,21 @@ def decode_features(catalog: DataFrame, codec=None) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = codec.decode_batch(pdf["media_ref"], pdf["content"])
+            out = codec.decode_batch(pdf["media_ref"], pdf["content"])
+            if isinstance(out, pd.DataFrame):
+                feats, hist = out["features"], out.get("hist")
+            else:  # bare Series of feature vectors (RealCodec contract)
+                feats, hist = out, None
             yield pd.DataFrame(
                 {
-                    "media_ref": pdf["media_ref"],
-                    "media_type": pdf["media_type"],
-                    "features": feats.map(lambda a: [float(x) for x in a]),
+                    "media_ref": pdf["media_ref"].values,
+                    "media_type": pdf["media_type"].values,
+                    "features": feats.map(lambda a: [float(x) for x in a]).values,
+                    "hist": (
+                        hist.map(lambda a: [int(x) for x in a]).values
+                        if hist is not None
+                        else [None] * len(pdf)
+                    ),
                 }
             )
 

@@ -107,10 +107,21 @@ def enrich_nodes(
     """X4 stand-in: type labels, typed attributes, deterministic
     summary from mention statistics (the reference's ≤250-word LLM
     summary, node_operations.py:341-425, replaced by a pure reduce)."""
-    types = DEFAULT_ENTITY_TYPES if entity_types is None else entity_types
     stats = mentions.groupBy("entity_uuid").agg(
         F.countDistinct("doc_id").alias("n_episodes")
     )
+    return enrich_nodes_with_stats(nodes, stats, entity_types)
+
+
+def enrich_nodes_with_stats(
+    nodes: DataFrame,
+    stats: DataFrame,
+    entity_types: list[EntityType] | None = None,
+) -> DataFrame:
+    """Same enrichment from a pre-aggregated (entity_uuid, n_episodes)
+    stats table — the incremental write path maintains that table with
+    O(batch) work instead of re-aggregating all mentions per batch."""
+    types = DEFAULT_ENTITY_TYPES if entity_types is None else entity_types
     typed = nodes.join(
         stats.withColumnRenamed("entity_uuid", "uuid"), "uuid", "left"
     ).withColumn("entity_type", classify(F.col("name"), types))

@@ -43,26 +43,52 @@ COS_THRESHOLD = 0.50
 
 
 def distinct_entities(mentions: DataFrame) -> DataFrame:
-    """J6: (group_id, name) → one row, deterministic uuid. First-wins
-    ordering is irrelevant because ids are content-derived."""
+    """J6: one vertex per distinct (group_id, lower(name)) — the SAME
+    key ``schemas.entity_uuid`` hashes, so case-variant surface forms
+    ('Acme Corp' / 'ACME CorP') share one vertex row instead of
+    emitting duplicate uuids. The representative surface form is the
+    deterministic min by (length, name); ``resolve_pointers`` joins on
+    the lowercase key, so every variant still resolves."""
     return (
         mentions.select("group_id", "name")
-        .dropDuplicates(["group_id", "name"])
+        .groupBy("group_id", F.lower(F.col("name")).alias("_k"))
+        .agg(
+            F.min_by(
+                F.col("name"), F.struct(F.length("name"), F.col("name"))
+            ).alias("name")
+        )
+        .drop("_k")
         .withColumn("uuid", entity_uuid(F.col("group_id"), F.col("name")))
     )
 
 
 # The resolution path operates on the distinct-name space — orders of
-# magnitude smaller than the corpus. Its stage sizing must follow DATA
+# magnitude smaller than the corpus. Its stage sizing follows DATA
 # size, not cluster size: with the session's shuffle.partitions (sized
-# for the big tables) every tiny resolution stage pays one task per
-# partition of pure scheduling overhead, and that overhead GROWS with
-# the cluster. At true scale, size this as |distinct names| / rows-per-
-# partition instead of a constant.
-SMALL_STAGE_PARTITIONS = 8
+# for the big tables) every tiny resolution stage would pay one task
+# per partition of pure scheduling overhead, and that overhead GROWS
+# with the cluster.
+ROWS_PER_RESOLUTION_PARTITION = 50_000
 
 
-def duplicate_pairs(entities: DataFrame, embedded: DataFrame | None = None) -> DataFrame:
+def resolution_partitions(
+    entities: DataFrame, rows_per_partition: int = ROWS_PER_RESOLUTION_PARTITION
+) -> int:
+    """|entities|-derived stage sizing for the resolution path: one
+    partition per ~rows_per_partition distinct names, capped at the
+    session's shuffle parallelism (never sized by cluster alone)."""
+    import math
+
+    n = entities.count()
+    cap = int(entities.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return max(1, min(cap, math.ceil(n / rows_per_partition)))
+
+
+def duplicate_pairs(
+    entities: DataFrame,
+    embedded: DataFrame | None = None,
+    n_partitions: int | None = None,
+) -> DataFrame:
     """D4 blocking + deterministic dedup decision.
 
     ``embedded``: optional (uuid, name_embedding) — defaults to hashing
@@ -71,7 +97,9 @@ def duplicate_pairs(entities: DataFrame, embedded: DataFrame | None = None) -> D
     """
     from ..functions.similarity import hash_embed_udf
 
-    entities = entities.repartition(SMALL_STAGE_PARTITIONS)
+    if n_partitions is None:
+        n_partitions = resolution_partitions(entities)
+    entities = entities.repartition(n_partitions)
     pairs = lsh_candidate_pairs(
         entities, id_col="uuid", text_col="name", partition_cols=["group_id"]
     )
@@ -217,7 +245,9 @@ def resolve_pointers(
 ) -> DataFrame:
     """J1: rewrite one endpoint column through the uuid_map via broadcast
     left join + coalesce (identity when unmapped). Joins on the NAME key
-    (group_id, name) because raw triples carry surface names."""
+    (group_id, lower(name)) because raw triples carry surface names and
+    the vertex set keeps one representative per lowercase name — the
+    same normalization ``entity_uuid`` hashes."""
     m = F.broadcast(
         uuid_map.select(
             F.col("group_id").alias(f"__g_{col_name}"),
@@ -229,7 +259,7 @@ def resolve_pointers(
     joined = triples.join(
         m,
         (triples["group_id"] == m[f"__g_{col_name}"])
-        & (triples[name_col] == m[f"__k_{col_name}"]),
+        & (F.lower(triples[name_col]) == F.lower(m[f"__k_{col_name}"])),
         "left",
     ).drop(f"__g_{col_name}")
     return (
@@ -243,3 +273,102 @@ def resolve_pointers(
         .withColumn(name_col, F.coalesce(F.col(f"__cn_{col_name}"), F.col(name_col)))
         .drop(f"__k_{col_name}", f"__cu_{col_name}", f"__cn_{col_name}")
     )
+
+
+def merge_near_duplicate_facts(
+    edges: DataFrame, threshold: float = 0.6
+) -> DataFrame:
+    """Fact-level near-duplicate edge merge within an endpoint-pair
+    group.
+
+    Reference semantics: ``get_relevant_edges`` gathers same-pair
+    candidates above DEFAULT_MIN_SCORE=0.6 fact-embedding cosine
+    (search_utils.py:781-848); ``resolve_extracted_edge`` then lets the
+    LLM pick a ``duplicate_fact_id`` — the duplicate keeps the existing
+    edge's uuid/dates and appends the new episode provenance
+    (edge_operations.py:460-469).
+
+    Deterministic stand-in for the LLM judgment: two same-pair edges
+    are duplicates iff their fact-embedding cosine ≥ ``threshold`` AND
+    their valid_at timestamps agree (null-safe) — paraphrases of one
+    dated fact merge; differently-dated facts stay separate so the
+    bi-temporal chain is untouched. The canonical survivor is the
+    earliest edge by (created_at, uuid) (the reference's 'existing edge
+    wins'); its predicate/fact/uuid are kept and provenance is unioned.
+
+    Not wired into the default pipeline: the deterministic extractor
+    regenerates fact text from canonical names, so exact triple dedup
+    already collapses surface variants there. Enable (run_pipeline
+    ``near_dup_fact_threshold``) when a pluggable extractor emits
+    varied predicate/fact surface forms for one semantic fact.
+
+    Scale shape: the pairwise comparison runs per (group, pair) Arrow
+    batch; pair groups are small by construction (facts per entity
+    pair), so the O(k²) inner loop is bounded — the same shape as the
+    reference's per-pair candidate sets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .temporal import pair_key
+
+    has_emb = "fact_embedding" in edges.columns
+    if not has_emb:
+        from ..functions.similarity import hash_embed_udf
+
+        e = edges.withColumn("fact_embedding", hash_embed_udf(F.col("fact")))
+    else:
+        e = edges
+    out_schema = edges.schema if not has_emb else e.schema
+    base_cols = [f.name for f in out_schema.fields]
+    e = e.withColumn(
+        "__pair", pair_key(F.col("source_node_uuid"), F.col("target_node_uuid"))
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) <= 1:
+            return pdf[base_cols]
+        n = len(pdf)
+        vecs = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in pdf["fact_embedding"]]
+        )
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0] = 1.0
+        vn = vecs / norms[:, None]
+        sim = vn @ vn.T
+        va = pdf["valid_at"].tolist()
+        parent = list(range(n))
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        for i in range(n):
+            for j in range(i + 1, n):
+                same_date = (pd.isna(va[i]) and pd.isna(va[j])) or (
+                    not pd.isna(va[i]) and not pd.isna(va[j]) and va[i] == va[j]
+                )
+                if same_date and sim[i][j] >= threshold:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+
+        clusters: dict[int, list[int]] = {}
+        for i in range(n):
+            clusters.setdefault(find(i), []).append(i)
+        rows = []
+        for idxs in clusters.values():
+            canon = min(
+                idxs,
+                key=lambda i: (str(pdf["created_at"].iloc[i]), pdf["uuid"].iloc[i]),
+            )
+            row = pdf.iloc[canon].copy()
+            row["episodes"] = sorted(
+                {d for i in idxs for d in pdf["episodes"].iloc[i]}
+            )
+            rows.append(row[base_cols])
+        return pd.DataFrame(rows)
+
+    return e.groupBy("group_id", "__pair").applyInPandas(fn, schema=out_schema)

@@ -67,16 +67,52 @@ def tokenize_py(text: str) -> list[str]:
 # F2-F5: BM25 as DataFrame algebra over a derived posting table
 # ---------------------------------------------------------------------------
 
+TERM_BUCKETS = 16
+
+
+def term_bucket_py(term: str, n_buckets: int = TERM_BUCKETS) -> int:
+    """crc32-based term bucket, computable both driver-side (to prune
+    partitions for a query's literal terms) and JVM-side (F.crc32 at
+    index-build time). xxhash64 would need a Spark job to evaluate on
+    the driver; crc32 doesn't."""
+    import zlib
+
+    return zlib.crc32(term.encode("utf-8")) % n_buckets
+
+
+def term_bucket_col(term: Column, n_buckets: int = TERM_BUCKETS) -> Column:
+    return F.pmod(F.crc32(term.cast("binary")), F.lit(n_buckets)).cast("int")
+
+
 def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, term, tf, dl) posting rows + per-doc length. Maintained as a
-    derived table per snapshot (incremental MERGE on ingest at scale;
-    partition by term for query pruning)."""
+    """(id, term, tf, dl, tpart) posting rows + per-doc length. tpart is
+    the term's hash bucket — the persisted index's partition key, so a
+    query's term filter becomes static partition pruning."""
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("term")
     )
     dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
     tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    return tf.join(dl, "id")
+    return tf.join(dl, "id").withColumn("tpart", term_bucket_col(F.col("term")))
+
+
+def build_corpus_stats(postings: DataFrame) -> DataFrame:
+    """1-row (n_docs, total_dl, avgdl) — persisted next to the postings
+    so scoring needs zero per-query driver actions."""
+    return (
+        postings.groupBy("id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_dl"),
+        )
+        .withColumn(
+            "avgdl",
+            F.when(F.col("n_docs") > 0, F.col("total_dl") / F.col("n_docs")).otherwise(
+                F.lit(1.0)
+            ),
+        )
+    )
 
 
 def bm25_score(
@@ -84,59 +120,226 @@ def bm25_score(
     query: str,
     k1: float = BM25_K1,
     b: float = BM25_B,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Score all docs matching any query term: (id, score).
 
     idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Robertson-Sparck Jones,
     the Lucene variant the reference's Neo4j index uses).
+
+    Fully lazy — no driver actions: corpus stats ride along as a
+    broadcast 1-row cross join (pass the persisted ``stats`` table;
+    when absent they are derived in-plan from the postings).
     """
     terms = list(dict.fromkeys(tokenize_py(query)))[:MAX_QUERY_LENGTH]
     if not terms:
         return postings.sparkSession.createDataFrame([], "id string, score double")
-    n_docs = postings.select("id").distinct().count()
-    avgdl_row = postings.groupBy("id").agg(F.first("dl").alias("dl")).agg(
-        F.avg("dl").alias("avgdl")
-    ).collect()[0]
-    avgdl = float(avgdl_row["avgdl"] or 1.0)
+    if stats is None:
+        stats = build_corpus_stats(postings)
 
     matched = postings.where(F.col("term").isin(terms))
+    if "tpart" in postings.columns:
+        # static partition pruning on the persisted, term-bucketed index
+        buckets = sorted({term_bucket_py(t) for t in terms})
+        matched = matched.where(F.col("tpart").isin(buckets))
     df_counts = matched.groupBy("term").agg(F.countDistinct("id").alias("df"))
     scored = (
         matched.join(F.broadcast(df_counts), "term")
+        .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
         .withColumn(
             "idf",
             F.log1p(
-                (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5)
+                (F.col("n_docs").cast("double") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5)
             ),
         )
         .withColumn(
             "w",
             F.col("idf")
             * (F.col("tf") * (k1 + 1))
-            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / avgdl)),
+            / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
     )
     return scored.groupBy("id").agg(F.sum("w").alias("score"))
 
 
 def fulltext_search(
-    df: DataFrame,
+    df: DataFrame | None,
     id_col: str,
     text_col: str,
     query: str,
     limit: int = 2 * DEFAULT_SEARCH_LIMIT,
     group_ids: list[str] | None = None,
+    postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-`limit` over df[text_col] (the 2×limit overscan is the
-    caller's reranker headroom, search.py:179-193)."""
-    if group_ids:
-        df = df.where(F.col("group_id").isin(group_ids))
-    postings = build_postings(df, id_col, text_col)
+    caller's reranker headroom, search.py:179-193).
+
+    Pass a persisted ``postings`` (+ ``stats``) index to skip the
+    corpus re-tokenization entirely — the read path then touches only
+    the query terms' partitions of the index (see SearchIndex)."""
+    if postings is None:
+        if group_ids:
+            df = df.where(F.col("group_id").isin(group_ids))
+        postings = build_postings(df, id_col, text_col)
+    elif group_ids:
+        if "group_id" in postings.columns:
+            postings = postings.where(F.col("group_id").isin(group_ids))
+        elif df is not None:
+            ids = df.where(F.col("group_id").isin(group_ids)).select(
+                F.col(id_col).alias("id")
+            )
+            postings = postings.join(F.broadcast(ids), "id", "left_semi")
     return (
-        bm25_score(postings, query)
+        bm25_score(postings, query, stats=stats)
         .orderBy(F.desc("score"), "id")
         .limit(limit)
     )
+
+
+class SearchIndex:
+    """Persisted BM25 index: term-bucketed postings + 1-row corpus
+    stats + a doc-bucketed (id, dl) ledger, maintained incrementally at
+    ingest — the Spark analogue of the reference's persistent Lucene
+    indexes (graph_queries.py:68-86). The read path touches only the
+    query terms' partitions and performs ZERO per-query driver actions;
+    the write path appends O(batch) posting files and never re-tokenizes
+    the corpus."""
+
+    def __init__(self, io, prefix: str = "ft", n_doc_buckets: int = 32):
+        self.io = io
+        self.prefix = prefix
+        self.n_doc_buckets = n_doc_buckets
+
+    def _t(self, suffix: str) -> str:
+        return f"{self.prefix}_{suffix}"
+
+    def exists(self) -> bool:
+        return self.io.exists(self._t("postings"))
+
+    def merge(self, df: DataFrame, id_col: str, text_col: str) -> None:
+        """Index the batch: drop already-indexed ids (bucket-scoped
+        anti-join on the doc ledger), append their postings, fold the
+        (n_docs, total_dl) delta into the stats row."""
+        docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+        docs = docs.withColumn(
+            "part",
+            F.pmod(F.xxhash64(F.col("id")), F.lit(self.n_doc_buckets)).cast("int"),
+        )
+        if self.io.exists(self._t("docs")):
+            parts = [r[0] for r in docs.select("part").distinct().collect()]
+            already = (
+                self.io.read(self._t("docs"))
+                .where(F.col("part").isin(parts))
+                .select("id")
+            )
+            docs = docs.join(already, "id", "left_anti")
+        docs = docs.localCheckpoint(eager=True)
+
+        postings = build_postings(docs, "id", "text")
+        self.io.append(self._t("postings"), postings, partition_by=["tpart"])
+        # docs with zero tokens still enter the ledger (dl=0) so a
+        # re-ingest of them stays a no-op — but they don't count toward
+        # corpus stats (matching build_corpus_stats on inline postings)
+        dls = postings.groupBy("id").agg(F.first("dl").alias("dl"))
+        ledger = (
+            docs.select("id", "part")
+            .join(dls, "id", "left")
+            .withColumn("dl", F.coalesce("dl", F.lit(0).cast("long")))
+        )
+        self.io.merge_upsert(
+            self._t("docs"), ledger, key_cols=["id"], partition_col="part"
+        )
+        delta = ledger.where(F.col("dl") > 0).agg(
+            F.count(F.lit(1)).cast("long").alias("d_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("d_dl"),
+        )
+        if self.io.exists(self._t("stats")):
+            merged = (
+                self.io.read(self._t("stats"))
+                .crossJoin(delta)
+                .select(
+                    (F.col("n_docs") + F.col("d_docs")).alias("n_docs"),
+                    (F.col("total_dl") + F.col("d_dl")).alias("total_dl"),
+                )
+            )
+        else:
+            merged = delta.select(
+                F.col("d_docs").alias("n_docs"), F.col("d_dl").alias("total_dl")
+            )
+        merged = merged.withColumn(
+            "avgdl",
+            F.when(F.col("n_docs") > 0, F.col("total_dl") / F.col("n_docs")).otherwise(
+                F.lit(1.0)
+            ),
+        )
+        self.io.write(self._t("stats"), merged)
+
+    def delete(self, ids: DataFrame) -> None:
+        """Tombstone already-indexed ids (Lucene-style): postings stay
+        on disk, the read path anti-joins the (small, broadcast)
+        tombstone set, and corpus stats subtract the dead docs' lengths
+        from the ledger. Needed when canonicalization merges away node/
+        edge uuids; compaction = rebuild the index from the live table.
+        O(batch): nothing is rewritten except the 1-row stats and the
+        tombstone append."""
+        ids = ids.toDF("id").dropDuplicates()
+        dead = self.io.read(self._t("docs")).join(ids, "id", "left_semi")
+        if self.io.exists(self._t("tombstones")):
+            dead = dead.join(
+                self.io.read(self._t("tombstones")).select("id"), "id", "left_anti"
+            )
+        dead = dead.localCheckpoint(eager=True)
+        self.io.append(self._t("tombstones"), dead.select("id", "dl"))
+        delta = dead.where(F.col("dl") > 0).agg(
+            F.count(F.lit(1)).cast("long").alias("d_docs"),
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("d_dl"),
+        )
+        merged = (
+            self.io.read(self._t("stats"))
+            .crossJoin(delta)
+            .select(
+                (F.col("n_docs") - F.col("d_docs")).alias("n_docs"),
+                (F.col("total_dl") - F.col("d_dl")).alias("total_dl"),
+            )
+            .withColumn(
+                "avgdl",
+                F.when(
+                    F.col("n_docs") > 0, F.col("total_dl") / F.col("n_docs")
+                ).otherwise(F.lit(1.0)),
+            )
+        )
+        self.io.write(self._t("stats"), merged)
+
+    def postings(self) -> DataFrame:
+        p = self.io.read(self._t("postings"))
+        if self.io.exists(self._t("tombstones")):
+            t = self.io.read(self._t("tombstones")).select("id")
+            p = p.join(F.broadcast(t), "id", "left_anti")
+        return p
+
+    def stats(self) -> DataFrame:
+        return self.io.read(self._t("stats"))
+
+    def search(
+        self,
+        query: str,
+        limit: int = 2 * DEFAULT_SEARCH_LIMIT,
+        group_ids: list[str] | None = None,
+        df: DataFrame | None = None,
+        id_col: str = "id",
+    ) -> DataFrame:
+        return fulltext_search(
+            df,
+            id_col,
+            "",
+            query,
+            limit=limit,
+            group_ids=group_ids,
+            postings=self.postings(),
+            stats=self.stats(),
+        )
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +417,12 @@ def bfs_neighborhood(
 def rrf(ranked: list[DataFrame], min_score: float = 0.0) -> DataFrame:
     """Each input: (id, score)-ordered DataFrame. Fused score(id) =
     Σ 1/(rank+1) over the lists (search_utils.py:922-933; rank is
-    0-based there)."""
+    0-based there).
+
+    The unpartitioned rank window is fine here because every input is
+    already top-k-bounded by the lane overscan (≤ 2×limit rows); the
+    batched multi-query path uses ``rrf_many`` with a per-query
+    window instead."""
     parts = []
     for df in ranked:
         w = Window.orderBy(F.desc("score"), "id")
@@ -232,6 +440,41 @@ def rrf(ranked: list[DataFrame], min_score: float = 0.0) -> DataFrame:
         .where(F.col("score") >= min_score)
         .orderBy(F.desc("score"), "id")
     )
+
+
+def rrf_many(
+    ranked: list[DataFrame],
+    query_col: str = "query_id",
+    min_score: float = 0.0,
+    limit: int | None = None,
+) -> DataFrame:
+    """Batched RRF: each input holds MANY queries' candidate lists as
+    (query_id, id, score). Ranks and fusion are computed inside a
+    ``Window.partitionBy(query_id)`` — one shuffle keyed by query for
+    the whole batch, no single-partition sort (the scale shape for a
+    multi-query read path)."""
+    parts = []
+    for df in ranked:
+        w = Window.partitionBy(query_col).orderBy(F.desc("score"), "id")
+        parts.append(
+            df.withColumn("rank", F.row_number().over(w) - 1).select(
+                query_col, "id", (1.0 / (F.col("rank") + 1)).alias("contrib")
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    fused = (
+        u.groupBy(query_col, "id")
+        .agg(F.sum("contrib").alias("score"))
+        .where(F.col("score") >= min_score)
+    )
+    if limit is not None:
+        wq = Window.partitionBy(query_col).orderBy(F.desc("score"), "id")
+        fused = fused.withColumn("rank", F.row_number().over(wq)).where(
+            F.col("rank") <= limit
+        ).drop("rank")
+    return fused
 
 
 # ---------------------------------------------------------------------------
@@ -309,6 +552,22 @@ def node_distance_rerank(
             .otherwise(F.lit(0.0)),
         )
         .select("id", "score")
+        .orderBy(F.desc("score"), "id")
+    )
+
+
+def provenance_size_rerank(candidates: DataFrame, edges: DataFrame) -> DataFrame:
+    """A3: edge-lane episode-mentions rerank — order edges by the SIZE
+    of their episode provenance array (reference search/search.py:255-256
+    sorts edge results by ``len(edge.episodes)`` desc). candidates:
+    (id, ...); edges must carry (uuid, episodes)."""
+    sizes = edges.select(
+        F.col("uuid").alias("id"), F.size("episodes").cast("double").alias("score")
+    )
+    return (
+        candidates.select("id")
+        .join(sizes, "id", "left")
+        .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
         .orderBy(F.desc("score"), "id")
     )
 

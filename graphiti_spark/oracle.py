@@ -283,3 +283,15 @@ SELECT doc_id, group_id, name,
   sha256('entity|' || group_id || '|' || lower(name)) AS entity_uuid
 FROM m
 """
+
+
+def q_episode_edges() -> str:
+    """Forward pointers (episode → evidenced edge): one row per
+    (doc, canonical triple) — the content of the materialized
+    episode_edges index, projected onto oracle-comparable columns."""
+    return f"""
+WITH {EDGES_CTE}
+SELECT DISTINCT c.doc_id, c.group_id, c.subj_name, c.predicate,
+  c.obj_name, c.valid_at
+FROM canon c
+"""

@@ -492,3 +492,29 @@ SELECT doc_id, media_ref, 'img' AS media_type, CAST(32 AS INT) AS content_len,
   CAST("offset" AS INT) AS "offset"
 FROM spans_q WHERE kind = 'media'
 """
+
+
+def q_media_features() -> str:
+    """Integer byte-histogram per media span: the exact surface of the
+    decode stage (payload = sha256(media_ref) bytes; bin i = byte[i] +
+    byte[i+16]) — float-drift-free across DuckDB/Spark."""
+    from .oracle import q_spans
+
+    spans_sql = q_spans().strip()
+    return f"""
+WITH spans_q AS ({spans_sql}),
+media AS (
+  SELECT media_ref, sha256(media_ref) AS h
+  FROM spans_q WHERE kind = 'media'
+),
+hexmap AS (
+  SELECT CAST(i AS BIGINT) AS v, printf('%02x', CAST(i AS INT)) AS p
+  FROM generate_series(0, 255) t(i)
+),
+idxs AS (SELECT CAST(i AS INT) AS idx FROM generate_series(0, 15) t(i))
+SELECT m.media_ref, 'img' AS media_type, idx,
+  h1.v + h2.v AS v
+FROM media m CROSS JOIN idxs
+JOIN hexmap h1 ON h1.p = substr(m.h, 2 * idx + 1, 2)
+JOIN hexmap h2 ON h2.p = substr(m.h, 2 * idx + 33, 2)
+"""

@@ -151,6 +151,7 @@ def run_pipeline(
     extra_entity_names: DataFrame | None = None,
     entity_types=None,
     excluded_entity_types: list[str] | None = None,
+    near_dup_fact_threshold: float | None = None,
 ) -> GraphOutput:
     """``extra_entity_names`` (group_id, name): the EXISTING graph's
     entity surface forms. Incremental batches resolve new mentions
@@ -160,7 +161,14 @@ def run_pipeline(
 
     ``entity_types`` / ``excluded_entity_types``: custom ontology
     (operators/ontology.py) — excluded types are dropped post-
-    classification, before resolution (P6)."""
+    classification, before resolution (P6).
+
+    ``near_dup_fact_threshold``: enable fact-embedding near-duplicate
+    edge merging within endpoint-pair groups (D6/D8 LLM judgment,
+    reference search_utils.py:781-848 / edge_operations.py:460-469 —
+    see operators/resolve.merge_near_duplicate_facts). Off by default:
+    the deterministic extractor regenerates fact text, so exact triple
+    dedup already collapses surface variants."""
     from .operators.ontology import classify, exclude_entity_types
 
     # triples_raw feeds four downstream branches (mentions, entities,
@@ -238,6 +246,19 @@ def run_pipeline(
     resolved = resolved.where(F.col("source_node_uuid") != F.col("target_node_uuid"))
 
     deduped = dedupe_edges(resolved)
+    if near_dup_fact_threshold is not None:
+        from .operators.resolve import merge_near_duplicate_facts
+
+        deduped = deduped.withColumn(
+            "uuid",
+            edge_uuid(
+                F.col("group_id"), F.col("source_node_uuid"), F.col("predicate"),
+                F.col("target_node_uuid"), F.col("valid_at"),
+            ),
+        )
+        deduped = merge_near_duplicate_facts(
+            deduped, threshold=near_dup_fact_threshold
+        ).drop("uuid")
     edges = resolve_bitemporal(deduped, batch_time=batch_time)
     edges = edges.withColumn(
         "uuid",

@@ -34,6 +34,7 @@ from .operators.search import (
     fulltext_search,
     mmr,
     node_distance_rerank,
+    provenance_size_rerank,
     rrf,
     similarity_search,
     tokenize_py,
@@ -56,12 +57,36 @@ class SearchConfig:
     communities: LaneConfig | None = None
 
 
+# --- the reference's canned recipe set (search_config_recipes.py:34-223),
+# one constructor per name so callers can port configs 1:1 ---
+
 def EDGE_HYBRID_SEARCH_RRF() -> SearchConfig:
     return SearchConfig(edges=LaneConfig())
 
 
+def EDGE_HYBRID_SEARCH_MMR() -> SearchConfig:
+    return SearchConfig(edges=LaneConfig(reranker="mmr"))
+
+
+def EDGE_HYBRID_SEARCH_NODE_DISTANCE() -> SearchConfig:
+    return SearchConfig(edges=LaneConfig(reranker="node_distance"))
+
+
+def EDGE_HYBRID_SEARCH_EPISODE_MENTIONS() -> SearchConfig:
+    # edge lane: provenance-size ordering (A3, search.py:255-256)
+    return SearchConfig(edges=LaneConfig(reranker="episode_mentions"))
+
+
+def EDGE_HYBRID_SEARCH_CROSS_ENCODER() -> SearchConfig:
+    return SearchConfig(edges=LaneConfig(reranker="cross_encoder"))
+
+
 def NODE_HYBRID_SEARCH_RRF() -> SearchConfig:
     return SearchConfig(nodes=LaneConfig())
+
+
+def NODE_HYBRID_SEARCH_MMR() -> SearchConfig:
+    return SearchConfig(nodes=LaneConfig(reranker="mmr"))
 
 
 def NODE_HYBRID_SEARCH_NODE_DISTANCE() -> SearchConfig:
@@ -72,8 +97,24 @@ def NODE_HYBRID_SEARCH_EPISODE_MENTIONS() -> SearchConfig:
     return SearchConfig(nodes=LaneConfig(reranker="episode_mentions"))
 
 
-def EDGE_HYBRID_SEARCH_MMR() -> SearchConfig:
-    return SearchConfig(edges=LaneConfig(reranker="mmr"))
+def NODE_HYBRID_SEARCH_CROSS_ENCODER() -> SearchConfig:
+    return SearchConfig(nodes=LaneConfig(reranker="cross_encoder"))
+
+
+def EPISODE_HYBRID_SEARCH_RRF() -> SearchConfig:
+    return SearchConfig(episodes=LaneConfig(methods=["bm25"]))
+
+
+def COMMUNITY_HYBRID_SEARCH_RRF() -> SearchConfig:
+    return SearchConfig(communities=LaneConfig())
+
+
+def COMMUNITY_HYBRID_SEARCH_MMR() -> SearchConfig:
+    return SearchConfig(communities=LaneConfig(reranker="mmr"))
+
+
+def COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER() -> SearchConfig:
+    return SearchConfig(communities=LaneConfig(reranker="cross_encoder"))
 
 
 def COMBINED_HYBRID_SEARCH_RRF() -> SearchConfig:
@@ -83,12 +124,46 @@ def COMBINED_HYBRID_SEARCH_RRF() -> SearchConfig:
     )
 
 
+def COMBINED_HYBRID_SEARCH_MMR() -> SearchConfig:
+    return SearchConfig(
+        edges=LaneConfig(reranker="mmr"),
+        nodes=LaneConfig(reranker="mmr"),
+        episodes=LaneConfig(methods=["bm25"]),
+        communities=LaneConfig(reranker="mmr"),
+    )
+
+
 def COMBINED_HYBRID_SEARCH_CROSS_ENCODER() -> SearchConfig:
     return SearchConfig(
         edges=LaneConfig(reranker="cross_encoder"),
         nodes=LaneConfig(reranker="cross_encoder"),
         episodes=LaneConfig(methods=["bm25"], reranker="cross_encoder"),
+        communities=LaneConfig(reranker="cross_encoder"),
     )
+
+
+RECIPES = {
+    fn.__name__: fn
+    for fn in (
+        COMBINED_HYBRID_SEARCH_RRF,
+        COMBINED_HYBRID_SEARCH_MMR,
+        COMBINED_HYBRID_SEARCH_CROSS_ENCODER,
+        EDGE_HYBRID_SEARCH_RRF,
+        EDGE_HYBRID_SEARCH_MMR,
+        EDGE_HYBRID_SEARCH_NODE_DISTANCE,
+        EDGE_HYBRID_SEARCH_EPISODE_MENTIONS,
+        EDGE_HYBRID_SEARCH_CROSS_ENCODER,
+        NODE_HYBRID_SEARCH_RRF,
+        NODE_HYBRID_SEARCH_MMR,
+        NODE_HYBRID_SEARCH_NODE_DISTANCE,
+        NODE_HYBRID_SEARCH_EPISODE_MENTIONS,
+        NODE_HYBRID_SEARCH_CROSS_ENCODER,
+        EPISODE_HYBRID_SEARCH_RRF,
+        COMMUNITY_HYBRID_SEARCH_RRF,
+        COMMUNITY_HYBRID_SEARCH_MMR,
+        COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER,
+    )
+}
 
 
 @dataclass
@@ -129,6 +204,7 @@ def _run_lane(
     mentions: DataFrame | None,
     center_uuid: str | None,
     bfs_origins: list[str] | None,
+    lane: str = "nodes",
 ) -> DataFrame:
     lanes = []
     if "bm25" in cfg.methods:
@@ -161,6 +237,10 @@ def _run_lane(
         out = fused
     elif cfg.reranker == "node_distance" and center_uuid and edges is not None:
         out = node_distance_rerank(fused.select("id"), edges, center_uuid)
+    elif cfg.reranker == "episode_mentions" and lane == "edges":
+        # A3: the edge lane orders by provenance size — len(episodes)
+        # (reference search/search.py:255-256) — not by MENTIONS counts
+        out = provenance_size_rerank(fused.select("id"), df)
     elif cfg.reranker == "episode_mentions" and mentions is not None:
         out = episode_mentions_rerank(fused.select("id"), mentions)
     elif cfg.reranker == "mmr":
@@ -209,22 +289,24 @@ def search(
     if config.edges is not None and edges is not None:
         res.edges = _run_lane(
             edges, "uuid", "fact", "fact_embedding", config.edges, query, query_vec,
-            group_ids, edges, mentions, center_uuid, bfs_origins,
+            group_ids, edges, mentions, center_uuid, bfs_origins, lane="edges",
         )
     if config.nodes is not None and nodes is not None:
         res.nodes = _run_lane(
             nodes, "uuid", "name", "name_embedding", config.nodes, query, query_vec,
-            group_ids, edges, mentions, center_uuid, bfs_origins,
+            group_ids, edges, mentions, center_uuid, bfs_origins, lane="nodes",
         )
     if config.episodes is not None and episodes_text is not None:
         res.episodes = _run_lane(
             episodes_text, "doc_id", "content", None, config.episodes, query,
             query_vec, group_ids, edges, mentions, center_uuid, bfs_origins,
+            lane="episodes",
         )
     if config.communities is not None and communities is not None:
         res.communities = _run_lane(
             communities, "uuid", "name", "name_embedding", config.communities,
             query, query_vec, group_ids, edges, mentions, center_uuid, bfs_origins,
+            lane="communities",
         )
     return res
 

@@ -19,7 +19,10 @@ def _table_fingerprint(io: TableIO, name: str):
     return sorted(tuple(str(v) for v in r) for r in rows)
 
 
-TABLES = ["episodes", "triples_raw", "nodes", "uuid_map", "edges", "mentions"]
+TABLES = [
+    "episodes", "triples_raw", "nodes", "uuid_map", "edges", "mentions",
+    "episode_edges", "node_stats",
+]
 
 
 @pytest.fixture(scope="module")
@@ -77,3 +80,166 @@ def test_tableio_merge_semantics(spark, tmp_path_factory):
     assert got == {"k1": 1, "k2": 20, "k3": 30}  # update wins, rest survive
     io.delete_where("t", F.col("k") == "k1")
     assert {r.k for r in io.read("t").collect()} == {"k2", "k3"}
+
+
+def _edge_part_files(io: TableIO):
+    """{epart dir: sorted (file, size, mtime_ns)} snapshot of the edges table."""
+    import os
+
+    root = io.path("edges")
+    out = {}
+    for d in os.listdir(root):
+        if not d.startswith("epart="):
+            continue
+        p = os.path.join(root, d)
+        out[d] = sorted(
+            (f, os.stat(os.path.join(p, f)).st_size, os.stat(os.path.join(p, f)).st_mtime_ns)
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+    return out
+
+
+def test_incremental_merge_o_batch_and_equivalent(spark, episodes, tmp_path_factory):
+    """Scale contract of the incremental write path: batch N+1 rewrites
+    only the pair-hash buckets it touches (O(batch), not O(table)), and
+    the result is byte-identical to the legacy full-table re-merge."""
+    inc_dir = str(tmp_path_factory.mktemp("inc"))
+    full_dir = str(tmp_path_factory.mktemp("fullrw"))
+
+    eps_b = episodes.withColumn(
+        "b", F.pmod(F.xxhash64("doc_id"), F.lit(10)).cast("int")
+    )
+    batches = [
+        eps_b.where(F.col("b") < 8).drop("b"),      # big initial load
+        eps_b.where(F.col("b") == 8).drop("b"),     # small increment
+        eps_b.where(F.col("b") == 9).drop("b"),     # small increment
+    ]
+    for df in batches:
+        io_inc = materialize_graph(
+            spark, df, inc_dir, incremental=True, skip_completed=False
+        )
+    before = _edge_part_files(io_inc)
+
+    # one more tiny batch: a handful of docs
+    tiny_ids = [r.doc_id for r in episodes.select("doc_id").limit(4).collect()]
+    tiny = episodes.where(F.col("doc_id").isin(tiny_ids))
+    io_inc = materialize_graph(
+        spark, tiny, inc_dir, incremental=True, skip_completed=False
+    )
+    after = _edge_part_files(io_inc)
+
+    metrics = [
+        (r.stage, r.metric, r.value)
+        for r in io_inc.read("metrics").orderBy("seq").collect()
+    ]
+    parts_rewritten = [
+        v for s, m, v in metrics if (s, m) == ("edges_merge", "n_parts_rewritten")
+    ]
+    # the last batch's merge touched a strict minority of the buckets
+    assert 0 < parts_rewritten[-1] < 0.5 * len(after)
+    untouched = [d for d in before if before[d] == after.get(d)]
+    changed = [d for d in before if d in after and before[d] != after[d]]
+    assert len(untouched) > len(changed)  # most buckets untouched on disk
+    assert len(changed) <= parts_rewritten[-1]
+
+    # equivalence: same batches through the legacy full-rewrite path
+    for df in batches + [tiny]:
+        io_full = materialize_graph(
+            spark, df, full_dir, incremental=True, skip_completed=False,
+            full_rewrite=True,
+        )
+    for t in TABLES:
+        assert _table_fingerprint(io_inc, t) == _table_fingerprint(io_full, t), t
+
+
+def test_partition_scoped_merge_upsert(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("pio"))
+    io = TableIO(spark, d)
+    a = spark.createDataFrame(
+        [("k1", 1, 0), ("k2", 2, 1), ("k3", 3, 2)], "k string, v int, p int"
+    )
+    io.merge_upsert("t", a, ["k"], partition_col="p")
+    import os
+
+    p0 = os.path.join(io.path("t"), "p=0")
+    stat_before = sorted(os.listdir(p0))
+    mtimes_before = [os.stat(os.path.join(p0, f)).st_mtime_ns for f in stat_before]
+    b = spark.createDataFrame([("k2", 20, 1), ("k4", 40, 2)], "k string, v int, p int")
+    io.merge_upsert("t", b, ["k"], partition_col="p")
+    got = {r.k: r.v for r in io.read("t").collect()}
+    assert got == {"k1": 1, "k2": 20, "k3": 3, "k4": 40}
+    # p=0 untouched on disk
+    assert sorted(os.listdir(p0)) == stat_before
+    assert [
+        os.stat(os.path.join(p0, f)).st_mtime_ns for f in stat_before
+    ] == mtimes_before
+
+
+def test_overwrite_partitions_empties_listed_part(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("oio"))
+    io = TableIO(spark, d)
+    a = spark.createDataFrame([("x", 0), ("y", 1)], "k string, p int")
+    io.write("t", a, partition_by=["p"])
+    # new content has nothing for p=0: listing it must empty it
+    nw = spark.createDataFrame([("z", 1)], "k string, p int")
+    io.overwrite_partitions("t", nw, "p", parts=[0, 1])
+    assert {r.k for r in io.read("t").collect()} == {"z"}
+
+
+def test_episode_edges_forward_pointers(spark, episodes, tmp_path_factory):
+    """episode_edges (the reference's episode.entity_edges forward
+    pointers) inverts edge provenance exactly, and episode_subgraph
+    resolves identically through the index and the arrays_overlap scan."""
+    from graphiti_spark.operators.graph_api import episode_subgraph
+
+    d = str(tmp_path_factory.mktemp("ee"))
+    io = materialize_graph(spark, episodes, d)
+    edges = io.read("edges")
+    ee = io.read("episode_edges")
+    expect = {
+        (r.doc_id, r.uuid)
+        for r in edges.select(F.explode("episodes").alias("doc_id"), "uuid").collect()
+    }
+    got = {(r.doc_id, r.uuid) for r in ee.collect()}
+    assert got == expect
+
+    doc_ids = [r.doc_id for r in episodes.select("doc_id").limit(3).collect()]
+    _n1, e_scan = episode_subgraph(
+        doc_ids, io.read("nodes"), edges, io.read("mentions")
+    )
+    _n2, e_idx = episode_subgraph(
+        doc_ids, io.read("nodes"), edges, io.read("mentions"), episode_edges=ee
+    )
+    assert {r.uuid for r in e_scan.collect()} == {r.uuid for r in e_idx.collect()}
+
+
+def test_search_indexes_maintained_incrementally(spark, episodes, tmp_path_factory):
+    """Opt-in fulltext indexes follow the graph across incremental
+    batches: episode index covers every doc, edge index's live id set
+    (postings minus tombstones) equals the edge table exactly."""
+    from graphiti_spark.operators.search import SearchIndex
+
+    d = str(tmp_path_factory.mktemp("ftmat"))
+    eps_b = episodes.withColumn(
+        "b", F.pmod(F.xxhash64("doc_id"), F.lit(2)).cast("int")
+    )
+    for b in (0, 1):
+        io = materialize_graph(
+            spark, eps_b.where(F.col("b") == b).drop("b"), d,
+            incremental=True, skip_completed=False, search_indexes=True,
+        )
+    live = {r.uuid for r in io.read("edges").select("uuid").collect()}
+    eidx = SearchIndex(io, "ft_edges")
+    idx_ids = {r.id for r in eidx.postings().select("id").distinct().collect()}
+    assert idx_ids == live
+    hits = eidx.search("works for acme corp", limit=5).collect()
+    assert hits and all(r.id in live for r in hits)
+
+    epidx = SearchIndex(io, "ft_episodes")
+    n_docs = episodes.count()
+    assert io.read("ft_episodes_docs").count() == n_docs
+    nidx = SearchIndex(io, "ft_nodes")
+    live_nodes = {r.uuid for r in io.read("nodes").select("uuid").collect()}
+    nidx_ids = {r.id for r in nidx.postings().select("id").distinct().collect()}
+    assert nidx_ids == live_nodes

@@ -49,4 +49,25 @@ def test_fake_codec_batch_shape():
     payloads = pd.Series([b"\x01\x02\x03", None])
     out = FakeCodec().decode_batch(refs, payloads)
     assert len(out) == 2
-    assert all(v.dtype == np.float32 for v in out)
+    assert all(v.dtype == np.float32 for v in out["features"])
+    assert all(v.dtype == np.int64 for v in out["hist"])
+    # hist is the pre-normalization histogram: feature = hist / ||hist||
+    h = out["hist"].iloc[0].astype(np.float64)
+    np.testing.assert_allclose(
+        out["features"].iloc[0], (h / np.linalg.norm(h)).astype(np.float32)
+    )
+
+
+def test_decode_features_series_codec(spark):
+    """A codec returning a bare Series (RealCodec contract) still works;
+    hist comes back null."""
+
+    class SeriesCodec:
+        def decode_batch(self, refs, payloads):
+            return pd.Series(
+                [np.zeros(MEDIA_FEATURE_DIM, dtype=np.float32) for _ in refs]
+            )
+
+    cat = media_catalog(synthesize_episodes(spark, SF_SMOKE)).limit(3)
+    rows = decode_features(cat, codec=SeriesCodec()).collect()
+    assert rows and all(r.hist is None for r in rows)

@@ -124,3 +124,93 @@ def test_jaro_winkler_reference_values():
     # classic published example
     assert abs(jaro_winkler("martha", "marhta") - 0.9611) < 1e-3
     assert abs(jaro_winkler("dwayne", "duane") - 0.84) < 1e-2
+
+
+def test_case_variant_names_share_one_vertex(spark):
+    """The dedup key matches the uuid key (lower(name)): case variants
+    emit ONE vertex row, and pointers for every variant resolve to it."""
+    from graphiti_spark.operators.resolve import distinct_entities, resolve_pointers
+    from graphiti_spark.schemas import entity_uuid as entity_uuid_col
+
+    mentions = spark.createDataFrame(
+        [("g0", "Acme Corp"), ("g0", "ACME Corp"), ("g0", "acme corp"),
+         ("g0", "Initech")],
+        "group_id string, name string",
+    )
+    ents = distinct_entities(mentions)
+    rows = ents.collect()
+    assert len(rows) == 2  # one per lowercase name
+    by_name = {r.name for r in rows}
+    assert "Initech" in by_name
+    # uuid column equals the schema uuid of the representative name
+    chk = ents.withColumn(
+        "u2", entity_uuid_col(F.col("group_id"), F.col("name"))
+    ).where(F.col("uuid") != F.col("u2"))
+    assert chk.count() == 0
+    # no duplicate uuids in the vertex set
+    assert ents.select("uuid").distinct().count() == 2
+
+    # a triple carrying a non-representative variant still resolves
+    uuid_map = ents.select(
+        "group_id", "uuid", "name",
+        F.col("uuid").alias("canonical_uuid"), F.col("name").alias("canonical_name"),
+    )
+    triples = spark.createDataFrame(
+        [("g0", "acme CORP")], "group_id string, subj_name string"
+    ).withColumn("source_node_uuid", F.lit(None).cast("string"))
+    out = resolve_pointers(triples, uuid_map, "source_node_uuid", "subj_name").collect()
+    acme = [r for r in rows if r.name != "Initech"][0]
+    assert out[0].source_node_uuid == acme.uuid
+    assert out[0].subj_name == acme.name
+
+
+def test_resolution_partitions_data_sized(spark):
+    from graphiti_spark.operators.resolve import resolution_partitions
+
+    small = spark.range(10).select(F.col("id").cast("string").alias("uuid"))
+    assert resolution_partitions(small) == 1
+    assert resolution_partitions(small, rows_per_partition=3) == 4
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert resolution_partitions(small, rows_per_partition=1) == min(cap, 10)
+
+
+def test_merge_near_duplicate_facts(spark):
+    """Two surface-variant facts for one (pair, date) merge into the
+    earliest edge with unioned provenance; differently-dated and
+    dissimilar facts stay separate."""
+    import datetime as dt
+
+    from graphiti_spark.operators.resolve import merge_near_duplicate_facts
+
+    t0 = dt.datetime(2019, 1, 1)
+    t1 = dt.datetime(2020, 1, 1)
+    c0 = dt.datetime(2024, 1, 1)
+    c1 = dt.datetime(2024, 1, 2)
+    rows = [
+        # same pair, same valid_at, near-identical embeddings → merge
+        ("e1", "g0", "A", "B", "WORKS_AT", "A works at B", [1.0, 0.0, 0.1],
+         t0, ["d1", "d2"], c0),
+        ("e2", "g0", "A", "B", "EMPLOYED_BY", "A is employed by B",
+         [0.98, 0.05, 0.12], t0, ["d3"], c1),
+        # same pair, different valid_at → kept (bi-temporal chain)
+        ("e3", "g0", "A", "B", "WORKS_AT", "A works at B since 2020",
+         [1.0, 0.0, 0.1], t1, ["d4"], c1),
+        # same pair+date but dissimilar fact → kept
+        ("e4", "g0", "A", "B", "DISLIKES", "A dislikes B", [0.0, 1.0, 0.0],
+         t0, ["d5"], c1),
+        # different pair → untouched
+        ("e5", "g0", "A", "C", "WORKS_AT", "A works at C", [1.0, 0.0, 0.1],
+         t0, ["d6"], c0),
+    ]
+    edges = spark.createDataFrame(
+        rows,
+        "uuid string, group_id string, source_node_uuid string, "
+        "target_node_uuid string, predicate string, fact string, "
+        "fact_embedding array<double>, valid_at timestamp, "
+        "episodes array<string>, created_at timestamp",
+    )
+    out = {r.uuid: r for r in merge_near_duplicate_facts(edges).collect()}
+    assert set(out) == {"e1", "e3", "e4", "e5"}  # e2 merged into e1
+    assert out["e1"].episodes == ["d1", "d2", "d3"]  # provenance unioned
+    assert out["e1"].predicate == "WORKS_AT"  # canonical survivor wins
+    assert out["e3"].episodes == ["d4"]

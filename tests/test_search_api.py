@@ -111,3 +111,148 @@ def test_search_many_batched(spark, graph):
         hits.sort()
         assert hits[0][1] == qid  # self is the nearest neighbor
         assert len(hits) == 5
+
+
+def test_edge_episode_mentions_reranker_is_provenance_size(spark, graph):
+    """A3: the edge lane's episode_mentions reranker orders by
+    size(episodes) desc (reference search/search.py:255-256)."""
+    from graphiti_spark.search_api import EDGE_HYBRID_SEARCH_EPISODE_MENTIONS
+
+    res = search(
+        "Globex works for Acme Corp",
+        EDGE_HYBRID_SEARCH_EPISODE_MENTIONS(),
+        edges=graph["edges"],
+    )
+    got = res.edges.collect()
+    assert got
+    sizes = {
+        r.uuid: r.n for r in graph["edges"].select(
+            "uuid", F.size("episodes").alias("n")
+        ).collect()
+    }
+    scores = [r.score for r in got]
+    assert scores == sorted(scores, reverse=True)
+    for r in got:
+        assert r.score == float(sizes[r.id])
+    # and the ordering is genuinely by provenance size (ties broken by id)
+    assert [r.id for r in got] == [
+        r.id for r in sorted(got, key=lambda r: (-r.score, r.id))
+    ]
+
+
+def test_recipe_parity_with_reference_names():
+    """Every canned recipe of the reference's search_config_recipes.py
+    has a same-named constructor producing a runnable SearchConfig."""
+    from graphiti_spark import search_api
+    from graphiti_spark.search_api import RECIPES
+
+    expected = [
+        "COMBINED_HYBRID_SEARCH_RRF",
+        "COMBINED_HYBRID_SEARCH_MMR",
+        "COMBINED_HYBRID_SEARCH_CROSS_ENCODER",
+        "EDGE_HYBRID_SEARCH_RRF",
+        "EDGE_HYBRID_SEARCH_MMR",
+        "EDGE_HYBRID_SEARCH_NODE_DISTANCE",
+        "EDGE_HYBRID_SEARCH_EPISODE_MENTIONS",
+        "EDGE_HYBRID_SEARCH_CROSS_ENCODER",
+        "NODE_HYBRID_SEARCH_RRF",
+        "NODE_HYBRID_SEARCH_MMR",
+        "NODE_HYBRID_SEARCH_NODE_DISTANCE",
+        "NODE_HYBRID_SEARCH_EPISODE_MENTIONS",
+        "NODE_HYBRID_SEARCH_CROSS_ENCODER",
+        "EPISODE_HYBRID_SEARCH_RRF",
+        "COMMUNITY_HYBRID_SEARCH_RRF",
+        "COMMUNITY_HYBRID_SEARCH_MMR",
+        "COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER",
+    ]
+    for name in expected:
+        assert name in RECIPES, name
+        cfg = getattr(search_api, name)()
+        assert isinstance(cfg, SearchConfig)
+        assert any(
+            getattr(cfg, lane) is not None
+            for lane in ("edges", "nodes", "episodes", "communities")
+        )
+
+
+@pytest.fixture(scope="module")
+def communities(spark, graph):
+    from graphiti_spark import corpus
+    from graphiti_spark.operators.community import (
+        build_communities,
+        detect_communities,
+    )
+
+    membership = detect_communities(graph["edges"], graph["nodes"])
+    comms, _members = build_communities(
+        membership, graph["nodes"], corpus.BATCH_TIME
+    )
+    return comms.cache()
+
+
+def test_community_similarity_lane(spark, communities):
+    """V3: the community cosine lane runs directly on build_communities
+    output (name_embedding emitted at build time)."""
+    from graphiti_spark.search_api import COMMUNITY_HYBRID_SEARCH_RRF
+
+    assert "name_embedding" in communities.columns
+    target = communities.limit(1).collect()[0]
+    res = search(
+        target.name,
+        SearchConfig(communities=LaneConfig(methods=["cosine"])),
+        communities=communities,
+    )
+    rows = res.communities.collect()
+    assert rows and rows[0].id == target.uuid  # exact-name cosine hit on top
+
+    # and the full hybrid recipe (bm25 ∪ cosine) runs too
+    res2 = search(
+        target.name, COMMUNITY_HYBRID_SEARCH_RRF(), communities=communities
+    )
+    assert res2.communities.collect()
+
+
+def test_update_community_reembeds(spark, graph, communities):
+    from graphiti_spark.operators.community import detect_communities
+    from graphiti_spark.operators.graph_api import update_community
+
+    membership = detect_communities(graph["edges"], graph["nodes"])
+    ent = membership.limit(1).collect()[0]
+    updated = update_community(communities, membership, ent.uuid, "New Member")
+    rows = {r.uuid: r for r in updated.collect()}
+    assert any(" +New Member" in r.summary for r in rows.values())
+    assert all(r.name_embedding is not None for r in rows.values())
+
+
+def test_rrf_many_partitions_per_query(spark):
+    from graphiti_spark.operators.search import rrf, rrf_many
+
+    lane_a = spark.createDataFrame(
+        [("q1", "a", 3.0), ("q1", "b", 2.0), ("q2", "b", 5.0), ("q2", "c", 4.0)],
+        "query_id string, id string, score double",
+    )
+    lane_b = spark.createDataFrame(
+        [("q1", "b", 9.0), ("q1", "c", 1.0), ("q2", "a", 2.0)],
+        "query_id string, id string, score double",
+    )
+    fused = rrf_many([lane_a, lane_b], limit=10)
+    got = {
+        (r.query_id, r.id): round(r.score, 9) for r in fused.collect()
+    }
+    # per-query fusion equals single-query rrf run query-by-query
+    for q in ("q1", "q2"):
+        solo = rrf(
+            [
+                df.where(F.col("query_id") == q).select("id", "score")
+                for df in (lane_a, lane_b)
+                if df.where(F.col("query_id") == q).count() > 0
+            ]
+        )
+        for r in solo.collect():
+            assert got[(q, r.id)] == round(r.score, 9)
+    # the plan's rank windows are partitioned by query, not global
+    from graphiti_spark.plans.explain import physical_plan
+
+    plan = physical_plan(fused)
+    assert "partitionspec=[query_id" in plan.replace(" ", "").lower() or \
+        "query_id" in plan

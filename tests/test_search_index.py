@@ -1,0 +1,131 @@
+"""Persisted BM25 index (SearchIndex): parity with inline scoring,
+zero per-query driver actions, append-only incremental merge, and
+term-bucket partition pruning on the read path."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.io.tables import TableIO
+from graphiti_spark.operators.search import SearchIndex, fulltext_search
+from graphiti_spark.oracle_ops import BM25_QUERY
+from graphiti_spark.plans.explain import physical_plan
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def index(spark, docs, tmp_path_factory):
+    io = TableIO(spark, str(tmp_path_factory.mktemp("ftidx")))
+    idx = SearchIndex(io, "doc")
+    half = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    rest = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    idx.merge(half, "doc_id", "text")
+    idx.merge(rest, "doc_id", "text")
+    return idx
+
+
+def _posting_files(idx: SearchIndex):
+    root = idx.io.path(idx._t("postings"))
+    out = {}
+    for d in os.listdir(root):
+        p = os.path.join(root, d)
+        if d.startswith("tpart=") and os.path.isdir(p):
+            for f in os.listdir(p):
+                if f.endswith(".parquet"):
+                    fp = os.path.join(p, f)
+                    out[os.path.join(d, f)] = (
+                        os.stat(fp).st_size,
+                        os.stat(fp).st_mtime_ns,
+                    )
+    return out
+
+
+def test_index_matches_inline_bm25(spark, docs, index):
+    inline = {
+        (r.id, round(r.score, 9))
+        for r in fulltext_search(docs, "doc_id", "text", BM25_QUERY, limit=50).collect()
+    }
+    persisted = {
+        (r.id, round(r.score, 9)) for r in index.search(BM25_QUERY, limit=50).collect()
+    }
+    assert inline == persisted and len(inline) == 50
+
+
+def test_zero_driver_actions_per_query(spark, index):
+    """The read path must plan a query with NO Spark jobs (the round-1
+    implementation ran two driver actions per query for N / avgdl)."""
+    postings = index.postings()
+    stats = index.stats()
+    sc = spark.sparkContext
+    sc.setJobGroup("bm25-probe", "per-query planning probe")
+    try:
+        df = fulltext_search(
+            None, "id", "", BM25_QUERY, limit=20, postings=postings, stats=stats
+        )
+        _ = df.columns  # force analysis, still no job
+        jobs = sc.statusTracker().getJobIdsForGroup("bm25-probe")
+    finally:
+        sc.setJobGroup("", "")
+    assert list(jobs) == []
+    assert df.limit(1).count() >= 0  # and it actually executes fine
+
+
+def test_merge_is_append_only_and_idempotent(spark, docs, tmp_path_factory):
+    io = TableIO(spark, str(tmp_path_factory.mktemp("ftidx2")))
+    idx = SearchIndex(io, "doc")
+    half = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    rest = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    idx.merge(half, "doc_id", "text")
+    files1 = _posting_files(idx)
+    stats1 = idx.stats().collect()[0]
+    idx.merge(rest, "doc_id", "text")
+    files2 = _posting_files(idx)
+    # append-only: every original posting file survives byte-identical
+    assert set(files1) <= set(files2)
+    assert all(files2[f] == files1[f] for f in files1)
+    stats2 = idx.stats().collect()[0]
+    assert stats2.n_docs > stats1.n_docs
+    # re-merging already-indexed docs is a no-op
+    idx.merge(half, "doc_id", "text")
+    assert idx.stats().collect()[0] == stats2
+    assert idx.postings().count() == spark.read.parquet(
+        io.path("doc_postings")
+    ).count()
+
+
+def test_query_prunes_term_partitions(spark, index):
+    plan = physical_plan(index.search(BM25_QUERY, limit=20))
+    # the postings scan carries a partition filter on the term bucket
+    assert "PartitionFilters" in plan
+    m = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "tpart" in ln]
+    assert m, f"no tpart partition filter in plan:\n{plan[:2000]}"
+
+
+def test_tombstone_delete(spark, docs, tmp_path_factory):
+    io = TableIO(spark, str(tmp_path_factory.mktemp("ftidx3")))
+    idx = SearchIndex(io, "doc")
+    idx.merge(docs, "doc_id", "text")
+    stats0 = idx.stats().collect()[0]
+    top = idx.search(BM25_QUERY, limit=5).collect()
+    kill = top[0].id
+    idx.delete(spark.createDataFrame([(kill,)], "id string"))
+    after = idx.search(BM25_QUERY, limit=5).collect()
+    assert after and kill not in {r.id for r in after}
+    stats1 = idx.stats().collect()[0]
+    assert stats1.n_docs == stats0.n_docs - 1
+    assert stats1.total_dl < stats0.total_dl
+    # deleting the same id again is a no-op
+    idx.delete(spark.createDataFrame([(kill,)], "id string"))
+    assert idx.stats().collect()[0].n_docs == stats1.n_docs
