@@ -197,6 +197,20 @@ def _q_bm25_docs(spark, sf_dir):
     return scored.select("id", F.round("score", 6).alias("score"))
 
 
+def _q_bm25_many(spark, sf_dir):
+    """Batched BM25: one postings pass scores all queries
+    (operators/search.bm25_score_many) — the multi-query read-path
+    shape the reference's per-query loop cannot express."""
+    from graphiti_spark.operators.search import bm25_score_many, build_postings
+    from graphiti_spark.oracle_ops import BM25_MANY_QUERIES
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    scored = bm25_score_many(build_postings(d, "doc_id", "text"), BM25_MANY_QUERIES)
+    return scored.select("query_id", "id", F.round("score", 6).alias("score"))
+
+
 def _q_cosine_topk(spark, sf_dir):
     from graphiti_spark.operators.docops import brute_force_topk
 
@@ -415,6 +429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint": _q_fingerprint,
         # search / similarity
         "bm25_docs": _q_bm25_docs,
+        "bm25_many": _q_bm25_many,
         "cosine_topk": _q_cosine_topk,
         "rrf_docs": _q_rrf_docs,
         "bfs_globex": _q_bfs_globex,
@@ -458,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": oo.q_simhash(),
         "fingerprint": oo.q_fingerprint(),
         "bm25_docs": oo.q_bm25_docs(),
+        "bm25_many": oo.q_bm25_many(),
         "cosine_topk": oo.q_cosine_topk(),
         "rrf_docs": oo.q_rrf_docs(),
         "bfs_globex": oo.q_bfs_globex(),

@@ -134,16 +134,29 @@ def bm25_score(
     terms = list(dict.fromkeys(tokenize_py(query)))[:MAX_QUERY_LENGTH]
     if not terms:
         return postings.sparkSession.createDataFrame([], "id string, score double")
+    scored = _bm25_weights(postings, terms, k1, b, stats)
+    return scored.groupBy("id").agg(F.sum("w").alias("score"))
+
+
+def _bm25_weights(
+    postings: DataFrame,
+    terms: list[str],
+    k1: float,
+    b: float,
+    stats: DataFrame | None,
+) -> DataFrame:
+    """Per-(term, id) BM25 weights for the matched postings — weights
+    are query-independent, so batched scoring computes them once and
+    lets each query sum its own terms' rows."""
     if stats is None:
         stats = build_corpus_stats(postings)
-
     matched = postings.where(F.col("term").isin(terms))
     if "tpart" in postings.columns:
         # static partition pruning on the persisted, term-bucketed index
         buckets = sorted({term_bucket_py(t) for t in terms})
         matched = matched.where(F.col("tpart").isin(buckets))
     df_counts = matched.groupBy("term").agg(F.countDistinct("id").alias("df"))
-    scored = (
+    return (
         matched.join(F.broadcast(df_counts), "term")
         .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
         .withColumn(
@@ -160,7 +173,61 @@ def bm25_score(
             / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
         )
     )
-    return scored.groupBy("id").agg(F.sum("w").alias("score"))
+
+
+def bm25_score_many(
+    postings: DataFrame,
+    queries: list[tuple[str, str]],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Batched BM25: score MANY queries in ONE pass over the postings.
+
+    ``queries``: [(query_id, query_text)]. The per-(term, id) weight is
+    query-independent, so the matched postings are weighted once and a
+    broadcast (query_id, term) join + one (query_id, id) aggregation
+    serves the whole batch — the read-path shape for 10^12-doc serving
+    that a per-query loop cannot express. Returns (query_id, id, score).
+    """
+    spark = postings.sparkSession
+    qt = []
+    for qid, text in queries:
+        for t in list(dict.fromkeys(tokenize_py(text)))[:MAX_QUERY_LENGTH]:
+            qt.append((qid, t))
+    if not qt:
+        return spark.createDataFrame([], "query_id string, id string, score double")
+    qdf = spark.createDataFrame(qt, "query_id string, term string")
+    terms = sorted({t for _, t in qt})
+    w = _bm25_weights(postings, terms, k1, b, stats)
+    return (
+        w.join(F.broadcast(qdf), "term")
+        .groupBy("query_id", "id")
+        .agg(F.sum("w").alias("score"))
+    )
+
+
+def fulltext_search_many(
+    queries: list[tuple[str, str]],
+    df: DataFrame | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+    limit: int = 2 * DEFAULT_SEARCH_LIMIT,
+    postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Batched F2-F5: per-query BM25 top-`limit` inside a
+    Window.partitionBy(query_id) — no global sort, one shuffle for the
+    whole query batch."""
+    if postings is None:
+        postings = build_postings(df, id_col, text_col)
+    scored = bm25_score_many(postings, queries, stats=stats)
+    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= limit)
+        .drop("rank")
+    )
 
 
 def fulltext_search(
@@ -339,6 +406,18 @@ class SearchIndex:
             group_ids=group_ids,
             postings=self.postings(),
             stats=self.stats(),
+        )
+
+    def search_many(
+        self,
+        queries: list[tuple[str, str]],
+        limit: int = 2 * DEFAULT_SEARCH_LIMIT,
+    ) -> DataFrame:
+        """Batched read path: all queries scored in one pass over the
+        pruned index partitions (bm25_score_many) — (query_id, id,
+        score), top-`limit` per query."""
+        return fulltext_search_many(
+            queries, limit=limit, postings=self.postings(), stats=self.stats()
         )
 
 

@@ -518,3 +518,53 @@ FROM media m CROSS JOIN idxs
 JOIN hexmap h1 ON h1.p = substr(m.h, 2 * idx + 1, 2)
 JOIN hexmap h2 ON h2.p = substr(m.h, 2 * idx + 33, 2)
 """
+
+
+BM25_MANY_QUERIES = [
+    ("q1", BM25_QUERY),
+    ("q2", "vector hash stream batch"),
+    ("q3", "filter sort table scan"),
+]
+
+
+def q_bm25_many(k1: float = 1.2, b: float = 0.75) -> str:
+    """Batched BM25 (one pass, many queries): same math as q_bm25_docs
+    with a (query_id, term) VALUES relation joined in at the end —
+    mirrors bm25_score_many's single-aggregation shape."""
+    import re
+
+    vals = []
+    for qid, text in BM25_MANY_QUERIES:
+        seen = []
+        for t in re.split(r"[^a-z0-9]+", text.lower()):
+            if t and t not in seen:
+                seen.append(t)
+        vals.extend(f"('{qid}', '{t}')" for t in seen)
+    values = ", ".join(vals)
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, UNNEST({_toks('text')}) AS term
+  FROM documents
+),
+dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+qterms(query_id, term) AS (VALUES {values}),
+matched AS (
+  SELECT tf.id, tf.term, tf.tf, dl.dl FROM tf JOIN dl USING (id)
+  WHERE tf.term IN (SELECT DISTINCT term FROM qterms)
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM matched GROUP BY 1),
+w AS (
+  SELECT m.id, m.term,
+    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (m.tf * ({k1} + 1))
+      / (m.tf + {k1} * (1 - {b} + {b} * m.dl / s.avgdl)) AS w
+  FROM matched m JOIN dfreq d USING (term) CROSS JOIN stats s
+)
+SELECT q.query_id, w.id, round(SUM(w.w), 6) AS score
+FROM w JOIN qterms q USING (term)
+GROUP BY 1, 2
+"""

@@ -5,12 +5,14 @@ Reference surface (graphiti_core/search/):
   episodes, communities — each lane = (methods × reranker), every
   method overscanning 2×limit, reranker trimming to limit
   (search/search.py:66-158, overscan at 179-193).
-- ``SearchConfig`` + 15 canned recipes (search_config.py:32-126,
-  search_config_recipes.py:34-223). The recipe families are
-  parameterized here instead of 15 near-identical constants.
-- R3 cross-encoder reranker (cross_encoder/client.py:27-40) is a
-  pluggable scorer; the deterministic default scores token overlap
-  with the query (the LLM-logprob scorer plugs into the same slot).
+- ``SearchConfig`` + the canned recipes (search_config.py:32-126,
+  search_config_recipes.py:34-223): every reference recipe name has a
+  same-named constructor here (RECIPES), built from the parameterized
+  LaneConfig families.
+- R3 cross-encoder reranker (cross_encoder/client.py:27-40) is the
+  pluggable ``CrossEncoder`` scorer: TokenOverlapCrossEncoder
+  (deterministic default), Bm25CrossEncoder (graded deterministic), or
+  any impl wrapping a logprob client in a pandas UDF.
 
 Spark shape: each lane is an independent DataFrame DAG over the graph
 tables; Spark schedules them concurrently when the caller materializes
@@ -174,11 +176,27 @@ class SearchResults:
     communities: DataFrame | None = None
 
 
-def _token_overlap_scorer(query: str):
-    """Deterministic cross-encoder default: |q ∩ passage| / |q|."""
-    q = set(tokenize_py(query))
+class CrossEncoder:
+    """R3 plug point — the reference's CrossEncoderClient.rank
+    (cross_encoder/client.py:27-40; the OpenAI impl scores P(True) from
+    logprobs, openai_reranker_client.py:59-121). Implementations score
+    (passage, query) relevance as a COLUMN expression or batch UDF over
+    the candidate DataFrame — a remote/logprob scorer wraps its client
+    in a pandas UDF behind this same interface.
 
-    def score(df: DataFrame, text_col: str) -> DataFrame:
+    Contract: ``score(df, text_col, query) -> df + 'score' double``.
+    """
+
+    def score(self, df: DataFrame, text_col: str, query: str) -> DataFrame:
+        raise NotImplementedError
+
+
+class TokenOverlapCrossEncoder(CrossEncoder):
+    """Deterministic default: |q ∩ passage| / |q| (pure column algebra,
+    whole-stage codegen — no Python in the hot path)."""
+
+    def score(self, df: DataFrame, text_col: str, query: str) -> DataFrame:
+        q = set(tokenize_py(query))
         toks = F.filter(
             F.split(F.lower(F.col(text_col)), r"[^a-z0-9]+"), lambda t: t != ""
         )
@@ -187,6 +205,30 @@ def _token_overlap_scorer(query: str):
         return df.withColumn(
             "score", inter.cast("double") / F.lit(float(max(len(q), 1)))
         )
+
+
+class Bm25CrossEncoder(CrossEncoder):
+    """Graded deterministic scorer: BM25 of the query against the
+    candidate passages (richer ordering than binary-ish overlap; still
+    fully JVM-side). The candidate set is top-k-bounded, so the
+    per-rerank posting build is O(candidates)."""
+
+    def score(self, df: DataFrame, text_col: str, query: str) -> DataFrame:
+        from .operators.search import bm25_score, build_postings
+
+        postings = build_postings(df, "id", text_col)
+        scored = bm25_score(postings, query)
+        return df.join(scored, "id", "left").withColumn(
+            "score", F.coalesce(F.col("score"), F.lit(0.0))
+        )
+
+
+def _token_overlap_scorer(query: str):
+    """Back-compat shim over TokenOverlapCrossEncoder."""
+    enc = TokenOverlapCrossEncoder()
+
+    def score(df: DataFrame, text_col: str) -> DataFrame:
+        return enc.score(df, text_col, query)
 
     return score
 
@@ -205,6 +247,7 @@ def _run_lane(
     center_uuid: str | None,
     bfs_origins: list[str] | None,
     lane: str = "nodes",
+    cross_encoder: "CrossEncoder | None" = None,
 ) -> DataFrame:
     lanes = []
     if "bm25" in cfg.methods:
@@ -255,11 +298,11 @@ def _run_lane(
         if not picked:
             out = out.limit(0)
     elif cfg.reranker == "cross_encoder":
-        scorer = _token_overlap_scorer(query)
+        enc = cross_encoder or TokenOverlapCrossEncoder()
         passages = fused.select("id").join(
             df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
         )
-        out = scorer(passages, text_col).select("id", "score").orderBy(
+        out = enc.score(passages, text_col, query).select("id", "score").orderBy(
             F.desc("score"), "id"
         )
     else:
@@ -279,10 +322,14 @@ def search(
     group_ids: list[str] | None = None,
     center_uuid: str | None = None,
     bfs_origins: list[str] | None = None,
+    cross_encoder: CrossEncoder | None = None,
 ) -> SearchResults:
     """episodes_text: (doc_id/uuid, group_id, content) — build with
     ``episode_content``. Edge lane needs a fact_embedding column
-    (``with_fact_embeddings``)."""
+    (``with_fact_embeddings``). ``cross_encoder``: pluggable R3 scorer
+    (default TokenOverlapCrossEncoder; Bm25CrossEncoder for graded
+    deterministic scores; wrap a logprob client for the reference's
+    LLM scorer)."""
     if query_vec is None:
         query_vec = [float(x) for x in hash_embed_py(query)]
     res = SearchResults()
@@ -290,23 +337,25 @@ def search(
         res.edges = _run_lane(
             edges, "uuid", "fact", "fact_embedding", config.edges, query, query_vec,
             group_ids, edges, mentions, center_uuid, bfs_origins, lane="edges",
+            cross_encoder=cross_encoder,
         )
     if config.nodes is not None and nodes is not None:
         res.nodes = _run_lane(
             nodes, "uuid", "name", "name_embedding", config.nodes, query, query_vec,
             group_ids, edges, mentions, center_uuid, bfs_origins, lane="nodes",
+            cross_encoder=cross_encoder,
         )
     if config.episodes is not None and episodes_text is not None:
         res.episodes = _run_lane(
             episodes_text, "doc_id", "content", None, config.episodes, query,
             query_vec, group_ids, edges, mentions, center_uuid, bfs_origins,
-            lane="episodes",
+            lane="episodes", cross_encoder=cross_encoder,
         )
     if config.communities is not None and communities is not None:
         res.communities = _run_lane(
             communities, "uuid", "name", "name_embedding", config.communities,
             query, query_vec, group_ids, edges, mentions, center_uuid, bfs_origins,
-            lane="communities",
+            lane="communities", cross_encoder=cross_encoder,
         )
     return res
 
@@ -333,15 +382,53 @@ def with_fact_embeddings(edges: DataFrame) -> DataFrame:
     return edges.withColumn("fact_embedding", hash_embed_udf(F.col("fact")))
 
 
+def hybrid_search_many(
+    queries: list[tuple[str, str]],
+    nodes: DataFrame,
+    limit: int = DEFAULT_SEARCH_LIMIT,
+    postings: DataFrame | None = None,
+    stats: DataFrame | None = None,
+) -> DataFrame:
+    """Batched H1: the full hybrid (BM25 ∪ cosine → RRF) for MANY
+    queries at once — one postings pass scores every query's terms
+    (bm25_score_many), one broadcast cross join scores every query
+    vector, and rrf_many fuses inside per-query windows. Returns
+    (query_id, id, score), top-`limit` per query. The reference can
+    only loop one query at a time.
+
+    ``queries``: [(query_id, query_text)]; vectors come from the
+    pluggable hash embedder. Pass a persisted index's
+    ``postings``/``stats`` to skip corpus re-tokenization."""
+    from .operators.search import fulltext_search_many, rrf_many
+
+    spark = nodes.sparkSession
+    ft = fulltext_search_many(
+        queries, nodes, "uuid", "name", limit=2 * limit,
+        postings=postings, stats=stats,
+    )
+    from .operators.search import DEFAULT_MIN_SCORE
+
+    qrows = [
+        (qid, [float(x) for x in hash_embed_py(text)]) for qid, text in queries
+    ]
+    qdf = spark.createDataFrame(qrows, "query_id string, query_vec array<float>")
+    cos = search_many(
+        qdf, nodes, limit=2 * limit, min_score=DEFAULT_MIN_SCORE
+    ).select("query_id", "id", "score")
+    return rrf_many([ft, cos], limit=limit)
+
+
 def search_many(
     queries: DataFrame,
     nodes: DataFrame,
     limit: int = DEFAULT_SEARCH_LIMIT,
+    min_score: float | None = None,
 ) -> DataFrame:
     """Batched node search: (query_id, query_vec) DF against the node
     embeddings — one shuffle for ALL queries (window top-k per query),
     the shape a 10^12-doc read path needs. The reference can only loop
-    one query at a time."""
+    one query at a time. ``min_score``: V1's cosine cutoff (pass
+    DEFAULT_MIN_SCORE for reference parity)."""
     from pyspark.sql.window import Window
 
     from .functions.similarity import dot
@@ -352,6 +439,8 @@ def search_many(
         F.col("uuid").alias("id"),
         dot(F.col("name_embedding"), F.col("qv")).alias("score"),
     )
+    if min_score is not None:
+        scored = scored.where(F.col("score") > min_score)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), "id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -38,6 +38,7 @@ def stream_episodes(
     batch_time: str = corpus.BATCH_TIME,
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    search_indexes: bool = False,
 ) -> StreamingQuery:
     """File-source stream of episode parquet → incremental graph
     materialization per micro-batch.
@@ -59,6 +60,7 @@ def stream_episodes(
             batch_time=batch_time,
             incremental=True,
             skip_completed=False,
+            search_indexes=search_indexes,
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

@@ -256,3 +256,52 @@ def test_rrf_many_partitions_per_query(spark):
     plan = physical_plan(fused)
     assert "partitionspec=[query_id" in plan.replace(" ", "").lower() or \
         "query_id" in plan
+
+
+def test_hybrid_search_many_matches_per_query(spark, graph):
+    """Batched hybrid (one postings pass + one vector pass + rrf_many)
+    returns exactly what per-query search() returns, query by query."""
+    from graphiti_spark.search_api import NODE_HYBRID_SEARCH_RRF, hybrid_search_many
+
+    queries = [("qa", "Acme Corp"), ("qb", "John Smith"), ("qc", "Initech")]
+    batched = hybrid_search_many(queries, graph["nodes"], limit=10)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r.query_id, {})[r.id] = round(r.score, 9)
+    for qid, text in queries:
+        solo = search(text, NODE_HYBRID_SEARCH_RRF(), nodes=graph["nodes"]).nodes
+        solo_rows = {r.id: round(r.score, 9) for r in solo.collect()}
+        assert got.get(qid) == solo_rows, qid
+
+
+def test_pluggable_cross_encoder(spark, graph):
+    """R3 plug point: a custom CrossEncoder instance drives the
+    cross_encoder reranker; the BM25-graded deterministic scorer orders
+    candidates by graded relevance."""
+    from graphiti_spark.search_api import (
+        Bm25CrossEncoder,
+        NODE_HYBRID_SEARCH_CROSS_ENCODER,
+    )
+
+    res = search(
+        "Acme Corp",
+        NODE_HYBRID_SEARCH_CROSS_ENCODER(),
+        nodes=graph["nodes"],
+        cross_encoder=Bm25CrossEncoder(),
+    )
+    rows = res.nodes.collect()
+    assert rows
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    top = graph["nodes"].where(F.col("uuid") == rows[0].id).collect()[0]
+    assert "Acme" in top.name
+
+    class ConstEncoder:
+        def score(self, df, text_col, query):
+            return df.withColumn("score", F.lit(0.5))
+
+    res2 = search(
+        "Acme Corp", NODE_HYBRID_SEARCH_CROSS_ENCODER(), nodes=graph["nodes"],
+        cross_encoder=ConstEncoder(),
+    )
+    assert all(r.score == 0.5 for r in res2.nodes.collect())

@@ -129,3 +129,14 @@ def test_tombstone_delete(spark, docs, tmp_path_factory):
     # deleting the same id again is a no-op
     idx.delete(spark.createDataFrame([(kill,)], "id string"))
     assert idx.stats().collect()[0].n_docs == stats1.n_docs
+
+
+def test_index_search_many_matches_single(spark, docs, index):
+    queries = [("q1", BM25_QUERY), ("q2", "vector hash stream batch")]
+    batched = index.search_many(queries, limit=25)
+    got = {}
+    for r in batched.collect():
+        got.setdefault(r.query_id, {})[r.id] = round(r.score, 9)
+    for qid, text in queries:
+        solo = {r.id: round(r.score, 9) for r in index.search(text, limit=25).collect()}
+        assert got.get(qid) == solo, qid
