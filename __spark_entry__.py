@@ -197,6 +197,28 @@ def _q_bm25_docs(spark, sf_dir):
     return scored.select("id", F.round("score", 6).alias("score"))
 
 
+def _q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs over embeddings ∪ planted
+    collinear copies (×1.07, id+100000 for every 50th vector) — the
+    Spark side runs multi-table hyperplane blocking + exact verify;
+    the oracle is an INDEPENDENT exact all-pairs computation (collinear
+    pairs collide in every table deterministically, everything else is
+    far below threshold in this corpus)."""
+    from graphiti_spark.operators.docops import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.07)).alias("embedding"),
+    )
+    allv = emb.unionByName(planted)
+    return embedding_near_duplicates(allv, threshold=0.9).select(
+        "id_a", "id_b", "score"
+    )
+
+
 def _q_bm25_many(spark, sf_dir):
     """Batched BM25: one postings pass scores all queries
     (operators/search.bm25_score_many) — the multi-query read-path
@@ -427,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_list": _q_dedup_keep_list,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
+        "embedding_near_dup": _q_embedding_near_dup,
         # search / similarity
         "bm25_docs": _q_bm25_docs,
         "bm25_many": _q_bm25_many,
@@ -472,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_keep_list": oo.q_dedup_keep_list(),
         "simhash": oo.q_simhash(),
         "fingerprint": oo.q_fingerprint(),
+        "embedding_near_dup": oo.q_embedding_near_dup(),
         "bm25_docs": oo.q_bm25_docs(),
         "bm25_many": oo.q_bm25_many(),
         "cosine_topk": oo.q_cosine_topk(),

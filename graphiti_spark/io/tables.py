@@ -174,6 +174,10 @@ class TableIO:
         """MERGE ... WHEN MATCHED THEN DELETE equivalent (S8)."""
         self.write(name, self.read(name).where(~condition))
 
+    def drop(self, name: str) -> None:
+        """DROP TABLE: remove the directory entirely."""
+        shutil.rmtree(self.path(name), ignore_errors=True)
+
     # ------------------------------------------------------------------
     # lineage + metrics (north rule: per-partition lineage & counts)
     # ------------------------------------------------------------------

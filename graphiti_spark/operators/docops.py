@@ -318,22 +318,29 @@ def lsh_bucketed_topk(
     n_planes: int = 12,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate ANN: random-hyperplane LSH bucket join, then exact
     scoring inside the bucket. Planes derive from a fixed seed —
     deterministic across runs. The scale path when the corpus no longer
-    fits a cross join: candidates = bucket collisions only."""
+    fits a cross join: candidates = bucket collisions only.
+
+    ``n_tables`` > 1 enables OR-amplification (a candidate collides in
+    ANY table): recall 1-(1-p^b)^T instead of p^b — the knob that keeps
+    recall up when the corpus grows 100× and buckets narrow. The
+    default 1 preserves the single-table behavior (and the driver
+    query's recorded output)."""
     import numpy as np
 
     rng = np.random.RandomState(42)
     dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = dim_row[0]["d"] if dim_row else 0
-    planes = rng.randn(n_planes, dim)
+    planes = rng.randn(n_tables, n_planes, dim)
 
-    def bucket_expr(vc: Column) -> Column:
+    def bucket_expr(vc: Column, t: int) -> Column:
         bits = []
         for p in range(n_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+            plane = F.array(*[F.lit(float(x)) for x in planes[t][p]])
             bits.append(
                 F.when(dot(vc, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
             )
@@ -342,17 +349,32 @@ def lsh_bucketed_topk(
             s = s + b
         return s
 
+    def tables_expr(vc: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(F.lit(t).alias("t"), bucket_expr(vc, t).alias("bucket"))
+                for t in range(n_tables)
+            ]
+        )
+
     emb_b = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        bucket_expr(F.col(vec_col)).alias("bucket"),
-    )
+        F.explode(tables_expr(F.col(vec_col))).alias("tb"),
+    ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     q_b = F.broadcast(
         queries.select(
             F.col("query_id"), F.col("query_vec").alias("qv"),
-            bucket_expr(F.col("query_vec")).alias("bucket"),
+            F.explode(tables_expr(F.col("query_vec"))).alias("tb"),
+        ).select(
+            "query_id", "qv", F.col("tb.t").alias("t"),
+            F.col("tb.bucket").alias("bucket"),
         )
     )
-    scored = emb_b.join(q_b, "bucket").select(
+    cand = (
+        emb_b.join(q_b, ["t", "bucket"])
+        .dropDuplicates(["query_id", "id"])
+    )
+    scored = cand.select(
         "query_id",
         "id",
         F.round(
@@ -366,3 +388,72 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "id", "score", "rank")
     )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    n_tables: int = 6,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS, bucketed — the embedding
+    modality of the dedup family (exact / MinHash-Jaccard / SimHash /
+    fingerprint live above).
+
+    Scale shape: multi-table random-hyperplane blocking (OR-
+    amplification: a pair is a candidate if it collides in ANY of
+    ``n_tables`` tables of ``n_planes`` sign bits) generates candidates
+    linearly in the corpus; the exact cosine verify runs on candidates
+    only — never an all-pairs cross join. Collinear duplicates collide
+    in every table (sign(dot) is scale-invariant), so recall for true
+    near-exact duplicates is deterministic; for merely-similar pairs it
+    follows the standard (1-(1-p^b)^T) LSH curve, tuned by
+    n_tables/n_planes. Planes derive from a fixed numpy seed.
+
+    Returns (id_a, id_b, score) with id_a < id_b, cosine ≥ threshold.
+    """
+    import numpy as np
+
+    dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    dim = dim_row[0]["d"] if dim_row else 0
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_tables, n_planes, dim)
+
+    def sig(vc: Column, t: int) -> Column:
+        s = F.lit(0)
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t][p]])
+            s = s + F.when(dot(vc, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return s
+
+    tables = F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), sig(F.col(vec_col), t).alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+    e = embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.explode(tables).alias("tb"),
+    ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+
+    a = e.select("t", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = e.select("t", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    cand = (
+        a.join(b, ["t", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = cand.select(
+        "id_a",
+        "id_b",
+        F.round(
+            dot(F.col("va"), F.col("vb"))
+            / (l2_norm(F.col("va")) * l2_norm(F.col("vb"))),
+            6,
+        ).alias("score"),
+    )
+    return scored.where(F.col("score") >= threshold)

@@ -379,6 +379,23 @@ class SearchIndex:
         )
         self.io.write(self._t("stats"), merged)
 
+    def compact(self) -> None:
+        """Iceberg-style index maintenance: rewrite the postings with
+        tombstoned ids physically dropped and the append-generated
+        small files coalesced (one file per term bucket), drop dead ids
+        from the doc ledger, and clear the tombstone set — after which
+        a previously-deleted id may be re-indexed by a later merge.
+        Stats are already tombstone-adjusted, so they are unchanged.
+        This is the one full-rewrite operation of the index; run it on
+        a maintenance cadence, not per batch."""
+        live = self.postings().repartition("tpart")
+        self.io.write(self._t("postings"), live, partition_by=["tpart"])
+        if self.io.exists(self._t("tombstones")):
+            dead = self.io.read(self._t("tombstones")).select("id")
+            kept = self.io.read(self._t("docs")).join(dead, "id", "left_anti")
+            self.io.write(self._t("docs"), kept)
+            self.io.drop(self._t("tombstones"))
+
     def postings(self) -> DataFrame:
         p = self.io.read(self._t("postings"))
         if self.io.exists(self._t("tombstones")):

@@ -568,3 +568,35 @@ SELECT q.query_id, w.id, round(SUM(w.w), 6) AS score
 FROM w JOIN qterms q USING (term)
 GROUP BY 1, 2
 """
+
+
+def q_embedding_near_dup(threshold: float = 0.9, every: int = 50) -> str:
+    """Exact all-pairs oracle for the embedding-cosine near-dup query:
+    the corpus is embeddings ∪ planted collinear copies (×1.07 scaled,
+    id + 100000 for every `every`-th vector). The Spark side uses
+    multi-table hyperplane blocking; collinear pairs collide in every
+    table deterministically and all non-planted pairs sit far below the
+    threshold (max pairwise cosine ≈ 0.48 in this corpus), so the
+    INDEPENDENT exact oracle must agree — a stronger check than
+    mirroring the blocking."""
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id,
+    list_transform(v, x -> x * 1.07) AS v
+  FROM base WHERE vec_id % {every} = 0
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    round(
+      list_dot_product(a.v, b.v)
+        / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+      6
+    ) AS score
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, score FROM pairs WHERE score >= {threshold}
+"""

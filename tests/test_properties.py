@@ -105,3 +105,80 @@ def test_temporal_randomized_invariants(spark):
     a = sorted(tuple(str(v) for v in r) for r in out.collect())
     b = sorted(tuple(str(v) for v in r) for r in again.collect())
     assert a == b
+
+
+def test_embedding_near_duplicates_blocking_recall(spark):
+    """Multi-table hyperplane blocking finds high-cosine planted pairs
+    (collinear: guaranteed; noisy ~0.98: by OR-amplification) and never
+    emits a pair below threshold; results are a subset of the exact
+    all-pairs answer."""
+    import numpy as np
+
+    from graphiti_spark.operators.docops import embedding_near_duplicates
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(40):
+        v = rng.randn(32)
+        rows.append((i, [float(x) for x in v]))
+        if i < 8:  # noisy near-duplicate, cosine ≈ 0.98-0.999
+            w = v + 0.1 * rng.randn(32)
+            rows.append((1000 + i, [float(x) for x in w]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r.id_a, r.id_b): r.score
+        for r in embedding_near_duplicates(emb, threshold=0.9).collect()
+    }
+    # exact answer by brute force
+    import itertools
+
+    vecs = dict(rows)
+    exact = {}
+    for (ia, va), (ib, vb) in itertools.combinations(rows, 2):
+        a, b = np.asarray(va), np.asarray(vb)
+        c = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+        if c >= 0.9:
+            exact[tuple(sorted((ia, ib)))] = c
+    assert set(got) <= set(exact)          # no false positives
+    assert len(got) >= 0.8 * len(exact)    # OR-amplified recall
+    assert len(exact) >= 8                  # the planted pairs exist
+    for k, v in got.items():
+        assert abs(v - exact[k]) < 2e-6
+
+
+def test_lsh_topk_or_amplification_improves_recall(spark):
+    """Multi-table OR-amplification lifts the chance of finding a TRUE
+    near neighbor (cos ≈ 0.98) to near-certainty, vs the single-table
+    variant's p^b per-table odds. (Hyperplane LSH is for high-cosine
+    neighbors; low-similarity 'neighbors' are out of scope by design.)"""
+    import numpy as np
+
+    from graphiti_spark.operators.docops import lsh_bucketed_topk
+
+    rng = np.random.RandomState(11)
+    base = [(i, rng.randn(32)) for i in range(60)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in base],
+        "vec_id long, embedding array<float>",
+    )
+    # queries = noisy copies of the first 12 vectors (cos ~0.97-0.999)
+    queries = spark.createDataFrame(
+        [
+            (f"q{i}", [float(x) for x in v + 0.12 * rng.randn(32)])
+            for i, v in base[:12]
+        ],
+        "query_id string, query_vec array<float>",
+    )
+
+    def hits(n_tables):
+        got = lsh_bucketed_topk(
+            emb, queries, k=3, n_planes=8, n_tables=n_tables
+        ).collect()
+        return sum(
+            1 for r in got if r.query_id == f"q{r.id}" and r.rank == 1
+        )
+
+    h1, h4 = hits(1), hits(4)
+    assert h4 >= h1
+    assert h4 >= 10  # ≥ 10/12 queries find their true neighbor at rank 1
+    assert h1 < 12   # the single table genuinely misses some

@@ -140,3 +140,36 @@ def test_index_search_many_matches_single(spark, docs, index):
     for qid, text in queries:
         solo = {r.id: round(r.score, 9) for r in index.search(text, limit=25).collect()}
         assert got.get(qid) == solo, qid
+
+
+def test_compact_drops_tombstones_and_coalesces_files(spark, docs, tmp_path_factory):
+    io = TableIO(spark, str(tmp_path_factory.mktemp("ftidx4")))
+    idx = SearchIndex(io, "doc")
+    half = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    rest = docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    idx.merge(half, "doc_id", "text")
+    idx.merge(rest, "doc_id", "text")
+    kill = [r.id for r in idx.search(BM25_QUERY, limit=3).collect()]
+    idx.delete(spark.createDataFrame([(k,) for k in kill], "id string"))
+    before = {(r.id, r.score) for r in idx.search(BM25_QUERY, limit=30).collect()}
+    stats_before = idx.stats().collect()[0]
+    n_rows_before = idx.postings().count()
+
+    idx.compact()
+
+    # identical search results, stats unchanged, tombstones gone
+    after = {(r.id, r.score) for r in idx.search(BM25_QUERY, limit=30).collect()}
+    assert after == before
+    assert idx.stats().collect()[0] == stats_before
+    assert not io.exists("doc_tombstones")
+    assert idx.postings().count() == n_rows_before  # dead rows physically gone
+    # one file per term bucket after compaction (small files coalesced)
+    files = _posting_files(idx)
+    per_bucket = {}
+    for path in files:
+        per_bucket.setdefault(path.split("/")[0], []).append(path)
+    assert all(len(v) == 1 for v in per_bucket.values())
+    # a compacted-away id can be re-indexed by a later merge
+    one = docs.where(F.col("doc_id") == kill[0])
+    idx.merge(one, "doc_id", "text")
+    assert kill[0] in {r.id for r in idx.search(BM25_QUERY, limit=5).collect()}
