@@ -407,6 +407,23 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_bucketed_topk(emb, queries_df, k=10)
 
 
+def _q_media_frames(spark, sf_dir):
+    """Frame sampling over the media catalog (operators/multimodal
+    sample_frames, force=True so the all-img synthetic corpus exercises
+    the multi-frame path): content projected as its hex digest so the
+    binary column is oracle-comparable."""
+    from graphiti_spark.operators.multimodal import media_catalog, sample_frames
+
+    eps = synthesize_episodes(spark, sf_dir)
+    frames = sample_frames(media_catalog(eps), force=True)
+    return frames.select(
+        "media_ref",
+        "frame_idx",
+        "ts_ms",
+        F.lower(F.hex("content")).alias("content_sha"),
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """One row per (media span, histogram bin): the codec's integer
     pre-normalization histogram is an exact cross-engine surface (the
@@ -471,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "communities": _q_communities,
         "ann_lsh": _q_ann_lsh,
         "media_features": _q_media_features,
+        "media_frames": _q_media_frames,
     }
 
 
@@ -512,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "as_of_join": oo.q_as_of_join(),
         "interval_join": oo.q_interval_join(),
         "media_features": oo.q_media_features(),
+        "media_frames": oo.q_media_frames(),
         # communities / ann_lsh: intentionally no oracle
         # (iterative or UDF-bound) → driver rows-only check
     }

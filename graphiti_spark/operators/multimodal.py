@@ -14,6 +14,11 @@ training-data pipeline:
   image/audio libraries are not in this container — behind
   ``FakeCodec`` (deterministic bytes→features) and ``RealCodec``
   (raises NotImplementedError with the integration contract).
+- ``resize_media``: Arrow-batched resize (``FakeResizer`` stand-in,
+  same signature a PIL/opencv implementation slots into).
+- ``sample_frames``: per-media frame explosion (video frame sampling;
+  pure column ops + explode, zero Python — the per-frame decode is the
+  stubbed step).
 
 Scale notes: media work is embarrassingly parallel keyed by media_ref
 hash; the feature stage is one Arrow-batched pass with no shuffle; the
@@ -149,3 +154,133 @@ def decode_features(catalog: DataFrame, codec=None) -> DataFrame:
             )
 
     return catalog.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# resize + frame sampling (the remaining media stages of a training-data
+# pipeline; codecs stubbed like decode_features — the container has no
+# image/video libraries — but the Spark plumbing is real and tested)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("media_type", T.StringType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("content", T.BinaryType(), False),
+        T.StructField("content_len", T.IntegerType(), False),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_ref", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("ts_ms", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+
+@dataclass
+class FakeResizer:
+    """Deterministic stand-in for an image resizer (PIL/opencv):
+    output bytes = sha256 stream keyed on (payload, w, h), length
+    min(w*h, 64). A real implementation decodes `content`, resizes,
+    re-encodes — same signature, same schema."""
+
+    def resize_batch(
+        self, refs: pd.Series, payloads: pd.Series, width: int, height: int
+    ) -> pd.Series:
+        out = []
+        for ref, b in zip(refs, payloads):
+            seed = (bytes(b) if b is not None else ref.encode()) + bytes(
+                f"|{width}x{height}", "utf-8"
+            )
+            n = min(width * height, 64)
+            stream = b""
+            ctr = 0
+            while len(stream) < n:
+                stream += hashlib.sha256(seed + bytes([ctr])).digest()
+                ctr += 1
+            out.append(stream[:n])
+        return pd.Series(out)
+
+
+def resize_media(
+    catalog: DataFrame, width: int, height: int, resizer=None
+) -> DataFrame:
+    """Arrow-batched resize over the media catalog: one mapInPandas
+    pass, no shuffle — embarrassingly parallel keyed by media_ref."""
+    resizer = resizer or FakeResizer()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = resizer.resize_batch(
+                pdf["media_ref"], pdf["content"], width, height
+            )
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"].values,
+                    "media_type": pdf["media_type"].values,
+                    "width": width,
+                    "height": height,
+                    "content": resized.values,
+                    "content_len": resized.map(len).values,
+                }
+            )
+
+    return catalog.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def _frame_count_col(media_ref, media_type, max_frames: int, force: bool):
+    """Deterministic per-media frame count: videos (or everything when
+    ``force``) sample 1 + md5_u32(ref) % max_frames frames; stills are
+    a single frame. md5-derived so the DuckDB oracle reproduces it
+    exactly (md5_number_lower % 2^32)."""
+    v = F.lit(0).cast("long")
+    for k in range(4):
+        byte = F.conv(F.substring(F.md5(media_ref), 17 + 2 * k, 2), 16, 10).cast(
+            "long"
+        )
+        v = v + byte * (256 ** k)
+    sampled = (F.lit(1) + F.pmod(v, F.lit(max_frames))).cast("int")
+    if force:
+        return sampled
+    return F.when(media_type == "video", sampled).otherwise(F.lit(1))
+
+
+def sample_frames(
+    catalog: DataFrame,
+    max_frames: int = 6,
+    frame_interval_ms: int = 1000,
+    force: bool = False,
+) -> DataFrame:
+    """Frame sampling: explode each media item into its sampled frames
+    (JVM-side sequence explode — the per-frame DECODE is the stubbed
+    step; frame content here is the deterministic sha256(ref|idx)
+    placeholder a real ffmpeg-backed codec would replace).
+
+    ``force=True`` samples stills too (the synthetic corpus is all
+    img:// refs; forcing exercises the multi-frame path end-to-end).
+    Scale shape: pure column ops + explode, no shuffle, no Python.
+    """
+    n = _frame_count_col(F.col("media_ref"), F.col("media_type"), max_frames, force)
+    frames = catalog.select(
+        "media_ref",
+        F.explode(F.sequence(F.lit(0), n - 1)).alias("frame_idx"),
+    )
+    content = F.to_binary(
+        F.sha2(
+            F.concat_ws("|", F.col("media_ref"), F.col("frame_idx").cast("string")),
+            256,
+        ),
+        F.lit("hex"),
+    )
+    return frames.select(
+        "media_ref",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("frame_idx").cast("long") * frame_interval_ms).alias("ts_ms"),
+        content.alias("content"),
+    )

@@ -600,3 +600,29 @@ pairs AS (
 )
 SELECT id_a, id_b, score FROM pairs WHERE score >= {threshold}
 """
+
+
+def q_media_frames(max_frames: int = 6, interval_ms: int = 1000) -> str:
+    """Frame-sampling oracle: per media span, 1 + (md5_u32(ref) %
+    max_frames) frames; frame content is sha256(ref|idx) — both
+    reproducible exactly in DuckDB (md5_number_lower / sha256)."""
+    from .oracle import q_spans
+
+    spans_sql = q_spans().strip()
+    return f"""
+WITH spans_q AS ({spans_sql}),
+media AS (SELECT media_ref FROM spans_q WHERE kind = 'media'),
+counted AS (
+  SELECT media_ref,
+    1 + CAST(md5_number_lower(media_ref) % 4294967296 AS BIGINT) % {max_frames} AS n
+  FROM media
+),
+frames AS (
+  SELECT media_ref, CAST(u.i AS INT) AS frame_idx
+  FROM counted, UNNEST(generate_series(0, CAST(n - 1 AS INT))) AS u(i)
+)
+SELECT media_ref, frame_idx,
+  CAST(frame_idx AS BIGINT) * {interval_ms} AS ts_ms,
+  sha256(media_ref || '|' || CAST(frame_idx AS VARCHAR)) AS content_sha
+FROM frames
+"""

@@ -71,3 +71,55 @@ def test_decode_features_series_codec(spark):
     cat = media_catalog(synthesize_episodes(spark, SF_SMOKE)).limit(3)
     rows = decode_features(cat, codec=SeriesCodec()).collect()
     assert rows and all(r.hist is None for r in rows)
+
+
+def test_resize_media_plumbing(spark):
+    from graphiti_spark.operators.multimodal import FakeResizer, resize_media
+
+    cat = media_catalog(synthesize_episodes(spark, SF_SMOKE)).limit(10)
+    r1 = {r.media_ref: bytes(r.content) for r in resize_media(cat, 8, 8).collect()}
+    r2 = {r.media_ref: bytes(r.content) for r in resize_media(cat, 8, 8).collect()}
+    assert r1 == r2 and len(r1) == 10  # deterministic
+    for v in r1.values():
+        assert len(v) == 64  # min(8*8, 64)
+    r3 = {r.media_ref: bytes(r.content) for r in resize_media(cat, 4, 4).collect()}
+    assert all(len(v) == 16 for v in r3.values())
+    assert all(r3[k] != r1[k][:16] for k in r3)  # dims key the stream
+    # codec batch contract directly
+    out = FakeResizer().resize_batch(
+        pd.Series(["img://a"]), pd.Series([b"\x01"]), 2, 2
+    )
+    assert len(out) == 1 and len(out.iloc[0]) == 4
+
+
+def test_sample_frames_semantics(spark):
+    from graphiti_spark.operators.multimodal import sample_frames
+
+    cat = media_catalog(synthesize_episodes(spark, SF_SMOKE))
+    # default: stills collapse to a single frame
+    stills = sample_frames(cat)
+    per = stills.groupBy("media_ref").count().collect()
+    assert per and all(r["count"] == 1 for r in per)
+    # forced: 1..max frames, contiguous idx, ts = idx * interval
+    forced = sample_frames(cat, max_frames=6, force=True)
+    rows = forced.collect()
+    by_ref = {}
+    for r in rows:
+        by_ref.setdefault(r.media_ref, []).append(r)
+    assert any(len(v) > 1 for v in by_ref.values())
+    for ref, frames in by_ref.items():
+        idxs = sorted(f.frame_idx for f in frames)
+        assert idxs == list(range(len(idxs)))
+        assert 1 <= len(idxs) <= 6
+        for f in frames:
+            assert f.ts_ms == f.frame_idx * 1000
+            assert len(bytes(f.content)) == 32
+
+
+def test_sample_frames_plan_is_pure_jvm(spark):
+    """Frame explosion is column ops + explode — no Python stage."""
+    from graphiti_spark.operators.multimodal import sample_frames
+    from graphiti_spark.plans.explain import scan_summary
+
+    cat = media_catalog(synthesize_episodes(spark, SF_SMOKE))
+    scan_summary(sample_frames(cat, force=True)).assert_no_python()
