@@ -1,7 +1,8 @@
 """Training-data pipeline operators over the `documents` /
 `embeddings` tables: dedup (exact, MinHash-LSH + n-gram Jaccard,
-SimHash), similarity search (brute-force + LSH-bucketed ANN), and text
-analysis (language id, quality scoring, token stats, fingerprinting).
+SimHash, embedding-cosine), similarity search (brute-force baseline +
+LSH-bucketed and IVF ANN scale paths), and text analysis (language id,
+quality scoring, token stats incl. BPE-ish counts, fingerprinting).
 
 These are first-class engine components beyond the reference's own
 operator set — what a 100 TB corpus-preparation pipeline needs around
@@ -40,8 +41,18 @@ STOPWORDS = {
 }
 
 
+# GPT-2-style pre-tokenizer shape (word / number / punctuation runs,
+# each absorbing one leading space) — the "BPE-ish" token estimate; a
+# real BPE vocab would further split rare words, so this is the lower
+# bound a tokenizer-budget pipeline plans with. Same RE2-compatible
+# pattern runs in DuckDB for the oracle.
+BPE_ISH_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
-    """(doc_id, n_tokens, n_distinct_tokens, n_chars, avg_token_len)."""
+    """(doc_id, n_tokens, n_distinct_tokens, n_chars, avg_token_len,
+    n_bpe_tokens) — whitespace tokens + the BPE-ish pre-tokenizer
+    count."""
     toks = tokenize(F.col("text"))
     return documents.select(
         "doc_id",
@@ -53,6 +64,9 @@ def token_stats(documents: DataFrame) -> DataFrame:
             / F.greatest(F.size(toks), F.lit(1)),
             6,
         ).alias("avg_token_len"),
+        F.size(
+            F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), F.lit(0))
+        ).cast("long").alias("n_bpe_tokens"),
     )
 
 
@@ -457,3 +471,109 @@ def embedding_near_duplicates(
         ).alias("score"),
     )
     return scored.where(F.col("score") >= threshold)
+
+
+def train_ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    sample_cap: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """Coarse quantizer for IVF: a few Lloyd iterations over a bounded,
+    deterministic sample (ordered-id head — at 100 TB you train the
+    quantizer on a sample regardless; the cap bounds driver memory).
+    Returns a list of np.ndarray centroids, broadcast by the caller."""
+    import numpy as np
+
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(n_iters):
+        d = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cents)):
+            m = x[assign == c]
+            if len(m):
+                cents[c] = m.mean(axis=0)
+    return [c for c in cents]
+
+
+def _assign_centroids(
+    df: DataFrame, centroids, vec_col: str, out_col: str, top: int = 1
+) -> DataFrame:
+    """Nearest-centroid assignment as a broadcast join + per-row argmin
+    window — linear in |df| × n_centroids, never corpus × corpus."""
+    spark = df.sparkSession
+    cdf = F.broadcast(
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+            "centroid int, cvec array<double>",
+        )
+    )
+    vc = F.col(vec_col)
+    dist = F.aggregate(
+        F.zip_with(vc, F.col("cvec"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = df.crossJoin(cdf).withColumn("_dist", dist)
+    w = Window.partitionBy(*df.columns).orderBy("_dist", "centroid")
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= top)
+        .withColumnRenamed("centroid", out_col)
+        .drop("cvec", "_dist", "_rk")
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    centroids=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN — the second scale path next to
+    hyperplane LSH: a coarse k-means quantizer buckets the corpus by
+    nearest centroid; each query probes only its ``n_probe`` nearest
+    centroids' buckets, then scores exactly inside them. Candidates =
+    corpus rows in probed buckets (≈ n_probe/n_centroids of the data),
+    never an all-pairs cross join. Deterministic given the seeded
+    quantizer. Returns (query_id, id, score, rank), cosine-scored."""
+    centroids = centroids if centroids is not None else train_ivf_centroids(
+        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    emb_b = _assign_centroids(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        centroids, "v", "bucket", top=1,
+    )
+    q_b = _assign_centroids(
+        queries.select("query_id", F.col("query_vec").alias("qv")),
+        centroids, "qv", "bucket", top=n_probe,
+    )
+    scored = emb_b.join(F.broadcast(q_b), "bucket").select(
+        "query_id",
+        "id",
+        F.round(
+            dot(F.col("v"), F.col("qv")) / (l2_norm(F.col("v")) * l2_norm(F.col("qv"))),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )

@@ -41,7 +41,9 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
   CAST(length(text) AS BIGINT) AS n_chars,
   round(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0)
-        / greatest(len(toks), 1), 6) AS avg_token_len
+        / greatest(len(toks), 1), 6) AS avg_token_len,
+  CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+')) AS BIGINT)
+    AS n_bpe_tokens
 FROM t
 """
 

@@ -182,3 +182,34 @@ def test_lsh_topk_or_amplification_improves_recall(spark):
     assert h4 >= h1
     assert h4 >= 10  # ≥ 10/12 queries find their true neighbor at rank 1
     assert h1 < 12   # the single table genuinely misses some
+
+
+def test_ivf_topk_probes_find_planted_neighbors(spark):
+    """IVF ANN: a query probing its n_probe nearest centroid buckets
+    finds its true near neighbor (a noisy copy lands in the same or an
+    adjacent bucket); candidates are a fraction of the corpus."""
+    import numpy as np
+
+    from graphiti_spark.operators.docops import ivf_topk, train_ivf_centroids
+
+    rng = np.random.RandomState(3)
+    # 4 well-separated cluster centers, 30 points each
+    centers = rng.randn(4, 24) * 4
+    rows = []
+    i = 0
+    for c in range(4):
+        for _ in range(30):
+            rows.append((i, [float(x) for x in centers[c] + rng.randn(24)]))
+            i += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [
+            (f"q{vid}", [float(x) for x in np.asarray(v) + 0.05 * rng.randn(24)])
+            for vid, v in rows[::15]
+        ],
+        "query_id string, query_vec array<double>",
+    )
+    cents = train_ivf_centroids(emb, n_centroids=8, sample_cap=1000)
+    got = ivf_topk(emb, queries, k=1, n_probe=2, centroids=cents).collect()
+    hits = sum(1 for r in got if r.query_id == f"q{r.id}")
+    assert hits >= int(0.9 * queries.count())  # near-perfect top-1 recall
