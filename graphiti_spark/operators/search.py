@@ -84,6 +84,17 @@ def term_bucket_col(term: Column, n_buckets: int = TERM_BUCKETS) -> Column:
     return F.pmod(F.crc32(term.cast("binary")), F.lit(n_buckets)).cast("int")
 
 
+
+def _rank_order(score_col: str = "score", id_col: str = "id"):
+    """Deterministic ranking keys: sort on the score ROUNDED to 9
+    digits (descending), then id. Mathematically-tied scores can differ
+    in their last float bits depending on aggregation order (inline vs
+    persisted-index plans sum per-term weights in different orders);
+    rounding the SORT KEY — never the returned score — makes every
+    ranking, cut, and RRF contribution identical across plans."""
+    return [F.desc(F.round(F.col(score_col), 9)), F.col(id_col)]
+
+
 def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, term, tf, dl, tpart) posting rows + per-doc length. tpart is
     the term's hash bucket — the persisted index's partition key, so a
@@ -222,7 +233,7 @@ def fulltext_search_many(
     if postings is None:
         postings = build_postings(df, id_col, text_col)
     scored = bm25_score_many(postings, queries, stats=stats)
-    wq = Window.partitionBy("query_id").orderBy(F.desc("score"), "id")
+    wq = Window.partitionBy("query_id").orderBy(*_rank_order())
     return (
         scored.withColumn("rank", F.row_number().over(wq))
         .where(F.col("rank") <= limit)
@@ -260,7 +271,7 @@ def fulltext_search(
             postings = postings.join(F.broadcast(ids), "id", "left_semi")
     return (
         bm25_score(postings, query, stats=stats)
-        .orderBy(F.desc("score"), "id")
+        .orderBy(*_rank_order())
         .limit(limit)
     )
 
@@ -461,7 +472,7 @@ def similarity_search(
     )
     return (
         scored.where(F.col("score") > min_score)
-        .orderBy(F.desc("score"), "id")
+        .orderBy(*_rank_order())
         .limit(limit)
     )
 
@@ -521,7 +532,7 @@ def rrf(ranked: list[DataFrame], min_score: float = 0.0) -> DataFrame:
     window instead."""
     parts = []
     for df in ranked:
-        w = Window.orderBy(F.desc("score"), "id")
+        w = Window.orderBy(*_rank_order())
         parts.append(
             df.withColumn("rank", F.row_number().over(w) - 1).select(
                 "id", (1.0 / (F.col("rank") + 1)).alias("contrib")
@@ -534,7 +545,7 @@ def rrf(ranked: list[DataFrame], min_score: float = 0.0) -> DataFrame:
         u.groupBy("id")
         .agg(F.sum("contrib").alias("score"))
         .where(F.col("score") >= min_score)
-        .orderBy(F.desc("score"), "id")
+        .orderBy(*_rank_order())
     )
 
 
@@ -551,7 +562,7 @@ def rrf_many(
     multi-query read path)."""
     parts = []
     for df in ranked:
-        w = Window.partitionBy(query_col).orderBy(F.desc("score"), "id")
+        w = Window.partitionBy(query_col).orderBy(*_rank_order())
         parts.append(
             df.withColumn("rank", F.row_number().over(w) - 1).select(
                 query_col, "id", (1.0 / (F.col("rank") + 1)).alias("contrib")
@@ -566,7 +577,7 @@ def rrf_many(
         .where(F.col("score") >= min_score)
     )
     if limit is not None:
-        wq = Window.partitionBy(query_col).orderBy(F.desc("score"), "id")
+        wq = Window.partitionBy(query_col).orderBy(*_rank_order())
         fused = fused.withColumn("rank", F.row_number().over(wq)).where(
             F.col("rank") <= limit
         ).drop("rank")

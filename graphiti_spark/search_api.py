@@ -248,12 +248,16 @@ def _run_lane(
     bfs_origins: list[str] | None,
     lane: str = "nodes",
     cross_encoder: "CrossEncoder | None" = None,
+    index=None,
 ) -> DataFrame:
     lanes = []
     if "bm25" in cfg.methods:
         lanes.append(
             fulltext_search(
-                df, id_col, text_col, query, limit=2 * cfg.limit, group_ids=group_ids
+                df, id_col, text_col, query, limit=2 * cfg.limit,
+                group_ids=group_ids,
+                postings=index.postings() if index is not None else None,
+                stats=index.stats() if index is not None else None,
             )
         )
     if "cosine" in cfg.methods and vec_col is not None:
@@ -323,13 +327,19 @@ def search(
     center_uuid: str | None = None,
     bfs_origins: list[str] | None = None,
     cross_encoder: CrossEncoder | None = None,
+    indexes: dict | None = None,
 ) -> SearchResults:
     """episodes_text: (doc_id/uuid, group_id, content) — build with
     ``episode_content``. Edge lane needs a fact_embedding column
     (``with_fact_embeddings``). ``cross_encoder``: pluggable R3 scorer
     (default TokenOverlapCrossEncoder; Bm25CrossEncoder for graded
     deterministic scores; wrap a logprob client for the reference's
-    LLM scorer)."""
+    LLM scorer). ``indexes``: optional {"edges"|"nodes"|"episodes"|
+    "communities": SearchIndex} — BM25 lanes then read the persisted,
+    term-bucketed index (the ones materialize_graph(search_indexes=
+    True) maintains as ft_edges/ft_nodes/ft_episodes) instead of
+    re-tokenizing the table per query."""
+    indexes = indexes or {}
     if query_vec is None:
         query_vec = [float(x) for x in hash_embed_py(query)]
     res = SearchResults()
@@ -337,25 +347,27 @@ def search(
         res.edges = _run_lane(
             edges, "uuid", "fact", "fact_embedding", config.edges, query, query_vec,
             group_ids, edges, mentions, center_uuid, bfs_origins, lane="edges",
-            cross_encoder=cross_encoder,
+            cross_encoder=cross_encoder, index=indexes.get("edges"),
         )
     if config.nodes is not None and nodes is not None:
         res.nodes = _run_lane(
             nodes, "uuid", "name", "name_embedding", config.nodes, query, query_vec,
             group_ids, edges, mentions, center_uuid, bfs_origins, lane="nodes",
-            cross_encoder=cross_encoder,
+            cross_encoder=cross_encoder, index=indexes.get("nodes"),
         )
     if config.episodes is not None and episodes_text is not None:
         res.episodes = _run_lane(
             episodes_text, "doc_id", "content", None, config.episodes, query,
             query_vec, group_ids, edges, mentions, center_uuid, bfs_origins,
             lane="episodes", cross_encoder=cross_encoder,
+            index=indexes.get("episodes"),
         )
     if config.communities is not None and communities is not None:
         res.communities = _run_lane(
             communities, "uuid", "name", "name_embedding", config.communities,
             query, query_vec, group_ids, edges, mentions, center_uuid, bfs_origins,
             lane="communities", cross_encoder=cross_encoder,
+            index=indexes.get("communities"),
         )
     return res
 
@@ -441,7 +453,11 @@ def search_many(
     )
     if min_score is not None:
         scored = scored.where(F.col("score") > min_score)
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "id")
+    # rounded rank key: deterministic tie-breaks across plan shapes
+    # (see operators.search._rank_order)
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc(F.round("score", 9)), F.col("id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= limit)

@@ -243,3 +243,28 @@ def test_search_indexes_maintained_incrementally(spark, episodes, tmp_path_facto
     live_nodes = {r.uuid for r in io.read("nodes").select("uuid").collect()}
     nidx_ids = {r.id for r in nidx.postings().select("id").distinct().collect()}
     assert nidx_ids == live_nodes
+
+
+def test_search_uses_materialized_indexes(spark, episodes, tmp_path_factory):
+    """search(indexes=...) over the materialize-maintained indexes
+    returns exactly what the inline (re-tokenizing) path returns."""
+    from graphiti_spark.operators.search import SearchIndex
+    from graphiti_spark.search_api import (
+        EDGE_HYBRID_SEARCH_RRF,
+        episode_content,
+        search,
+        with_fact_embeddings,
+    )
+
+    d = str(tmp_path_factory.mktemp("ftuse"))
+    io = materialize_graph(spark, episodes, d, search_indexes=True)
+    edges = with_fact_embeddings(io.read("edges"))
+    q = "works for acme corp"
+    inline = search(q, EDGE_HYBRID_SEARCH_RRF(), edges=edges)
+    indexed = search(
+        q, EDGE_HYBRID_SEARCH_RRF(), edges=edges,
+        indexes={"edges": SearchIndex(io, "ft_edges")},
+    )
+    a = {(r.id, round(r.score, 9)) for r in inline.edges.collect()}
+    b = {(r.id, round(r.score, 9)) for r in indexed.edges.collect()}
+    assert a == b and a
