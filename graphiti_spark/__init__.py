@@ -43,6 +43,7 @@ def __getattr__(name):
         "TableIO": ("graphiti_spark.io.tables", "TableIO"),
         "SearchIndex": ("graphiti_spark.operators.search", "SearchIndex"),
         "RECIPES": ("graphiti_spark.search_api", "RECIPES"),
+        "GraphitiSpark": ("graphiti_spark.graphiti", "GraphitiSpark"),
     }
     if name in surface:
         import importlib

@@ -1,0 +1,283 @@
+"""GraphitiSpark — the reference's top-level ``Graphiti`` class
+(graphiti_core/graphiti.py) re-expressed as a thin facade over the
+engine's tables and operators, so a user of the reference can switch
+entry point for entry point:
+
+| reference (graphiti.py)          | here                               |
+|----------------------------------|------------------------------------|
+| ``add_episode`` (:351)           | ``add_episodes`` (batch-of-one)    |
+| ``add_episode_bulk`` (:540)      | ``add_episodes``                   |
+| ``search`` / ``search_`` (:698)  | ``search``                         |
+| ``add_triplet`` (:811)           | ``add_triplet``                    |
+| ``build_communities`` (:667)     | ``build_communities``              |
+| ``remove_episode`` (:851)        | ``remove_episode``                 |
+| ``get_nodes_and_edges_by_episode`` (:797) | ``episode_subgraph``      |
+| ``retrieve_episodes`` (:…/graph_data_operations.py:86) | ``retrieve_episodes`` |
+| ``build_indices_and_constraints`` (graph_data_operations.py:32) | table partition specs are created on write; ``search_indexes=True`` maintains the fulltext indexes |
+
+Everything is a view over the materialized tables — the facade holds a
+``TableIO`` root plus options, no other state (exactly how the
+reference treats Neo4j as its only state, README.md:77).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import corpus
+from .io.tables import TableIO
+from .materialize import materialize_graph
+from .search_api import (
+    EDGE_HYBRID_SEARCH_RRF,
+    CrossEncoder,
+    SearchConfig,
+    SearchResults,
+    episode_content,
+    search as _search,
+    with_fact_embeddings,
+)
+
+
+class GraphitiSpark:
+    """Facade over one graph root directory.
+
+    >>> g = GraphitiSpark(spark, "/data/graph", search_indexes=True)
+    >>> g.add_episodes(episodes_df)            # incremental, O(batch)
+    >>> g.search("who works for acme?")        # 4-lane hybrid read
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        batch_time: str = corpus.BATCH_TIME,
+        search_indexes: bool = False,
+    ):
+        self.spark = spark
+        self.io = TableIO(spark, root)
+        self.batch_time = batch_time
+        self.search_indexes = search_indexes
+
+    # -- tables -------------------------------------------------------------
+
+    def table(self, name: str) -> DataFrame:
+        return self.io.read(name)
+
+    @property
+    def nodes(self) -> DataFrame:
+        return self.table("nodes")
+
+    @property
+    def edges(self) -> DataFrame:
+        return self.table("edges")
+
+    @property
+    def episodes(self) -> DataFrame:
+        return self.table("episodes")
+
+    @property
+    def mentions(self) -> DataFrame:
+        return self.table("mentions")
+
+    # -- write path ---------------------------------------------------------
+
+    def add_episodes(self, episodes: DataFrame, **kwargs) -> TableIO:
+        """add_episode / add_episode_bulk: run the extraction →
+        resolution → bi-temporal pipeline incrementally into the graph
+        tables (plus the invalidation stage the reference's bulk mode
+        omits). A 1-row DataFrame is the reference's add_episode."""
+        return materialize_graph(
+            self.spark,
+            episodes,
+            self.io.root,
+            batch_time=self.batch_time,
+            incremental=True,
+            skip_completed=False,
+            search_indexes=self.search_indexes,
+            **kwargs,
+        )
+
+    def add_triplet(
+        self,
+        group_id: str,
+        subj_name: str,
+        predicate: str,
+        obj_name: str,
+        valid_at: str,
+        fact: str | None = None,
+    ) -> None:
+        """Manual triple insert (graphiti.py:811-849): one
+        properly-shaped edge row routed through the SAME pair-scoped
+        merge as pipeline output — deterministic ids, provenance union
+        on collision, bi-temporal re-rectification of exactly the
+        touched pair's bucket."""
+        from pyspark.sql import functions as F
+
+        from .materialize import EDGE_COLS, merge_edges
+        from .pipeline import edge_attributes_col
+        from .schemas import edge_uuid, entity_uuid
+
+        row = self.spark.createDataFrame(
+            [(group_id, subj_name, predicate, obj_name, valid_at)],
+            "group_id string, subj_name string, predicate string, "
+            "obj_name string, valid_at string",
+        ).select(
+            "group_id",
+            entity_uuid(F.col("group_id"), F.col("subj_name")).alias(
+                "source_node_uuid"
+            ),
+            "predicate",
+            entity_uuid(F.col("group_id"), F.col("obj_name")).alias(
+                "target_node_uuid"
+            ),
+            F.col("valid_at").cast("timestamp").alias("valid_at"),
+            "subj_name",
+            "obj_name",
+            (
+                F.lit(fact)
+                if fact is not None
+                else F.concat_ws(
+                    " ", F.col("subj_name"), F.col("predicate"), F.col("obj_name")
+                )
+            ).alias("fact"),
+            F.array().cast("array<string>").alias("episodes"),
+            F.lit(self.batch_time).cast("timestamp").alias("created_at"),
+            F.lit(None).cast("timestamp").alias("invalid_at"),
+            F.lit(None).cast("timestamp").alias("expired_at"),
+            edge_attributes_col("predicate").alias("attributes"),
+        )
+        row = row.withColumn(
+            "uuid",
+            edge_uuid(
+                F.col("group_id"), F.col("source_node_uuid"), F.col("predicate"),
+                F.col("target_node_uuid"), F.col("valid_at"),
+            ),
+        ).select(*EDGE_COLS)
+        merge_edges(self.io, row)
+
+    def remove_episode(self, doc_id: str) -> None:
+        """S8 cascade: drop the episode, its solely-evidenced edges,
+        and orphaned entities (graphiti.py:851-886). Table partition
+        layouts are preserved; the episode_edges index and node_stats
+        follow the new state."""
+        from pyspark.sql import functions as F
+
+        from .materialize import N_BUCKETS, _rebuild_episode_edges
+        from .operators.maintenance import remove_episode as _rm
+
+        affected = (
+            self.mentions.where(F.col("doc_id") == doc_id)
+            .select("entity_uuid")
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        out = _rm(doc_id, self.episodes, self.edges, self.mentions, self.nodes)
+        layout = {
+            "episodes": "part", "edges": "epart", "mentions": "mpart",
+            "nodes": None,
+        }
+        # write order matters: new_nodes' plan reads the OLD mentions
+        # files (orphan check), so nodes must be written before the
+        # mentions snapshot swap replaces them
+        for name in ("nodes", "episodes", "edges", "mentions"):
+            df = out[name]
+            pcol = layout.get(name)
+            pby = [pcol] if pcol and pcol in df.columns else None
+            self.io.write(name, df, partition_by=pby)
+        _rebuild_episode_edges(self.io, self.edges, N_BUCKETS)
+        if self.io.exists("node_stats"):
+            fresh = (
+                self.mentions.join(F.broadcast(affected), "entity_uuid", "left_semi")
+                .groupBy("entity_uuid")
+                .agg(F.countDistinct("doc_id").alias("n_episodes"))
+            )
+            kept = self.io.read("node_stats").join(
+                F.broadcast(affected), "entity_uuid", "left_anti"
+            )
+            self.io.write("node_stats", kept.unionByName(fresh))
+
+    # -- read path ----------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        config: SearchConfig | None = None,
+        group_ids: list[str] | None = None,
+        center_uuid: str | None = None,
+        bfs_origins: list[str] | None = None,
+        cross_encoder: CrossEncoder | None = None,
+    ) -> SearchResults:
+        """The 4-lane hybrid search over the graph tables; defaults to
+        EDGE_HYBRID_SEARCH_RRF like the reference's simple ``search``
+        (graphiti.py:739-742). Uses the persisted fulltext indexes when
+        the facade maintains them."""
+        config = config or EDGE_HYBRID_SEARCH_RRF()
+        indexes = {}
+        if self.search_indexes:
+            from .operators.search import SearchIndex
+
+            for lane, prefix in (
+                ("edges", "ft_edges"),
+                ("nodes", "ft_nodes"),
+                ("episodes", "ft_episodes"),
+            ):
+                idx = SearchIndex(self.io, prefix)
+                if idx.exists():
+                    indexes[lane] = idx
+        communities = (
+            self.table("communities") if self.io.exists("communities") else None
+        )
+        return _search(
+            query,
+            config,
+            nodes=self.nodes,
+            edges=with_fact_embeddings(self.edges),
+            episodes_text=episode_content(self.episodes),
+            communities=communities,
+            mentions=self.mentions,
+            group_ids=group_ids,
+            center_uuid=center_uuid,
+            bfs_origins=bfs_origins,
+            cross_encoder=cross_encoder,
+            indexes=indexes,
+        )
+
+    def retrieve_episodes(
+        self, reference_time: str, last_n: int = 10,
+        group_ids: list[str] | None = None,
+    ) -> DataFrame:
+        """T6 point-in-time episode retrieval."""
+        from .operators.maintenance import retrieve_episodes as _re
+
+        return _re(
+            self.episodes, reference_time, last_n=last_n, group_ids=group_ids
+        )
+
+    def episode_subgraph(self, doc_ids: list[str]):
+        """get_nodes_and_edges_by_episode (graphiti.py:797-809), via
+        the episode_edges forward-pointer index."""
+        from .operators.graph_api import episode_subgraph as _sub
+
+        ee = (
+            self.table("episode_edges")
+            if self.io.exists("episode_edges")
+            else None
+        )
+        return _sub(doc_ids, self.nodes, self.edges, self.mentions,
+                    episode_edges=ee)
+
+    # -- communities --------------------------------------------------------
+
+    def build_communities(self) -> None:
+        """C2+C3: detect + build + persist community tables."""
+        from .operators.community import build_communities, detect_communities
+
+        membership = detect_communities(self.edges, self.nodes)
+        comms, members = build_communities(membership, self.nodes, self.batch_time)
+        self.io.write("communities", comms)
+        self.io.write("community_members", members)
+
+    def remove_communities(self) -> None:
+        from .operators.graph_api import remove_communities as _rc
+
+        _rc(self.io)

@@ -1,0 +1,97 @@
+"""GraphitiSpark facade: the reference's Graphiti entry points driven
+end-to-end over one graph root (add_episodes → search → add_triplet →
+communities → remove_episode)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.graphiti import GraphitiSpark
+from graphiti_spark.synth import synthesize_episodes
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def graph(spark, tmp_path_factory):
+    g = GraphitiSpark(
+        spark, str(tmp_path_factory.mktemp("facade")), search_indexes=True
+    )
+    eps = synthesize_episodes(spark, SF_SMOKE)
+    # two incremental batches, like the reference's sequential queue
+    eps_b = eps.withColumn("b", F.pmod(F.xxhash64("doc_id"), F.lit(2)).cast("int"))
+    g.add_episodes(eps_b.where(F.col("b") == 0).drop("b"))
+    g.add_episodes(eps_b.where(F.col("b") == 1).drop("b"))
+    return g
+
+
+def test_add_episodes_builds_graph(spark, graph):
+    assert graph.nodes.count() > 0
+    assert graph.edges.count() > 0
+    assert graph.mentions.count() > 0
+    assert graph.io.exists("ft_edges_postings")  # indexes maintained
+
+
+def test_default_search_uses_persisted_index(spark, graph):
+    res = graph.search("works for acme corp")
+    rows = res.edges.collect()
+    assert rows and len(rows) <= 10
+    live = {r.uuid for r in graph.edges.select("uuid").collect()}
+    assert all(r.id in live for r in rows)
+
+
+def test_add_triplet_merges_and_rectifies(spark, graph):
+    before = graph.edges.count()
+    graph.add_triplet("g0", "Zeta Corp", "ACQUIRED", "Yotta Inc", "2021-01-01")
+    after = graph.edges
+    assert after.count() == before + 1
+    row = after.where(
+        (F.col("subj_name") == "Zeta Corp") & (F.col("obj_name") == "Yotta Inc")
+    ).collect()[0]
+    assert row.predicate == "ACQUIRED" and row.invalid_at is None
+    # a later contradicting assertion invalidates the first (T1/T2)
+    graph.add_triplet("g0", "Zeta Corp", "ACQUIRED", "Yotta Inc", "2023-01-01")
+    rows = {
+        r.valid_at.year: r
+        for r in graph.edges.where(F.col("subj_name") == "Zeta Corp").collect()
+    }
+    assert rows[2021].invalid_at is not None and rows[2021].expired_at is not None
+    assert rows[2023].invalid_at is None
+
+
+def test_retrieve_episodes_and_subgraph(spark, graph):
+    eps = graph.retrieve_episodes("2024-01-01 00:00:00", last_n=5)
+    got = eps.collect()
+    assert 0 < len(got) <= 5
+    doc = got[0].doc_id
+    nodes, edges = graph.episode_subgraph([doc])
+    assert nodes.count() > 0
+    for r in edges.collect():
+        assert doc in r.episodes
+
+
+def test_communities_lifecycle(spark, graph):
+    graph.build_communities()
+    comms = graph.table("communities")
+    assert comms.count() > 0 and "name_embedding" in comms.columns
+    res = graph.search(
+        "acme", config=__import__(
+            "graphiti_spark.search_api", fromlist=["COMMUNITY_HYBRID_SEARCH_RRF"]
+        ).COMMUNITY_HYBRID_SEARCH_RRF(),
+    )
+    assert res.communities is not None
+    graph.remove_communities()
+    assert graph.table("communities").count() == 0
+
+
+def test_remove_episode_cascade(spark, graph):
+    doc = graph.episodes.select("doc_id").limit(1).collect()[0].doc_id
+    n_eps = graph.episodes.count()
+    graph.remove_episode(doc)
+    assert graph.episodes.count() == n_eps - 1
+    assert graph.episodes.where(F.col("doc_id") == doc).count() == 0
+    # no edge cites the removed episode; forward index agrees
+    assert graph.edges.where(
+        F.array_contains("episodes", doc)
+    ).count() == 0
+    assert graph.table("episode_edges").where(F.col("doc_id") == doc).count() == 0
