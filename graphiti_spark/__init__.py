@@ -22,7 +22,17 @@ Layout
 - ``pipeline``   the end-to-end episodes → nodes/edges/mentions DAG
                  (reference flow: graphiti.py:540-665 add_episode_bulk,
                  plus the invalidation stage bulk mode omits).
-- ``io``         TableIO: MERGE-INTO-semantics persistence on parquet.
+- ``io``         TableIO: MERGE-INTO-semantics persistence on parquet
+                 (partition-scoped merges, dynamic partition overwrite,
+                 append — the Iceberg-commit stand-ins).
+- ``materialize``  O(batch) incremental graph merges + lineage/metrics
+                 + the episode_edges / node_stats derived tables.
+- ``search_api`` 4-lane hybrid search, the full recipe set, batched
+                 multi-query variants, pluggable CrossEncoder.
+- ``streaming``  foreachBatch incremental ingest + the stateful
+                 context-window operator (applyInPandasWithState).
+- ``graphiti``   GraphitiSpark: the reference's top-level class as a
+                 facade over one graph root.
 """
 
 __version__ = "0.1.0"

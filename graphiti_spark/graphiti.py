@@ -106,16 +106,38 @@ class GraphitiSpark:
         valid_at: str,
         fact: str | None = None,
     ) -> None:
-        """Manual triple insert (graphiti.py:811-849): one
-        properly-shaped edge row routed through the SAME pair-scoped
-        merge as pipeline output — deterministic ids, provenance union
-        on collision, bi-temporal re-rectification of exactly the
-        touched pair's bucket."""
+        """Manual triple insert (graphiti.py:811-849), full lifecycle:
+        surface names first RESOLVE through the existing uuid_map (the
+        reference runs node resolution before saving), the edge row goes
+        through the SAME pair-scoped merge + bi-temporal rectify as
+        pipeline output, genuinely-new endpoint nodes are upserted and
+        recorded in the uuid_map (so later batches resolve against
+        them), and the persisted fulltext indexes receive the new fact
+        and node names."""
         from pyspark.sql import functions as F
 
         from .materialize import EDGE_COLS, merge_edges
         from .pipeline import edge_attributes_col
         from .schemas import edge_uuid, entity_uuid
+
+        def resolve(name: str) -> tuple[str | None, str]:
+            if self.io.exists("uuid_map"):
+                hit = (
+                    self.io.read("uuid_map")
+                    .where(
+                        (F.col("group_id") == group_id)
+                        & (F.lower(F.col("name")) == name.lower())
+                    )
+                    .select("canonical_uuid", "canonical_name")
+                    .limit(1)
+                    .collect()
+                )
+                if hit:
+                    return hit[0].canonical_uuid, hit[0].canonical_name
+            return None, name
+
+        subj_uuid, subj_name = resolve(subj_name)
+        obj_uuid, obj_name = resolve(obj_name)
 
         row = self.spark.createDataFrame(
             [(group_id, subj_name, predicate, obj_name, valid_at)],
@@ -123,13 +145,17 @@ class GraphitiSpark:
             "obj_name string, valid_at string",
         ).select(
             "group_id",
-            entity_uuid(F.col("group_id"), F.col("subj_name")).alias(
-                "source_node_uuid"
-            ),
+            (
+                F.lit(subj_uuid)
+                if subj_uuid
+                else entity_uuid(F.col("group_id"), F.col("subj_name"))
+            ).alias("source_node_uuid"),
             "predicate",
-            entity_uuid(F.col("group_id"), F.col("obj_name")).alias(
-                "target_node_uuid"
-            ),
+            (
+                F.lit(obj_uuid)
+                if obj_uuid
+                else entity_uuid(F.col("group_id"), F.col("obj_name"))
+            ).alias("target_node_uuid"),
             F.col("valid_at").cast("timestamp").alias("valid_at"),
             "subj_name",
             "obj_name",
@@ -155,11 +181,69 @@ class GraphitiSpark:
         ).select(*EDGE_COLS)
         merge_edges(self.io, row)
 
+        # upsert only the genuinely-new endpoints (resolved names keep
+        # their canonical node rows untouched)
+        new_names = [
+            n for n, u in ((subj_name, subj_uuid), (obj_name, obj_uuid))
+            if u is None
+        ]
+        if new_names:
+            from .functions.similarity import hash_embed_udf
+            from .operators.ontology import enrich_nodes_with_stats
+
+            base = (
+                self.spark.createDataFrame(
+                    [(group_id, n) for n in dict.fromkeys(new_names)],
+                    "group_id string, name string",
+                )
+                .withColumn("uuid", entity_uuid(F.col("group_id"), F.col("name")))
+                .withColumn("name_embedding", hash_embed_udf(F.col("name")))
+                .withColumn(
+                    "created_at", F.lit(self.batch_time).cast("timestamp")
+                )
+            )
+            stats = (
+                self.io.read("node_stats")
+                if self.io.exists("node_stats")
+                else self.spark.createDataFrame(
+                    [], "entity_uuid string, n_episodes long"
+                )
+            )
+            new_nodes = enrich_nodes_with_stats(
+                base.select(
+                    "group_id", "uuid", "name", "name_embedding", "created_at"
+                ),
+                stats,
+            )
+            if self.io.exists("nodes"):
+                new_nodes = new_nodes.select(*self.nodes.columns)
+            self.io.merge_upsert("nodes", new_nodes, key_cols=["uuid"])
+            if self.io.exists("uuid_map"):
+                map_rows = base.select(
+                    "group_id", "name", "uuid",
+                    F.col("uuid").alias("canonical_uuid"),
+                    F.col("name").alias("canonical_name"),
+                ).select(*self.io.read("uuid_map").columns)
+                self.io.merge_upsert("uuid_map", map_rows, key_cols=["uuid"])
+            if self.search_indexes:
+                from .operators.search import SearchIndex
+
+                SearchIndex(self.io, "ft_nodes").merge(
+                    base.select("uuid", "name"), "uuid", "name"
+                )
+        if self.search_indexes:
+            from .operators.search import SearchIndex
+
+            SearchIndex(self.io, "ft_edges").merge(
+                row.select("uuid", "fact"), "uuid", "fact"
+            )
+
     def remove_episode(self, doc_id: str) -> None:
         """S8 cascade: drop the episode, its solely-evidenced edges,
         and orphaned entities (graphiti.py:851-886). Table partition
-        layouts are preserved; the episode_edges index and node_stats
-        follow the new state."""
+        layouts are preserved; the episode_edges index, node_stats, and
+        the persisted fulltext indexes (tombstones) follow the new
+        state."""
         from pyspark.sql import functions as F
 
         from .materialize import N_BUCKETS, _rebuild_episode_edges
@@ -169,6 +253,15 @@ class GraphitiSpark:
             self.mentions.where(F.col("doc_id") == doc_id)
             .select("entity_uuid")
             .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
+        # ids about to disappear — captured from the OLD tables for the
+        # fulltext-index tombstones
+        dead_edges = (
+            self.edges.where(
+                F.array_contains("episodes", doc_id) & (F.size("episodes") == 1)
+            )
+            .select(F.col("uuid").alias("id"))
             .localCheckpoint(eager=True)
         )
         out = _rm(doc_id, self.episodes, self.edges, self.mentions, self.nodes)
@@ -195,6 +288,26 @@ class GraphitiSpark:
                 F.broadcast(affected), "entity_uuid", "left_anti"
             )
             self.io.write("node_stats", kept.unionByName(fresh))
+        if self.search_indexes:
+            from .operators.search import SearchIndex
+
+            eidx = SearchIndex(self.io, "ft_edges")
+            if eidx.exists():
+                eidx.delete(dead_edges)
+            epidx = SearchIndex(self.io, "ft_episodes")
+            if epidx.exists():
+                epidx.delete(
+                    self.spark.createDataFrame([(doc_id,)], "id string")
+                )
+            # orphaned nodes = affected entities no longer in nodes
+            nidx = SearchIndex(self.io, "ft_nodes")
+            if nidx.exists():
+                dead_nodes = affected.withColumnRenamed(
+                    "entity_uuid", "id"
+                ).join(
+                    self.nodes.select(F.col("uuid").alias("id")), "id", "left_anti"
+                )
+                nidx.delete(dead_nodes)
 
     # -- read path ----------------------------------------------------------
 

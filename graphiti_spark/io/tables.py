@@ -225,20 +225,17 @@ class TableIO:
 
     def record_metric(self, stage: str, metric: str, value: float) -> None:
         """Append one metric row; ``seq`` is a monotone write counter so
-        readers can order rows across batches."""
-        if self.exists("metrics"):
-            prior = self.read("metrics")
-            if "seq" not in prior.columns:
-                prior = prior.withColumn("seq", F.lit(0).cast("long"))
-            seq = prior.count()
-            row = self.spark.createDataFrame(
-                [(stage, metric, float(value), seq)],
-                "stage string, metric string, value double, seq long",
-            )
-            self.write("metrics", prior.unionByName(row))
-        else:
-            row = self.spark.createDataFrame(
-                [(stage, metric, float(value), 0)],
-                "stage string, metric string, value double, seq long",
-            )
-            self.write("metrics", row)
+        readers can order rows across batches. Appends a new file — no
+        read or rewrite of prior rows (each call adds one file, so the
+        existing file count is a free monotone sequence)."""
+        p = self.path("metrics")
+        seq = (
+            sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+            if os.path.isdir(p)
+            else 0
+        )
+        row = self.spark.createDataFrame(
+            [(stage, metric, float(value), seq)],
+            "stage string, metric string, value double, seq long",
+        )
+        self.append("metrics", row.coalesce(1))

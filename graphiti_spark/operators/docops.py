@@ -325,6 +325,29 @@ def brute_force_topk(
     )
 
 
+def _hyperplane_tables(vc: Column, planes) -> Column:
+    """array<struct<t, bucket>> of per-table sign-bit hyperplane
+    buckets for a vector column — the ONE bucketing used by both the
+    ANN top-k and the embedding near-dup paths (a scheme change here
+    changes both blockings together). ``planes``: ndarray of shape
+    (n_tables, n_planes, dim)."""
+    n_tables, n_planes, _ = planes.shape
+
+    def sig(t: int) -> Column:
+        s = F.lit(0)
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(float(x)) for x in planes[t][p]])
+            s = s + F.when(dot(vc, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        return s
+
+    return F.array(
+        *[
+            F.struct(F.lit(t).alias("t"), sig(t).alias("bucket"))
+            for t in range(n_tables)
+        ]
+    )
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -351,34 +374,14 @@ def lsh_bucketed_topk(
     dim = dim_row[0]["d"] if dim_row else 0
     planes = rng.randn(n_tables, n_planes, dim)
 
-    def bucket_expr(vc: Column, t: int) -> Column:
-        bits = []
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t][p]])
-            bits.append(
-                F.when(dot(vc, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-            )
-        s = bits[0]
-        for b in bits[1:]:
-            s = s + b
-        return s
-
-    def tables_expr(vc: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(F.lit(t).alias("t"), bucket_expr(vc, t).alias("bucket"))
-                for t in range(n_tables)
-            ]
-        )
-
     emb_b = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        F.explode(tables_expr(F.col(vec_col))).alias("tb"),
+        F.explode(_hyperplane_tables(F.col(vec_col), planes)).alias("tb"),
     ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     q_b = F.broadcast(
         queries.select(
             F.col("query_id"), F.col("query_vec").alias("qv"),
-            F.explode(tables_expr(F.col("query_vec"))).alias("tb"),
+            F.explode(_hyperplane_tables(F.col("query_vec"), planes)).alias("tb"),
         ).select(
             "query_id", "qv", F.col("tb.t").alias("t"),
             F.col("tb.bucket").alias("bucket"),
@@ -436,22 +439,9 @@ def embedding_near_duplicates(
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_tables, n_planes, dim)
 
-    def sig(vc: Column, t: int) -> Column:
-        s = F.lit(0)
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t][p]])
-            s = s + F.when(dot(vc, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        return s
-
-    tables = F.array(
-        *[
-            F.struct(F.lit(t).alias("t"), sig(F.col(vec_col), t).alias("bucket"))
-            for t in range(n_tables)
-        ]
-    )
     e = embeddings.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
-        F.explode(tables).alias("tb"),
+        F.explode(_hyperplane_tables(F.col(vec_col), planes)).alias("tb"),
     ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
 
     a = e.select("t", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))

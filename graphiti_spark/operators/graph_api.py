@@ -147,11 +147,12 @@ def update_community(
     entity_name: str,
 ) -> DataFrame:
     """C6 incremental: fold one entity's name into its community's
-    summary and re-embed the touched community's name (the reference
-    re-summarizes with an LLM, regenerates the name and re-embeds it,
-    community_operations.py:292-312 — here name/embedding derivation is
-    deterministic, so re-embedding is a recompute of the hash vector
-    for the affected row only). Returns updated communities DF."""
+    summary, regenerate the community NAME under the same rule
+    build_communities uses (lexicographically-first member name — the
+    new member can win), and re-embed the touched row's name (the
+    reference re-summarizes with an LLM, regenerates the name and
+    re-embeds, community_operations.py:292-312). Returns updated
+    communities DF."""
     from ..functions.similarity import hash_embed_udf
 
     target = membership.where(F.col("uuid") == entity_uuid_value).select(
@@ -170,6 +171,12 @@ def update_community(
                 F.col("_touched"),
                 F.concat(F.col("summary"), F.lit(" +"), F.lit(entity_name)),
             ).otherwise(F.col("summary")),
+        )
+        .withColumn(
+            "name",
+            F.when(
+                F.col("_touched"), F.least(F.col("name"), F.lit(entity_name))
+            ).otherwise(F.col("name")),
         )
     )
     if "name_embedding" in communities.columns:

@@ -111,11 +111,16 @@ def remove_episode(
     """
     new_episodes = episodes.where(F.col("doc_id") != episode_doc_id)
 
+    # drop only edges whose provenance BECOMES empty by losing this
+    # episode — manual edges (add_triplet) legitimately carry an empty
+    # provenance array and must survive
     new_edges = (
-        edges.withColumn(
+        edges.withColumn("_had", F.array_contains("episodes", episode_doc_id))
+        .withColumn(
             "episodes", F.array_remove(F.col("episodes"), episode_doc_id)
         )
-        .where(F.size("episodes") > 0)
+        .where(~F.col("_had") | (F.size("episodes") > 0))
+        .drop("_had")
     )
 
     mention_counts = mentions.groupBy("entity_uuid").agg(

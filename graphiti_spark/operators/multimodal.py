@@ -237,15 +237,12 @@ def resize_media(
 def _frame_count_col(media_ref, media_type, max_frames: int, force: bool):
     """Deterministic per-media frame count: videos (or everything when
     ``force``) sample 1 + md5_u32(ref) % max_frames frames; stills are
-    a single frame. md5-derived so the DuckDB oracle reproduces it
-    exactly (md5_number_lower % 2^32)."""
-    v = F.lit(0).cast("long")
-    for k in range(4):
-        byte = F.conv(F.substring(F.md5(media_ref), 17 + 2 * k, 2), 16, 10).cast(
-            "long"
-        )
-        v = v + byte * (256 ** k)
-    sampled = (F.lit(1) + F.pmod(v, F.lit(max_frames))).cast("int")
+    a single frame. md5-derived (docops._md5_u32, the one cross-engine
+    hash convention) so the DuckDB oracle reproduces it exactly via
+    md5_number_lower % 2^32."""
+    from .docops import _md5_u32
+
+    sampled = (F.lit(1) + F.pmod(_md5_u32(media_ref), F.lit(max_frames))).cast("int")
     if force:
         return sampled
     return F.when(media_type == "video", sampled).otherwise(F.lit(1))

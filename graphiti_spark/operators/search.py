@@ -256,7 +256,15 @@ def fulltext_search(
 
     Pass a persisted ``postings`` (+ ``stats``) index to skip the
     corpus re-tokenization entirely — the read path then touches only
-    the query terms' partitions of the index (see SearchIndex)."""
+    the query terms' partitions of the index (see SearchIndex).
+
+    group_ids + persisted postings: the index rows are scoped via the
+    backing ``df`` (semi-join on the group's ids), and the persisted
+    corpus-wide stats are DISCARDED so n_docs/avgdl re-derive from the
+    group's postings — identical scores to the inline path (BM25 idf is
+    corpus-relative; mixing group-scoped df counts with global stats
+    would silently shift rankings). Requires ``df``; raises otherwise
+    rather than silently returning unfiltered results."""
     if postings is None:
         if group_ids:
             df = df.where(F.col("group_id").isin(group_ids))
@@ -269,6 +277,14 @@ def fulltext_search(
                 F.col(id_col).alias("id")
             )
             postings = postings.join(F.broadcast(ids), "id", "left_semi")
+        else:
+            raise ValueError(
+                "group_ids filtering over a persisted postings index needs "
+                "either a group_id column in the index or the backing df "
+                "to resolve the group's ids"
+            )
+        # group scope changes the corpus: re-derive stats in-plan
+        stats = None
     return (
         bm25_score(postings, query, stats=stats)
         .orderBy(*_rank_order())
@@ -315,7 +331,10 @@ class SearchIndex:
             docs = docs.join(already, "id", "left_anti")
         docs = docs.localCheckpoint(eager=True)
 
-        postings = build_postings(docs, "id", "text")
+        # checkpoint: the tokenization (explode + two groupBys) feeds
+        # the append, the ledger merge, AND the stats delta — without
+        # this it would re-execute once per consumer
+        postings = build_postings(docs, "id", "text").localCheckpoint(eager=True)
         self.io.append(self._t("postings"), postings, partition_by=["tpart"])
         # docs with zero tokens still enter the ledger (dl=0) so a
         # re-ingest of them stays a no-op — but they don't count toward

@@ -49,6 +49,20 @@ def test_add_triplet_merges_and_rectifies(spark, graph):
         (F.col("subj_name") == "Zeta Corp") & (F.col("obj_name") == "Yotta Inc")
     ).collect()[0]
     assert row.predicate == "ACQUIRED" and row.invalid_at is None
+    # endpoint nodes are upserted (the reference saves both nodes) and
+    # recorded in the uuid_map; the persisted fulltext indexes learn
+    # the new fact and names
+    node_names = {
+        r.name for r in graph.nodes.where(
+            F.col("name").isin("Zeta Corp", "Yotta Inc")
+        ).collect()
+    }
+    assert node_names == {"Zeta Corp", "Yotta Inc"}
+    assert graph.table("uuid_map").where(F.col("name") == "Zeta Corp").count() == 1
+    from graphiti_spark.operators.search import SearchIndex
+
+    eidx = SearchIndex(graph.io, "ft_edges")
+    assert row.uuid in {r.id for r in eidx.search("zeta acquired yotta").collect()}
     # a later contradicting assertion invalidates the first (T1/T2)
     graph.add_triplet("g0", "Zeta Corp", "ACQUIRED", "Yotta Inc", "2023-01-01")
     rows = {
@@ -57,6 +71,21 @@ def test_add_triplet_merges_and_rectifies(spark, graph):
     }
     assert rows[2021].invalid_at is not None and rows[2021].expired_at is not None
     assert rows[2023].invalid_at is None
+
+
+def test_add_triplet_resolves_existing_surface_forms(spark, graph):
+    """A triplet naming an existing entity (any case) resolves to its
+    canonical node instead of minting a duplicate."""
+    target = graph.nodes.limit(1).collect()[0]
+    n_before = graph.nodes.count()
+    graph.add_triplet(
+        target.group_id, target.name.upper(), "LIKES", "Brand-New Thing",
+        "2022-06-01",
+    )
+    assert graph.nodes.count() == n_before + 1  # only the new object node
+    row = graph.edges.where(F.col("obj_name") == "Brand-New Thing").collect()[0]
+    assert row.source_node_uuid == target.uuid
+    assert row.subj_name == target.name  # canonical surface form kept
 
 
 def test_retrieve_episodes_and_subgraph(spark, graph):
@@ -95,3 +124,17 @@ def test_remove_episode_cascade(spark, graph):
         F.array_contains("episodes", doc)
     ).count() == 0
     assert graph.table("episode_edges").where(F.col("doc_id") == doc).count() == 0
+    # fulltext indexes tombstoned: no dead ids remain visible
+    from graphiti_spark.operators.search import SearchIndex
+
+    live = {r.uuid for r in graph.edges.select("uuid").collect()}
+    eidx_ids = {
+        r.id for r in SearchIndex(graph.io, "ft_edges").postings()
+        .select("id").distinct().collect()
+    }
+    assert eidx_ids <= live | set()  # nothing dead is searchable
+    ep_ids = {
+        r.id for r in SearchIndex(graph.io, "ft_episodes").postings()
+        .select("id").distinct().collect()
+    }
+    assert doc not in ep_ids
