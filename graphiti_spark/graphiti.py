@@ -240,14 +240,14 @@ class GraphitiSpark:
 
     def remove_episode(self, doc_id: str) -> None:
         """S8 cascade: drop the episode, its solely-evidenced edges,
-        and orphaned entities (graphiti.py:851-886). Table partition
-        layouts are preserved; the episode_edges index, node_stats, and
-        the persisted fulltext indexes (tombstones) follow the new
-        state."""
+        and orphaned entities (graphiti.py:851-886) — PARTITION-SCOPED:
+        a point delete rewrites only the doc's hash bucket of
+        episodes/mentions/episode_edges and the pair buckets of the
+        edges that cited the doc; every other partition's files stay on
+        disk untouched (the nodes table, O(entities), is the one full
+        overwrite). node_stats and the persisted fulltext indexes
+        (tombstones) follow the new state."""
         from pyspark.sql import functions as F
-
-        from .materialize import N_BUCKETS, _rebuild_episode_edges
-        from .operators.maintenance import remove_episode as _rm
 
         affected = (
             self.mentions.where(F.col("doc_id") == doc_id)
@@ -255,29 +255,109 @@ class GraphitiSpark:
             .dropDuplicates()
             .localCheckpoint(eager=True)
         )
-        # ids about to disappear — captured from the OLD tables for the
-        # fulltext-index tombstones
+        # edge rows citing the doc — captured BEFORE any swap
+        cited = (
+            self.edges.where(F.array_contains("episodes", doc_id))
+            .localCheckpoint(eager=True)
+        )
         dead_edges = (
-            self.edges.where(
-                F.array_contains("episodes", doc_id) & (F.size("episodes") == 1)
-            )
+            cited.where(F.size("episodes") == 1)
             .select(F.col("uuid").alias("id"))
             .localCheckpoint(eager=True)
         )
-        out = _rm(doc_id, self.episodes, self.edges, self.mentions, self.nodes)
-        layout = {
-            "episodes": "part", "edges": "epart", "mentions": "mpart",
-            "nodes": None,
-        }
-        # write order matters: new_nodes' plan reads the OLD mentions
-        # files (orphan check), so nodes must be written before the
-        # mentions snapshot swap replaces them
-        for name in ("nodes", "episodes", "edges", "mentions"):
-            df = out[name]
-            pcol = layout.get(name)
-            pby = [pcol] if pcol and pcol in df.columns else None
-            self.io.write(name, df, partition_by=pby)
-        _rebuild_episode_edges(self.io, self.edges, N_BUCKETS)
+
+        # orphaned entities: every mention is from this doc
+        mention_counts = self.mentions.groupBy("entity_uuid").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("doc_id") == doc_id, 1).otherwise(0)
+            ).alias("n_here"),
+        )
+        orphan = (
+            mention_counts.where(
+                (F.col("n") == F.col("n_here")) & (F.col("n_here") > 0)
+            )
+            .select("entity_uuid")
+            .localCheckpoint(eager=True)
+        )
+
+        # nodes: full overwrite (O(entities)); computed from OLD tables,
+        # written first so no later swap invalidates its plan
+        new_nodes = self.nodes.join(
+            F.broadcast(orphan.withColumnRenamed("entity_uuid", "uuid")),
+            "uuid",
+            "left_anti",
+        )
+        self.io.write("nodes", new_nodes)
+
+        # episodes + mentions: only the doc's hash bucket is rewritten
+        for table, pcol in (("episodes", "part"), ("mentions", "mpart")):
+            stored = self.table(table)
+            if pcol not in stored.columns:
+                self.io.write(table, stored.where(F.col("doc_id") != doc_id))
+                continue
+            parts = [
+                r[0]
+                for r in stored.where(F.col("doc_id") == doc_id)
+                .select(pcol)
+                .distinct()
+                .collect()
+            ]
+            if not parts:
+                continue
+            content = stored.where(
+                F.col(pcol).isin(parts) & (F.col("doc_id") != doc_id)
+            )
+            self.io.overwrite_partitions(table, content, pcol, parts=parts)
+
+        # edges: only the pair buckets of cited edges are rewritten
+        stored_edges = self.edges
+        if "epart" in stored_edges.columns:
+            eparts = [
+                r[0] for r in cited.select("epart").distinct().collect()
+            ]
+            if eparts:
+                in_parts = stored_edges.where(F.col("epart").isin(eparts))
+                content = (
+                    in_parts.join(
+                        F.broadcast(dead_edges.withColumnRenamed("id", "uuid")),
+                        "uuid",
+                        "left_anti",
+                    )
+                    .withColumn(
+                        "episodes",
+                        F.array_remove(F.col("episodes"), doc_id),
+                    )
+                )
+                self.io.overwrite_partitions(
+                    "edges", content, "epart", parts=eparts
+                )
+        else:
+            from .operators.maintenance import remove_episode as _rm
+
+            out = _rm(
+                doc_id, self.episodes, stored_edges, self.mentions, self.nodes
+            )
+            self.io.write("edges", out["edges"])
+
+        # episode_edges forward index: the doc's bucket loses its rows
+        # (dead edges cite ONLY this doc, so no other bucket changes)
+        if self.io.exists("episode_edges"):
+            ee = self.table("episode_edges")
+            parts = [
+                r[0]
+                for r in ee.where(F.col("doc_id") == doc_id)
+                .select("part")
+                .distinct()
+                .collect()
+            ]
+            if parts:
+                content = ee.where(
+                    F.col("part").isin(parts) & (F.col("doc_id") != doc_id)
+                )
+                self.io.overwrite_partitions(
+                    "episode_edges", content, "part", parts=parts
+                )
         if self.io.exists("node_stats"):
             fresh = (
                 self.mentions.join(F.broadcast(affected), "entity_uuid", "left_semi")

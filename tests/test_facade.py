@@ -113,10 +113,31 @@ def test_communities_lifecycle(spark, graph):
     assert graph.table("communities").count() == 0
 
 
+def _part_file_stats(io, table, prefix):
+    import os
+
+    root = io.path(table)
+    out = {}
+    for d in os.listdir(root):
+        if d.startswith(prefix) and os.path.isdir(os.path.join(root, d)):
+            p = os.path.join(root, d)
+            out[d] = sorted(
+                (f, os.stat(os.path.join(p, f)).st_mtime_ns)
+                for f in os.listdir(p)
+                if f.endswith(".parquet")
+            )
+    return out
+
+
 def test_remove_episode_cascade(spark, graph):
     doc = graph.episodes.select("doc_id").limit(1).collect()[0].doc_id
     n_eps = graph.episodes.count()
+    eps_before = _part_file_stats(graph.io, "episodes", "part=")
     graph.remove_episode(doc)
+    # point delete: exactly one episode bucket was rewritten on disk
+    eps_after = _part_file_stats(graph.io, "episodes", "part=")
+    changed = [d for d in eps_before if eps_before[d] != eps_after.get(d)]
+    assert len(changed) == 1
     assert graph.episodes.count() == n_eps - 1
     assert graph.episodes.where(F.col("doc_id") == doc).count() == 0
     # no edge cites the removed episode; forward index agrees
