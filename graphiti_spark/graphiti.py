@@ -189,6 +189,7 @@ class GraphitiSpark:
         ]
         if new_names:
             from .functions.similarity import hash_embed_udf
+            from .operators.incremental import entity_band_rows, upart_col
             from .operators.ontology import enrich_nodes_with_stats
 
             base = (
@@ -215,16 +216,45 @@ class GraphitiSpark:
                 ),
                 stats,
             )
+            node_pcol = None
             if self.io.exists("nodes"):
-                new_nodes = new_nodes.select(*self.nodes.columns)
-            self.io.merge_upsert("nodes", new_nodes, key_cols=["uuid"])
+                cols = self.nodes.columns
+                if "npart" in cols:
+                    new_nodes = new_nodes.withColumn(
+                        "npart", upart_col(F.col("uuid"))
+                    )
+                    node_pcol = "npart"
+                new_nodes = new_nodes.select(*cols)
+            self.io.merge_upsert(
+                "nodes", new_nodes, key_cols=["uuid"], partition_col=node_pcol
+            )
             if self.io.exists("uuid_map"):
+                map_cols = self.io.read("uuid_map").columns
                 map_rows = base.select(
                     "group_id", "name", "uuid",
                     F.col("uuid").alias("canonical_uuid"),
                     F.col("name").alias("canonical_name"),
-                ).select(*self.io.read("uuid_map").columns)
-                self.io.merge_upsert("uuid_map", map_rows, key_cols=["uuid"])
+                )
+                map_pcol = None
+                if "upart" in map_cols:
+                    map_rows = map_rows.withColumn(
+                        "upart", upart_col(F.col("uuid"))
+                    )
+                    map_pcol = "upart"
+                self.io.merge_upsert(
+                    "uuid_map",
+                    map_rows.select(*map_cols),
+                    key_cols=["uuid"],
+                    partition_col=map_pcol,
+                )
+            if self.io.exists("entity_bands"):
+                # keep the LSH band index complete so the restricted
+                # incremental resolver can find these manual nodes
+                self.io.append(
+                    "entity_bands",
+                    entity_band_rows(base.select("group_id", "uuid", "name")),
+                    partition_by=["kpart"],
+                )
             if self.search_indexes:
                 from .operators.search import SearchIndex
 
@@ -242,11 +272,13 @@ class GraphitiSpark:
         """S8 cascade: drop the episode, its solely-evidenced edges,
         and orphaned entities (graphiti.py:851-886) — PARTITION-SCOPED:
         a point delete rewrites only the doc's hash bucket of
-        episodes/mentions/episode_edges and the pair buckets of the
-        edges that cited the doc; every other partition's files stay on
-        disk untouched (the nodes table, O(entities), is the one full
-        overwrite). node_stats and the persisted fulltext indexes
-        (tombstones) follow the new state."""
+        episodes/mentions/episode_edges, the pair buckets of the edges
+        that cited the doc, and the entity-hash buckets of the orphaned
+        nodes/uuid_map/entity_bands/node_stats rows; every other
+        partition's files stay on disk untouched. The uuid_map/band
+        deletion makes the node delete DURABLE: no later batch can
+        resurrect the orphans through resolution. The persisted
+        fulltext indexes follow via tombstones."""
         from pyspark.sql import functions as F
 
         affected = (
@@ -281,14 +313,31 @@ class GraphitiSpark:
             .localCheckpoint(eager=True)
         )
 
-        # nodes: full overwrite (O(entities)); computed from OLD tables,
-        # written first so no later swap invalidates its plan
-        new_nodes = self.nodes.join(
-            F.broadcast(orphan.withColumnRenamed("entity_uuid", "uuid")),
-            "uuid",
-            "left_anti",
-        )
-        self.io.write("nodes", new_nodes)
+        # nodes: point delete of the orphans, scoped to their npart hash
+        # buckets when the table carries the partitioned layout
+        stored_nodes = self.nodes
+        orphan_ids = orphan.withColumnRenamed("entity_uuid", "uuid")
+        if "npart" in stored_nodes.columns:
+            from .operators.incremental import upart_col
+
+            nparts = [
+                r[0]
+                for r in orphan_ids.select(
+                    upart_col(F.col("uuid")).alias("p")
+                ).distinct().collect()
+            ]
+            if nparts:
+                content = stored_nodes.where(F.col("npart").isin(nparts)).join(
+                    F.broadcast(orphan_ids), "uuid", "left_anti"
+                )
+                self.io.overwrite_partitions(
+                    "nodes", content, "npart", parts=nparts
+                )
+        else:
+            self.io.write(
+                "nodes",
+                stored_nodes.join(F.broadcast(orphan_ids), "uuid", "left_anti"),
+            )
 
         # episodes + mentions: only the doc's hash bucket is rewritten
         for table, pcol in (("episodes", "part"), ("mentions", "mpart")):
@@ -358,16 +407,83 @@ class GraphitiSpark:
                 self.io.overwrite_partitions(
                     "episode_edges", content, "part", parts=parts
                 )
+        # uuid_map + band index: drop the orphaned canonicals AND every
+        # surface-form variant mapping to them — without this, the next
+        # add_episodes would feed the names back into resolution and
+        # silently resurrect the deleted nodes (the reference's node
+        # delete is durable, graphiti.py:851-886).
+        if self.io.exists("uuid_map"):
+            um = self.table("uuid_map")
+            doomed = (
+                um.join(
+                    F.broadcast(
+                        orphan.withColumnRenamed("entity_uuid", "canonical_uuid")
+                    ),
+                    "canonical_uuid",
+                    "left_semi",
+                )
+                .localCheckpoint(eager=True)
+            )
+            if "upart" in um.columns:
+                uparts = [
+                    r[0] for r in doomed.select("upart").distinct().collect()
+                ]
+                if uparts:
+                    content = um.where(F.col("upart").isin(uparts)).join(
+                        F.broadcast(doomed.select("uuid")), "uuid", "left_anti"
+                    )
+                    self.io.overwrite_partitions(
+                        "uuid_map", content, "upart", parts=uparts
+                    )
+            else:
+                self.io.write(
+                    "uuid_map",
+                    um.join(
+                        F.broadcast(doomed.select("uuid")), "uuid", "left_anti"
+                    ),
+                )
+            if self.io.exists("entity_bands"):
+                eb = self.table("entity_bands")
+                hit = eb.join(
+                    F.broadcast(doomed.select("uuid")), "uuid", "left_semi"
+                ).localCheckpoint(eager=True)
+                kparts = [r[0] for r in hit.select("kpart").distinct().collect()]
+                if kparts:
+                    content = eb.where(F.col("kpart").isin(kparts)).join(
+                        F.broadcast(doomed.select("uuid")), "uuid", "left_anti"
+                    )
+                    self.io.overwrite_partitions(
+                        "entity_bands", content, "kpart", parts=kparts
+                    )
         if self.io.exists("node_stats"):
             fresh = (
                 self.mentions.join(F.broadcast(affected), "entity_uuid", "left_semi")
                 .groupBy("entity_uuid")
                 .agg(F.countDistinct("doc_id").alias("n_episodes"))
             )
-            kept = self.io.read("node_stats").join(
-                F.broadcast(affected), "entity_uuid", "left_anti"
-            )
-            self.io.write("node_stats", kept.unionByName(fresh))
+            stored_stats = self.io.read("node_stats")
+            if "spart" in stored_stats.columns:
+                from .operators.incremental import upart_col
+
+                fresh = fresh.withColumn("spart", upart_col(F.col("entity_uuid")))
+                keys = affected.withColumn(
+                    "spart", upart_col(F.col("entity_uuid"))
+                ).localCheckpoint(eager=True)
+                sparts = [r[0] for r in keys.select("spart").distinct().collect()]
+                if sparts:
+                    kept = stored_stats.where(F.col("spart").isin(sparts)).join(
+                        F.broadcast(keys.select("entity_uuid")),
+                        "entity_uuid",
+                        "left_anti",
+                    )
+                    self.io.overwrite_partitions(
+                        "node_stats", kept.unionByName(fresh), "spart", parts=sparts
+                    )
+            else:
+                kept = stored_stats.join(
+                    F.broadcast(affected), "entity_uuid", "left_anti"
+                )
+                self.io.write("node_stats", kept.unionByName(fresh))
         if self.search_indexes:
             from .operators.search import SearchIndex
 

@@ -383,13 +383,17 @@ def _update_node_stats(
     entities mentioned in this batch or involved in a cluster merge are
     re-aggregated (against the already-merged mentions table); all
     other rows carry over, and old uuids swallowed by a merge are
-    dropped. Returns the new stats table (entity_uuid, n_episodes)."""
+    dropped. The table is hash-partitioned on entity_uuid (``spart``)
+    so the file rewrite is scoped to the affected buckets. Returns the
+    new stats table (entity_uuid, n_episodes, spart)."""
+    from .operators.incremental import upart_col
+
     merged_mentions = io.read("mentions")
     if not io.exists("node_stats"):
         stats = merged_mentions.groupBy("entity_uuid").agg(
             F.countDistinct("doc_id").alias("n_episodes")
-        )
-        io.write("node_stats", stats)
+        ).withColumn("spart", upart_col(F.col("entity_uuid")))
+        io.write("node_stats", stats, partition_by=["spart"])
         return io.read("node_stats")
 
     affected = batch_mentions.select("entity_uuid").dropDuplicates()
@@ -403,13 +407,79 @@ def _update_node_stats(
         merged_mentions.join(F.broadcast(affected), "entity_uuid", "left_semi")
         .groupBy("entity_uuid")
         .agg(F.countDistinct("doc_id").alias("n_episodes"))
+        .withColumn("spart", upart_col(F.col("entity_uuid")))
     )
-    drop_keys = affected if dead is None else affected.unionByName(dead)
-    kept = io.read("node_stats").join(
-        F.broadcast(drop_keys.dropDuplicates()), "entity_uuid", "left_anti"
+    drop_keys = (
+        (affected if dead is None else affected.unionByName(dead))
+        .dropDuplicates()
+        .withColumn("spart", upart_col(F.col("entity_uuid")))
+        .localCheckpoint(eager=True)
     )
-    io.write("node_stats", kept.unionByName(fresh))
+    stored = io.read("node_stats")
+    if "spart" not in stored.columns:
+        # one-time layout migration from the unpartitioned format
+        kept = stored.join(
+            F.broadcast(drop_keys.select("entity_uuid")), "entity_uuid", "left_anti"
+        ).withColumn("spart", upart_col(F.col("entity_uuid")))
+        io.write("node_stats", kept.unionByName(fresh), partition_by=["spart"])
+        return io.read("node_stats")
+    parts = sorted({r.spart for r in drop_keys.select("spart").distinct().collect()})
+    if parts:
+        kept = stored.where(F.col("spart").isin(parts)).join(
+            F.broadcast(drop_keys.select("entity_uuid")), "entity_uuid", "left_anti"
+        )
+        io.overwrite_partitions(
+            "node_stats", kept.unionByName(fresh), "spart", parts=parts
+        )
     return io.read("node_stats")
+
+
+def _merge_uuid_map(io: TableIO, rows: DataFrame) -> dict:
+    """Partition-scoped keyed upsert of restricted uuid_map rows —
+    replaces the legacy full-table overwrite. Ingest never deletes a
+    name (remove_episode handles durable deletes), so this is a pure
+    upsert on the uuid key."""
+    from .operators.incremental import upart_col
+
+    rows = rows.withColumn("upart", upart_col(F.col("uuid")))
+    n = rows.count()
+    parts = [r[0] for r in rows.select("upart").distinct().collect()]
+    io.merge_upsert("uuid_map", rows, key_cols=["uuid"], partition_col="upart")
+    return {"n_rows_rewritten": n, "n_parts_rewritten": len(parts)}
+
+
+def _merge_nodes(io: TableIO, fresh: DataFrame, dead: DataFrame) -> dict:
+    """Keyed merge of the recomputed canonical-node rows (upsert) plus
+    deletion of canonicals swallowed by a cluster merge, scoped to the
+    affected ``npart`` hash buckets."""
+    from .operators.incremental import upart_col
+
+    fresh = fresh.withColumn("npart", upart_col(F.col("uuid")))
+    if not io.exists("nodes"):
+        io.write("nodes", fresh, partition_by=["npart"])
+        return {"n_rows_rewritten": io.read("nodes").count(), "n_parts_rewritten": -1}
+    keys = (
+        fresh.select("uuid")
+        .unionByName(dead.select("uuid"))
+        .dropDuplicates()
+        .withColumn("npart", upart_col(F.col("uuid")))
+        .localCheckpoint(eager=True)
+    )
+    stored = io.read("nodes")
+    if "npart" not in stored.columns:
+        kept = stored.join(F.broadcast(keys.select("uuid")), "uuid", "left_anti")
+        out = kept.withColumn("npart", upart_col(F.col("uuid"))).unionByName(fresh)
+        io.write("nodes", out, partition_by=["npart"])
+        return {"n_rows_rewritten": io.read("nodes").count(), "n_parts_rewritten": -1}
+    parts = sorted({r.npart for r in keys.select("npart").distinct().collect()})
+    if not parts:
+        return {"n_rows_rewritten": 0, "n_parts_rewritten": 0}
+    kept = stored.where(F.col("npart").isin(parts)).join(
+        F.broadcast(keys.select("uuid")), "uuid", "left_anti"
+    )
+    out = kept.unionByName(fresh).localCheckpoint(eager=True)
+    io.overwrite_partitions("nodes", out, "npart", parts=parts)
+    return {"n_rows_rewritten": out.count(), "n_parts_rewritten": len(parts)}
 
 
 def materialize_graph(
@@ -450,19 +520,61 @@ def materialize_graph(
     if todo.isEmpty():
         return io
 
-    # Incremental runs resolve new mentions against the existing
-    # graph's surface forms, producing a GLOBAL uuid_map.
-    existing_names = (
-        io.read("uuid_map").select("group_id", "name")
-        if incremental and io.exists("uuid_map")
-        else None
+    # Entity resolution strategy:
+    # - restricted (the default incremental path once the band index
+    #   exists): resolve the batch against ONLY the LSH-collided
+    #   neighborhood of the existing graph — O(batch) compute, provably
+    #   identical output to the global path (operators/incremental.py).
+    # - global: first load, legacy roots (no entity_bands yet — this
+    #   run bootstraps the index), or full_rewrite=True A/B runs;
+    #   resolves batch ∪ ALL stored surface forms in one pass.
+    from .operators.incremental import (
+        entity_band_rows,
+        incremental_resolve,
+        upart_col,
     )
-    out = run_pipeline(
-        spark,
-        todo.drop("part"),
-        batch_time=batch_time,
-        extra_entity_names=existing_names,
+
+    use_restricted = (
+        incremental
+        and not full_rewrite
+        and io.exists("uuid_map")
+        and io.exists("entity_bands")
+        and "upart" in io.read("uuid_map").columns
     )
+    res_side: dict = {}
+    if use_restricted:
+        def _resolver(mentions_raw):
+            info = incremental_resolve(io, mentions_raw)
+            res_side.update(info)
+            return info["uuid_map"], info["entities"]
+
+        out = run_pipeline(
+            spark, todo.drop("part"), batch_time=batch_time, resolver=_resolver
+        )
+        changed = res_side["changed"].localCheckpoint(eager=True)
+    else:
+        existing_names = (
+            io.read("uuid_map").select("group_id", "name")
+            if incremental and io.exists("uuid_map")
+            else None
+        )
+        out = run_pipeline(
+            spark,
+            todo.drop("part"),
+            batch_time=batch_time,
+            extra_entity_names=existing_names,
+        )
+        # Only CHANGED mappings re-canonicalize stored rows (identity
+        # mappings are no-ops by construction: canonical names are a
+        # deterministic function of the canonical uuid).
+        remap = out.uuid_map.select(
+            F.col("uuid").alias("_old"),
+            F.col("canonical_uuid").alias("_new"),
+            F.col("canonical_name").alias("_new_name"),
+        )
+        changed = remap.where(F.col("_old") != F.col("_new")).localCheckpoint(
+            eager=True
+        )
     uuid_map = out.uuid_map
 
     triples = with_part(out.triples_raw, n_buckets=n_buckets)
@@ -473,18 +585,8 @@ def materialize_graph(
 
     # A new batch can merge clusters the old graph kept separate, so
     # stored edges/mentions must be re-canonicalized through the new
-    # global map — but ONLY the rows whose endpoints appear in a CHANGED
-    # mapping (identity mappings are no-ops by construction: canonical
-    # names are a deterministic function of the canonical uuid). The
-    # merges below scope all re-grouping, rectification, and file
-    # rewrites to the affected hash buckets.
-    remap = uuid_map.select(
-        F.col("uuid").alias("_old"),
-        F.col("canonical_uuid").alias("_new"),
-        F.col("canonical_name").alias("_new_name"),
-    )
-    changed = remap.where(F.col("_old") != F.col("_new")).localCheckpoint(eager=True)
-
+    # map — the merges below scope all re-grouping, rectification, and
+    # file rewrites to the affected hash buckets.
     edge_stats = merge_edges(
         io, out.edges, remap=changed, n_parts=edge_parts, full_rewrite=full_rewrite
     )
@@ -493,19 +595,61 @@ def materialize_graph(
         full_rewrite=full_rewrite,
     )
 
-    # nodes/uuid_map are fully derivable from the global map: overwrite
-    # (stale canonicals disappear, exactly as in a from-scratch run).
-    io.write("uuid_map", uuid_map)
-
     # Node enrichment (summary = all-time mention stats) must see the
     # MERGED mention counts; node_stats maintains them incrementally.
     from .operators.ontology import enrich_nodes_with_stats
 
-    stats = _update_node_stats(io, out.mentions, changed)
-    nodes_base = out.nodes.select(
-        "group_id", "uuid", "name", "name_embedding", "created_at"
-    )
-    io.write("nodes", enrich_nodes_with_stats(nodes_base, stats))
+    if use_restricted:
+        # entity-space tables: partition-scoped keyed merges over the
+        # restricted rows only — never a full rewrite.
+        resolve_stats = _merge_uuid_map(io, uuid_map)
+        stats = _update_node_stats(io, out.mentions, changed)
+        nodes_base = out.nodes.select(
+            "group_id", "uuid", "name", "name_embedding", "created_at"
+        )
+        node_stats_merge = _merge_nodes(
+            io,
+            enrich_nodes_with_stats(nodes_base, stats),
+            res_side["dead_canonicals"],
+        )
+        new_bands = entity_band_rows(res_side["new_entities"]).localCheckpoint(
+            eager=True
+        )
+        if not new_bands.isEmpty():
+            io.append("entity_bands", new_bands, partition_by=["kpart"])
+    else:
+        # global resolution: the map IS the full entity space —
+        # overwrite (stale canonicals disappear, as in a fresh run).
+        resolve_stats = {
+            "n_rows_rewritten": -1, "n_parts_rewritten": -1,
+        }
+        io.write(
+            "uuid_map",
+            uuid_map.withColumn("upart", upart_col(F.col("uuid"))),
+            partition_by=["upart"],
+        )
+        stats = _update_node_stats(io, out.mentions, changed)
+        nodes_base = out.nodes.select(
+            "group_id", "uuid", "name", "name_embedding", "created_at"
+        )
+        node_stats_merge = {"n_rows_rewritten": -1, "n_parts_rewritten": -1}
+        io.write(
+            "nodes",
+            enrich_nodes_with_stats(nodes_base, stats).withColumn(
+                "npart", upart_col(F.col("uuid"))
+            ),
+            partition_by=["npart"],
+        )
+        if incremental:
+            # bootstrap/refresh the append-only LSH band index so the
+            # NEXT batch can take the restricted path
+            io.write(
+                "entity_bands",
+                entity_band_rows(
+                    io.read("uuid_map").select("group_id", "uuid", "name")
+                ),
+                partition_by=["kpart"],
+            )
 
     # Opt-in persistent fulltext indexes (reference index DDL,
     # graph_queries.py:68-86), maintained O(batch) per micro-batch:
@@ -560,4 +704,21 @@ def materialize_graph(
     io.record_metric(
         "mentions_merge", "n_parts_rewritten", mention_stats["n_parts_rewritten"]
     )
+    # O(batch) evidence for the entity-resolution merge (-1 = global/
+    # bootstrap run): rows + parts the uuid_map/nodes merges rewrote,
+    # and the size of the restricted vertex set actually resolved.
+    io.record_metric(
+        "resolve_merge", "n_rows_rewritten", resolve_stats["n_rows_rewritten"]
+    )
+    io.record_metric(
+        "resolve_merge", "n_parts_rewritten", resolve_stats["n_parts_rewritten"]
+    )
+    io.record_metric(
+        "nodes_merge", "n_rows_rewritten", node_stats_merge["n_rows_rewritten"]
+    )
+    io.record_metric(
+        "nodes_merge", "n_parts_rewritten", node_stats_merge["n_parts_rewritten"]
+    )
+    for k, v in res_side.get("metrics", {}).items():
+        io.record_metric("resolve_incremental", k, v)
     return io

@@ -1,0 +1,236 @@
+"""O(batch) incremental entity resolution against a persisted LSH band
+index — the scale-out form of the reference's ``resolve_extracted_nodes``
+(graphiti_core/utils/maintenance/node_operations.py:229-338: per NEW
+node, search the EXISTING graph for candidates; never re-cluster the
+whole graph) + ``compress_uuid_map`` (bulk_utils.py:400-409).
+
+Why this is exactly equivalent to re-resolving the entire entity space
+(the legacy path in pipeline.run_pipeline with ``extra_entity_names``):
+
+- Entity uuids and LSH band keys are both pure functions of
+  (group_id, lower(name)) — ``schemas.entity_uuid`` and
+  ``functions.minhash`` (shingles lowercase) — so a stored entity's
+  band rows NEVER change; the ``entity_bands`` table is append-only.
+- LSH pair generation is bucket-local: a pair (a, b) is produced iff a
+  and b share a (group, band, key) bucket, independent of who else is
+  in the bucket. Hence pairs(restricted set) = pairs(all) ∩
+  (restricted × restricted).
+- Any pair between a pulled-neighborhood entity and an *unrestricted*
+  stored entity was already produced and scored (deterministically, on
+  immutable bands) by an earlier batch ⇒ both are already in the same
+  stored component ⇒ the partner is in the neighborhood too (we pull
+  whole components). No accepted pair crosses the restriction
+  boundary, so connected components over (batch ∪ collided
+  neighborhood) with the stored intra-component edges as seeds yields
+  the identical global component structure — while touching only
+  O(batch + neighborhood) rows instead of O(graph entities).
+
+Scale shape per micro-batch:
+- band lookup: broadcast semi-join of the batch's band keys against
+  the ``entity_bands`` index, pruned to the batch's ``kpart`` hash
+  buckets (an Iceberg deployment would add bloom-filter file skipping
+  on ``key``); no shuffle of the stored side, output is the collided
+  id set only.
+- neighborhood pull: two broadcast-filtered scans of ``uuid_map``
+  (by uuid — upart-pruned — then by canonical_uuid); again no shuffle.
+- everything downstream (LSH, scoring, components, canonical pick)
+  runs on the restricted vertex set: O(batch) compute.
+- persistence is partition-scoped keyed merges (materialize.py), so
+  file rewrites are O(affected buckets) too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.minhash import band_keys, shingles
+from .resolve import (
+    build_uuid_map,
+    connected_components,
+    distinct_entities,
+    duplicate_pairs,
+)
+
+BAND_KPARTS = 64   # entity_bands partition buckets (hash of band+key)
+UUID_PARTS = 64    # uuid_map/nodes/node_stats partition buckets
+
+
+def upart_col(col: Column, n_parts: int = UUID_PARTS) -> Column:
+    """Stable hash bucket of an entity uuid — the partition key of the
+    entity-space tables (uuid_map/nodes/node_stats), so incremental
+    merges rewrite only the buckets holding affected entities."""
+    return F.pmod(F.xxhash64(col), F.lit(n_parts)).cast("int")
+
+
+def entity_band_rows(entities: DataFrame) -> DataFrame:
+    """(group_id, uuid, band, key, kpart) — one row per LSH band per
+    entity. Pure column expressions (functions/minhash.py); immutable
+    per uuid, so the persisted index is append-only."""
+    sh = entities.select(
+        "group_id", "uuid", shingles(F.col("name")).alias("_sh")
+    )
+    return (
+        sh.select("group_id", "uuid", F.explode(band_keys(F.col("_sh"))).alias("bk"))
+        .select(
+            "group_id",
+            "uuid",
+            F.col("bk.band").alias("band"),
+            F.col("bk.key").alias("key"),
+        )
+        .withColumn(
+            "kpart",
+            F.pmod(
+                F.xxhash64(F.col("band"), F.col("key")), F.lit(BAND_KPARTS)
+            ).cast("int"),
+        )
+    )
+
+
+def incremental_resolve(io, mentions_raw: DataFrame) -> dict:
+    """Resolve one micro-batch against the existing graph, touching
+    only the LSH-collided neighborhood.
+
+    ``mentions_raw``: the batch's extracted (group_id, name, ...)
+    mention rows. Requires ``uuid_map`` (upart-partitioned) and
+    ``entity_bands`` to exist (materialize_graph bootstraps them on the
+    first incremental run).
+
+    Returns a dict:
+      uuid_map   — restricted mapping rows (every batch name + the
+                   collided neighborhood), same schema as the stored
+                   table minus upart;
+      entities   — the restricted vertex set (group_id, uuid, name);
+      changed    — (_old, _new, _new_name) non-identity mappings for
+                   stored-row re-canonicalization (bounded by the
+                   restricted set — NOT the historical global map);
+      dead_canonicals — (uuid) canonicals swallowed by a merge this
+                   batch (their nodes-table rows must be deleted);
+      new_entities — (group_id, uuid, name) first-seen entities whose
+                   band rows must be appended to the index;
+      metrics    — evidence counters for the O(batch) claim.
+    """
+    batch_entities = distinct_entities(
+        mentions_raw.select("group_id", "name")
+    ).localCheckpoint(eager=True)
+    batch_bands = entity_band_rows(batch_entities).localCheckpoint(eager=True)
+
+    # --- band-index lookup: which stored entities collide with the batch?
+    kparts = sorted({r.kpart for r in batch_bands.select("kpart").distinct().collect()})
+    stored_bands = io.read("entity_bands").where(F.col("kpart").isin(kparts))
+    collided = (
+        stored_bands.join(
+            F.broadcast(
+                batch_bands.select("group_id", "band", "key").dropDuplicates()
+            ),
+            ["group_id", "band", "key"],
+            "left_semi",
+        )
+        .select("uuid")
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+
+    # --- neighborhood: the collided entities' FULL stored components
+    stored_map = io.read("uuid_map")
+    uparts = sorted(
+        {
+            r.p
+            for r in collided.select(upart_col(F.col("uuid")).alias("p"))
+            .distinct()
+            .collect()
+        }
+    )
+    if uparts:
+        seed_canon = (
+            stored_map.where(F.col("upart").isin(uparts))
+            .join(F.broadcast(collided), "uuid", "left_semi")
+            .select("canonical_uuid")
+            .dropDuplicates()
+        )
+        neighborhood = (
+            stored_map.join(F.broadcast(seed_canon), "canonical_uuid", "left_semi")
+            .select("group_id", "uuid", "name", "canonical_uuid", "canonical_name")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        neighborhood = (
+            stored_map.limit(0)
+            .select("group_id", "uuid", "name", "canonical_uuid", "canonical_name")
+            .localCheckpoint(eager=True)
+        )
+
+    # --- restricted vertex set: batch surface forms ∪ stored
+    # representatives; distinct_entities re-picks the per-lowercase-key
+    # representative (min by (length, name)) exactly as the global path
+    vertices = distinct_entities(
+        mentions_raw.select("group_id", "name").unionByName(
+            neighborhood.select("group_id", "name")
+        )
+    ).localCheckpoint(eager=True)
+
+    # --- pairs: fresh LSH+scoring over the restricted set, plus the
+    # stored intra-component edges as seeds (prior merges carry over)
+    pairs = duplicate_pairs(vertices).select("group_id", "id_a", "id_b")
+    seed_pairs = neighborhood.where(
+        F.col("uuid") != F.col("canonical_uuid")
+    ).select(
+        "group_id",
+        F.least("uuid", "canonical_uuid").alias("id_a"),
+        F.greatest("uuid", "canonical_uuid").alias("id_b"),
+    )
+    all_pairs = pairs.unionByName(seed_pairs).dropDuplicates(["id_a", "id_b"])
+
+    comps = connected_components(vertices, all_pairs)
+    new_map = build_uuid_map(vertices, comps).localCheckpoint(eager=True)
+
+    # --- deltas vs the stored state
+    changed = (
+        new_map.where(F.col("uuid") != F.col("canonical_uuid"))
+        .join(
+            neighborhood.select(
+                "uuid",
+                F.col("canonical_uuid").alias("_sc"),
+                F.col("canonical_name").alias("_sn"),
+            ),
+            "uuid",
+            "left",
+        )
+        .where(
+            F.col("_sc").isNull()
+            | (F.col("_sc") != F.col("canonical_uuid"))
+            | (F.col("_sn") != F.col("canonical_name"))
+        )
+        .select(
+            F.col("uuid").alias("_old"),
+            F.col("canonical_uuid").alias("_new"),
+            F.col("canonical_name").alias("_new_name"),
+        )
+    )
+    dead_canonicals = (
+        neighborhood.select(F.col("canonical_uuid").alias("uuid"))
+        .dropDuplicates()
+        .join(
+            new_map.select(F.col("canonical_uuid").alias("uuid")).dropDuplicates(),
+            "uuid",
+            "left_anti",
+        )
+    )
+    # an existing entity's lowercase name always LSH-collides with its
+    # batch twin (identical shingles), so "first-seen" == "not collided"
+    new_entities = batch_entities.join(F.broadcast(collided), "uuid", "left_anti")
+
+    metrics = {
+        "n_batch_entities": batch_entities.count(),
+        "n_collided": collided.count(),
+        "n_neighborhood": neighborhood.count(),
+        "n_vertices_resolved": vertices.count(),
+    }
+    return {
+        "uuid_map": new_map,
+        "entities": vertices.select("group_id", "uuid", "name"),
+        "changed": changed,
+        "dead_canonicals": dead_canonicals,
+        "new_entities": new_entities,
+        "metrics": metrics,
+    }

@@ -152,6 +152,7 @@ def run_pipeline(
     entity_types=None,
     excluded_entity_types: list[str] | None = None,
     near_dup_fact_threshold: float | None = None,
+    resolver=None,
 ) -> GraphOutput:
     """``extra_entity_names`` (group_id, name): the EXISTING graph's
     entity surface forms. Incremental batches resolve new mentions
@@ -168,7 +169,18 @@ def run_pipeline(
     reference search_utils.py:781-848 / edge_operations.py:460-469 —
     see operators/resolve.merge_near_duplicate_facts). Off by default:
     the deterministic extractor regenerates fact text, so exact triple
-    dedup already collapses surface variants."""
+    dedup already collapses surface variants.
+
+    ``resolver``: optional callable ``mentions_raw -> (uuid_map,
+    entities)`` replacing the global resolution front-end (distinct →
+    LSH pairs → components → map). Used by the incremental write path
+    (operators/incremental.py) to resolve a micro-batch against ONLY
+    the LSH-collided neighborhood of the existing graph — the
+    reference's resolve_extracted_nodes shape
+    (node_operations.py:229-338) — instead of re-clustering the whole
+    entity space. With a resolver, ``duplicates`` (D10 pairs) is None:
+    the restricted pair set is an implementation detail of the merge,
+    not the global IS_DUPLICATE_OF ledger."""
     from .operators.ontology import classify, exclude_entity_types
 
     # triples_raw feeds four downstream branches (mentions, entities,
@@ -192,42 +204,48 @@ def run_pipeline(
             & ~classify(F.col("obj_name"), types).isin(excluded)
         )
 
-    mention_names = mentions_raw
-    if extra_entity_names is not None:
-        mention_names = mentions_raw.select("group_id", "name").unionByName(
-            extra_entity_names.select("group_id", "name")
-        )
-    entities = distinct_entities(mention_names)
-    # Resolution runs on the distinct-name space (orders of magnitude
-    # smaller than the corpus); cache it — it feeds LSH, components and
-    # the canonical-node projection.
-    entities = entities.cache()
-    pairs = duplicate_pairs(entities)
-    comps = connected_components(entities, pairs)
-    uuid_map = build_uuid_map(entities, comps).cache()
+    if resolver is not None:
+        uuid_map, entities = resolver(mentions_raw)
+        uuid_map = uuid_map.cache()
+        entities = entities.cache()
+        duplicates = None
+    else:
+        mention_names = mentions_raw
+        if extra_entity_names is not None:
+            mention_names = mentions_raw.select("group_id", "name").unionByName(
+                extra_entity_names.select("group_id", "name")
+            )
+        entities = distinct_entities(mention_names)
+        # Resolution runs on the distinct-name space (orders of magnitude
+        # smaller than the corpus); cache it — it feeds LSH, components and
+        # the canonical-node projection.
+        entities = entities.cache()
+        pairs = duplicate_pairs(entities)
+        comps = connected_components(entities, pairs)
+        uuid_map = build_uuid_map(entities, comps).cache()
 
-    # D10: materialize IS_DUPLICATE_OF rows from the accepted pairs
-    # (reference build_duplicate_of_edges, edge_operations.py:66-85).
-    # J5's anti-join against already-recorded pairs happens at persist
-    # time (TableIO.merge_upsert keyed on uuid is exactly that).
-    names = entities.select("uuid", "name")
-    duplicates = (
-        pairs.join(names.select(F.col("uuid").alias("id_a"), F.col("name").alias("name_a")), "id_a")
-        .join(names.select(F.col("uuid").alias("id_b"), F.col("name").alias("name_b")), "id_b")
-        .select(
-            "group_id",
-            F.least("name_a", "name_b").alias("name_a"),
-            F.greatest("name_a", "name_b").alias("name_b"),
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
+        # D10: materialize IS_DUPLICATE_OF rows from the accepted pairs
+        # (reference build_duplicate_of_edges, edge_operations.py:66-85).
+        # J5's anti-join against already-recorded pairs happens at persist
+        # time (TableIO.merge_upsert keyed on uuid is exactly that).
+        names = entities.select("uuid", "name")
+        duplicates = (
+            pairs.join(names.select(F.col("uuid").alias("id_a"), F.col("name").alias("name_a")), "id_a")
+            .join(names.select(F.col("uuid").alias("id_b"), F.col("name").alias("name_b")), "id_b")
+            .select(
+                "group_id",
+                F.least("name_a", "name_b").alias("name_a"),
+                F.greatest("name_a", "name_b").alias("name_b"),
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+            )
+            .withColumn("name", F.lit("IS_DUPLICATE_OF"))
+            .withColumn(
+                "uuid",
+                F.sha2(F.concat_ws("|", F.lit("dup"), F.col("id_a"), F.col("id_b")), 256),
+            )
+            .withColumn("created_at", F.lit(batch_time).cast("timestamp"))
         )
-        .withColumn("name", F.lit("IS_DUPLICATE_OF"))
-        .withColumn(
-            "uuid",
-            F.sha2(F.concat_ws("|", F.lit("dup"), F.col("id_a"), F.col("id_b")), 256),
-        )
-        .withColumn("created_at", F.lit(batch_time).cast("timestamp"))
-    )
 
     resolved = resolve_pointers(
         triples_raw.withColumn("source_node_uuid", F.lit(None).cast("string")),

@@ -82,14 +82,15 @@ def test_tableio_merge_semantics(spark, tmp_path_factory):
     assert {r.k for r in io.read("t").collect()} == {"k2", "k3"}
 
 
-def _edge_part_files(io: TableIO):
-    """{epart dir: sorted (file, size, mtime_ns)} snapshot of the edges table."""
+def _part_files(io: TableIO, table: str, prefix: str):
+    """{partition dir: sorted (file, size, mtime_ns)} snapshot of a
+    hash-partitioned table — untouched buckets keep identical entries."""
     import os
 
-    root = io.path("edges")
+    root = io.path(table)
     out = {}
     for d in os.listdir(root):
-        if not d.startswith("epart="):
+        if not d.startswith(prefix + "="):
             continue
         p = os.path.join(root, d)
         out[d] = sorted(
@@ -98,6 +99,10 @@ def _edge_part_files(io: TableIO):
             if f.endswith(".parquet")
         )
     return out
+
+
+def _edge_part_files(io: TableIO):
+    return _part_files(io, "edges", "epart")
 
 
 def test_incremental_merge_o_batch_and_equivalent(spark, episodes, tmp_path_factory):
@@ -151,6 +156,106 @@ def test_incremental_merge_o_batch_and_equivalent(spark, episodes, tmp_path_fact
         )
     for t in TABLES:
         assert _table_fingerprint(io_inc, t) == _table_fingerprint(io_full, t), t
+
+
+def test_incremental_resolve_o_batch(spark, episodes, tmp_path_factory):
+    """Scale contract of incremental ENTITY RESOLUTION (VERDICT r2 #1):
+    after the first load bootstraps the LSH band index, each micro-batch
+    resolves only the batch ∪ its LSH-collided neighborhood — never the
+    whole entity space — and the uuid_map/nodes merges rewrite only the
+    affected hash buckets (byte-identical elsewhere). Equivalence to the
+    full path is pinned by test_incremental_merge_o_batch_and_equivalent;
+    this test pins the WORK metrics."""
+    d = str(tmp_path_factory.mktemp("ires"))
+    eps_b = episodes.withColumn(
+        "b", F.pmod(F.xxhash64("doc_id"), F.lit(10)).cast("int")
+    )
+    big = eps_b.where(F.col("b") < 9).drop("b")
+    io = materialize_graph(spark, big, d, incremental=True, skip_completed=False)
+    total_entities = io.read("uuid_map").count()
+    nodes_before = _part_files(io, "nodes", "npart")
+    map_before = _part_files(io, "uuid_map", "upart")
+
+    tiny_ids = [r.doc_id for r in episodes.select("doc_id").limit(3).collect()]
+    tiny = episodes.where(F.col("doc_id").isin(tiny_ids))
+    io = materialize_graph(spark, tiny, d, incremental=True, skip_completed=False)
+
+    metrics = [
+        (r.stage, r.metric, r.value)
+        for r in io.read("metrics").orderBy("seq").collect()
+    ]
+    last = {(s, m): v for s, m, v in metrics}
+    # the tiny batch resolved a restricted vertex set, not the graph
+    n_resolved = last[("resolve_incremental", "n_vertices_resolved")]
+    assert 0 < n_resolved < 0.5 * total_entities
+    # uuid_map/nodes merges were partition-scoped (not the -1 sentinel
+    # of a global overwrite), touching a strict minority of buckets
+    from graphiti_spark.operators.incremental import UUID_PARTS
+
+    assert 0 < last[("resolve_merge", "n_parts_rewritten")] < 0.5 * UUID_PARTS
+    assert 0 < last[("nodes_merge", "n_parts_rewritten")] < 0.5 * UUID_PARTS
+    assert last[("resolve_merge", "n_rows_rewritten")] <= n_resolved
+
+    # most nodes/uuid_map buckets untouched on DISK (inode-level)
+    for table, before in (("nodes", nodes_before), ("uuid_map", map_before)):
+        after = _part_files(io, table, "npart" if table == "nodes" else "upart")
+        untouched = [k for k in before if before[k] == after.get(k)]
+        assert len(untouched) > 0.5 * len(before), table
+
+
+def test_incremental_resolve_cross_batch_merge(spark, tmp_path_factory):
+    """A later batch can merge an entity cluster the earlier batches
+    kept separate: the restricted resolver must pull the stored
+    component, re-pick the canonical, delete the swallowed canonical's
+    nodes row, and re-canonicalize stored edges — matching a
+    from-scratch run over the union of batches."""
+    import datetime as dt
+
+    from graphiti_spark.schemas import EPISODES_SCHEMA
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def eps(rows):
+        return spark.createDataFrame(
+            [
+                (
+                    doc, "g", doc, "message", "test",
+                    [("text", text, "", 0)], t0, t0,
+                )
+                for doc, text in rows
+            ],
+            EPISODES_SCHEMA,
+        )
+
+    b1 = [
+        ("d1", "Narrator: Alice Johnson works for Acme Corporation since 2020."),
+        ("d2", "Narrator: Bob Stone works for Initech since 2021."),
+    ]
+    # 'Acme Corp' is a near-dup of the stored 'Acme Corporation' and
+    # shorter → becomes the new canonical for the merged cluster
+    b2 = [("d3", "Narrator: Carol Price works for Acme Corp since 2022.")]
+
+    inc = str(tmp_path_factory.mktemp("xinc"))
+    io_inc = materialize_graph(
+        spark, eps(b1), inc, incremental=True, skip_completed=False
+    )
+    assert io_inc.exists("entity_bands")
+    io_inc = materialize_graph(
+        spark, eps(b2), inc, incremental=True, skip_completed=False
+    )
+
+    full = str(tmp_path_factory.mktemp("xfull"))
+    io_full = materialize_graph(spark, eps(b1 + b2), full, skip_completed=False)
+
+    for t in ("nodes", "uuid_map", "edges", "mentions"):
+        assert _table_fingerprint(io_inc, t) == _table_fingerprint(io_full, t), t
+    # the merge actually happened: one canonical for both Acme forms
+    m = {
+        r.name: r.canonical_name
+        for r in io_inc.read("uuid_map").collect()
+        if "Acme" in r.name
+    }
+    assert len(m) == 2 and set(m.values()) == {"Acme Corp"}
 
 
 def test_partition_scoped_merge_upsert(spark, tmp_path_factory):
