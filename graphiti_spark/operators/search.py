@@ -273,10 +273,12 @@ def fulltext_search(
         if "group_id" in postings.columns:
             postings = postings.where(F.col("group_id").isin(group_ids))
         elif df is not None:
+            # no broadcast hint: a group's doc set is usually small but
+            # unbounded — AQE picks broadcast when it actually is
             ids = df.where(F.col("group_id").isin(group_ids)).select(
                 F.col(id_col).alias("id")
             )
-            postings = postings.join(F.broadcast(ids), "id", "left_semi")
+            postings = postings.join(ids, "id", "left_semi")
         else:
             raise ValueError(
                 "group_ids filtering over a persisted postings index needs "
@@ -312,10 +314,65 @@ class SearchIndex:
     def exists(self) -> bool:
         return self.io.exists(self._t("postings"))
 
+    def _migrate_epoch_format(self) -> None:
+        """One-time layout upgrade from the epoch-less round-2 format:
+        postings/stats/tombstones gain an ``epoch`` write-generation
+        column and legacy-tombstoned ids leave the doc ledger (the
+        legacy delete left them there, which made a deleted id
+        permanently un-indexable: a re-merge was skipped by the ledger
+        while its postings stayed tombstone-hidden). O(table) once,
+        never again — the same pattern as the node_stats layout
+        migration."""
+        if not self.exists():
+            return
+        p = self.io.read(self._t("postings"))
+        if "epoch" in p.columns:
+            return
+        self.io.write(
+            self._t("postings"),
+            p.withColumn("epoch", F.lit(0).cast("long")),
+            partition_by=["tpart"],
+        )
+        s = self.io.read(self._t("stats"))
+        if "epoch" not in s.columns:
+            self.io.write(
+                self._t("stats"), s.withColumn("epoch", F.lit(0).cast("long"))
+            )
+        if self.io.exists(self._t("tombstones")):
+            t = self.io.read(self._t("tombstones"))
+            docs = self.io.read(self._t("docs"))
+            self.io.write(
+                self._t("docs"),
+                docs.join(t.select("id"), "id", "left_anti"),
+                partition_by=["part"],
+            )
+            self.io.write(
+                self._t("tombstones"),
+                t.select("id", "dl").withColumn("epoch", F.lit(0).cast("long")),
+            )
+
+    def _epoch(self) -> int:
+        """Current write generation from the 1-row stats table (0 when
+        the index is empty). Ingest-side driver read — the QUERY path
+        never calls this."""
+        if not self.io.exists(self._t("stats")):
+            return 0
+        s = self.io.read(self._t("stats"))
+        if "epoch" not in s.columns:
+            return 0
+        row = s.select("epoch").collect()
+        return int(row[0][0]) if row else 0
+
     def merge(self, df: DataFrame, id_col: str, text_col: str) -> None:
         """Index the batch: drop already-indexed ids (bucket-scoped
-        anti-join on the doc ledger), append their postings, fold the
-        (n_docs, total_dl) delta into the stats row."""
+        anti-join on the doc ledger), append their postings stamped with
+        a fresh write ``epoch``, fold the (n_docs, total_dl) delta into
+        the stats row. Because delete() removes its ids from the ledger
+        and tombstones hide only postings written at-or-before the
+        delete's epoch, a previously-deleted id is simply re-indexed
+        here — its new postings outrank the tombstone."""
+        self._migrate_epoch_format()
+        epoch = self._epoch() + 1
         docs = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         docs = docs.withColumn(
             "part",
@@ -330,11 +387,17 @@ class SearchIndex:
             )
             docs = docs.join(already, "id", "left_anti")
         docs = docs.localCheckpoint(eager=True)
+        if docs.isEmpty():
+            return  # everything already indexed: true no-op, no epoch bump
 
         # checkpoint: the tokenization (explode + two groupBys) feeds
         # the append, the ledger merge, AND the stats delta — without
         # this it would re-execute once per consumer
-        postings = build_postings(docs, "id", "text").localCheckpoint(eager=True)
+        postings = (
+            build_postings(docs, "id", "text")
+            .withColumn("epoch", F.lit(epoch).cast("long"))
+            .localCheckpoint(eager=True)
+        )
         self.io.append(self._t("postings"), postings, partition_by=["tpart"])
         # docs with zero tokens still enter the ledger (dl=0) so a
         # re-ingest of them stays a no-op — but they don't count toward
@@ -370,25 +433,36 @@ class SearchIndex:
             F.when(F.col("n_docs") > 0, F.col("total_dl") / F.col("n_docs")).otherwise(
                 F.lit(1.0)
             ),
-        )
+        ).withColumn("epoch", F.lit(epoch).cast("long"))
         self.io.write(self._t("stats"), merged)
 
     def delete(self, ids: DataFrame) -> None:
-        """Tombstone already-indexed ids (Lucene-style): postings stay
-        on disk, the read path anti-joins the (small, broadcast)
-        tombstone set, and corpus stats subtract the dead docs' lengths
-        from the ledger. Needed when canonicalization merges away node/
-        edge uuids; compaction = rebuild the index from the live table.
-        O(batch): nothing is rewritten except the 1-row stats and the
-        tombstone append."""
+        """Delete already-indexed ids (Lucene-style): postings stay on
+        disk, hidden by a tombstone recording the CURRENT write epoch
+        (the read path keeps only postings strictly newer); the ids
+        leave the doc ledger (partition-scoped rewrite of their doc-hash
+        buckets) so a later merge can re-index them; corpus stats
+        subtract the dead docs' lengths. Needed when canonicalization
+        merges away node/edge uuids; compaction physically drops the
+        hidden rows. O(batch): the tombstone append, the affected ledger
+        buckets, and the 1-row stats."""
+        self._migrate_epoch_format()
+        epoch = self._epoch()
         ids = ids.toDF("id").dropDuplicates()
-        dead = self.io.read(self._t("docs")).join(ids, "id", "left_semi")
-        if self.io.exists(self._t("tombstones")):
-            dead = dead.join(
-                self.io.read(self._t("tombstones")).select("id"), "id", "left_anti"
+        ledger = self.io.read(self._t("docs"))
+        dead = ledger.join(ids, "id", "left_semi").localCheckpoint(eager=True)
+        self.io.append(
+            self._t("tombstones"),
+            dead.select("id", "dl").withColumn("epoch", F.lit(epoch).cast("long")),
+        )
+        parts = [r[0] for r in dead.select("part").distinct().collect()]
+        if parts:
+            content = ledger.where(F.col("part").isin(parts)).join(
+                F.broadcast(dead.select("id")), "id", "left_anti"
             )
-        dead = dead.localCheckpoint(eager=True)
-        self.io.append(self._t("tombstones"), dead.select("id", "dl"))
+            self.io.overwrite_partitions(
+                self._t("docs"), content, "part", parts=parts
+            )
         delta = dead.where(F.col("dl") > 0).agg(
             F.count(F.lit(1)).cast("long").alias("d_docs"),
             F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("d_dl"),
@@ -399,6 +473,7 @@ class SearchIndex:
             .select(
                 (F.col("n_docs") - F.col("d_docs")).alias("n_docs"),
                 (F.col("total_dl") - F.col("d_dl")).alias("total_dl"),
+                "epoch",
             )
             .withColumn(
                 "avgdl",
@@ -411,26 +486,33 @@ class SearchIndex:
 
     def compact(self) -> None:
         """Iceberg-style index maintenance: rewrite the postings with
-        tombstoned ids physically dropped and the append-generated
-        small files coalesced (one file per term bucket), drop dead ids
-        from the doc ledger, and clear the tombstone set — after which
-        a previously-deleted id may be re-indexed by a later merge.
+        tombstone-hidden rows physically dropped and the append-generated
+        small files coalesced (one file per term bucket), then clear the
+        tombstone set (delete() already keeps the doc ledger live-only).
         Stats are already tombstone-adjusted, so they are unchanged.
         This is the one full-rewrite operation of the index; run it on
         a maintenance cadence, not per batch."""
-        live = self.postings().repartition("tpart")
+        self._migrate_epoch_format()
+        live = self.postings().repartition("tpart").localCheckpoint(eager=True)
         self.io.write(self._t("postings"), live, partition_by=["tpart"])
         if self.io.exists(self._t("tombstones")):
-            dead = self.io.read(self._t("tombstones")).select("id")
-            kept = self.io.read(self._t("docs")).join(dead, "id", "left_anti")
-            self.io.write(self._t("docs"), kept)
             self.io.drop(self._t("tombstones"))
 
     def postings(self) -> DataFrame:
         p = self.io.read(self._t("postings"))
         if self.io.exists(self._t("tombstones")):
-            t = self.io.read(self._t("tombstones")).select("id")
-            p = p.join(F.broadcast(t), "id", "left_anti")
+            t = self.io.read(self._t("tombstones"))
+            if "epoch" in p.columns and "epoch" in t.columns:
+                # a tombstone hides postings written AT OR BEFORE its
+                # epoch; rows re-indexed after the delete stay visible
+                tm = t.groupBy("id").agg(F.max("epoch").alias("_te"))
+                p = (
+                    p.join(F.broadcast(tm), "id", "left")
+                    .where(F.col("_te").isNull() | (F.col("epoch") > F.col("_te")))
+                    .drop("_te")
+                )
+            else:
+                p = p.join(F.broadcast(t.select("id")), "id", "left_anti")
         return p
 
     def stats(self) -> DataFrame:
@@ -694,7 +776,7 @@ def provenance_size_rerank(candidates: DataFrame, edges: DataFrame) -> DataFrame
         candidates.select("id")
         .join(sizes, "id", "left")
         .withColumn("score", F.coalesce(F.col("score"), F.lit(0.0)))
-        .orderBy(F.desc("score"), "id")
+        .orderBy(*_rank_order())
     )
 
 

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from .functions.similarity import hash_embed_py
 from .operators.search import (
     DEFAULT_SEARCH_LIMIT,
+    _rank_order,
     bfs_neighborhood,
     episode_mentions_rerank,
     fulltext_search,
@@ -223,6 +224,40 @@ class Bm25CrossEncoder(CrossEncoder):
         )
 
 
+class UdfCrossEncoder(CrossEncoder):
+    """R3 client-backed reference implementation (the reference's
+    OpenAI reranker scores P(True) from logprobs per passage,
+    cross_encoder/openai_reranker_client.py:59-121): wraps ANY
+    ``client(query, passages: list[str]) -> list[float]`` in an
+    Arrow-batched pandas UDF, so scoring runs executor-side over
+    column batches — never a per-row Python UDF or a driver loop. A
+    remote LLM client plugs in unchanged (batch its HTTP calls inside
+    the callable); tests use a deterministic fake. The client must be
+    deterministic per (query, passage) or rankings stop being
+    plan-independent."""
+
+    def __init__(self, client):
+        self.client = client
+
+    def score(self, df: DataFrame, text_col: str, query: str) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        client = self.client
+
+        def _score(texts):
+            return pd.Series(
+                client(query, texts.tolist()), index=texts.index, dtype="float64"
+            )
+
+        # explicit annotations (not the module's stringified ones):
+        # pandas_udf resolves hints from function globals, where the
+        # locally-imported pd would not resolve
+        _score.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+        udf = pandas_udf(_score, "double")
+        return df.withColumn("score", udf(F.col(text_col)))
+
+
 def _token_overlap_scorer(query: str):
     """Back-compat shim over TokenOverlapCrossEncoder."""
     enc = TokenOverlapCrossEncoder()
@@ -306,8 +341,11 @@ def _run_lane(
         passages = fused.select("id").join(
             df.select(F.col(id_col).alias("id"), F.col(text_col)), "id"
         )
+        # rounded sort key (operators.search._rank_order): cross-encoder
+        # scores can tie with last-bit float differences across plan
+        # shapes; raw-double ordering would make top-k nondeterministic
         out = enc.score(passages, text_col, query).select("id", "score").orderBy(
-            F.desc("score"), "id"
+            *_rank_order()
         )
     else:
         out = fused

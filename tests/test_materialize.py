@@ -281,6 +281,25 @@ def test_partition_scoped_merge_upsert(spark, tmp_path_factory):
     ] == mtimes_before
 
 
+def test_metrics_seq_backfill_on_legacy_table(spark, tmp_path_factory):
+    """ADVICE r2: a metrics table written before the seq column existed
+    is backfilled in place (file order) on the first new append, so
+    reads never mix 3-col and 4-col parquet schemas."""
+    import time
+
+    d = str(tmp_path_factory.mktemp("mseq"))
+    io = TableIO(spark, d)
+    for v in (1.0, 2.0):  # two legacy appends: no seq column
+        row = spark.createDataFrame(
+            [("s", "m", v)], "stage string, metric string, value double"
+        )
+        io.append("metrics", row.coalesce(1))
+        time.sleep(0.05)
+    io.record_metric("s", "m", 3.0)
+    got = [(r.value, r.seq) for r in io.read("metrics").orderBy("seq").collect()]
+    assert got == [(1.0, 0), (2.0, 1), (3.0, 2)]
+
+
 def test_overwrite_partitions_empties_listed_part(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("oio"))
     io = TableIO(spark, d)

@@ -146,6 +146,34 @@ def test_embedding_near_duplicates_blocking_recall(spark):
         assert abs(v - exact[k]) < 2e-6
 
 
+def test_hyperplane_plan_builds_fast_at_1024_dims(spark):
+    """VERDICT r2 #3 / round-1 Catalyst lesson as a regression test:
+    hyperplane bucketing at production dims (1024) with 6 tables × 6
+    planes must not inline ~37k plan literals — plan build AND execution
+    stay within a tight bound because the planes ride in a pandas-UDF
+    closure, and a planted collinear duplicate is still found."""
+    import time
+
+    import numpy as np
+
+    from graphiti_spark.operators.docops import embedding_near_duplicates
+
+    rng = np.random.RandomState(11)
+    rows = [(i, [float(x) for x in rng.randn(1024)]) for i in range(12)]
+    dup = [(2000, [2.0 * x for x in rows[0][1]])]  # collinear with id 0
+    emb = spark.createDataFrame(
+        rows + dup, "vec_id long, embedding array<double>"
+    )
+    t0 = time.monotonic()
+    out = embedding_near_duplicates(emb, threshold=0.99, n_tables=6, n_planes=6)
+    plan = out._jdf.queryExecution().simpleString()  # forces plan build
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    elapsed = time.monotonic() - t0
+    assert (0, 2000) in got
+    assert elapsed < 60, f"plan+exec took {elapsed:.1f}s at dim=1024"
+    assert len(plan) < 200_000  # no literal-inlined plane matrices
+
+
 def test_lsh_topk_or_amplification_improves_recall(spark):
     """Multi-table OR-amplification lifts the chance of finding a TRUE
     near neighbor (cos ≈ 0.98) to near-certainty, vs the single-table

@@ -164,6 +164,49 @@ def test_case_variant_names_share_one_vertex(spark):
     assert out[0].subj_name == acme.name
 
 
+def test_resolve_pointers_identical_across_join_strategies(spark):
+    """VERDICT r2 #2 (broadcast safety): the pointer rewrite returns
+    identical rows whether the uuid_map side is broadcast (small-graph
+    fast path), shuffle-hash joined (the 100×-entities fallback), or
+    left to AQE ('auto', the default). The broadcast hint must never be
+    a correctness assumption."""
+    from graphiti_spark.operators.resolve import distinct_entities, resolve_pointers
+    from graphiti_spark.plans.explain import physical_plan
+
+    mentions = spark.createDataFrame(
+        [("g0", f"Entity {i}") for i in range(50)] + [("g0", "Acme Corp")],
+        "group_id string, name string",
+    )
+    ents = distinct_entities(mentions)
+    uuid_map = ents.select(
+        "group_id", "uuid", "name",
+        F.col("uuid").alias("canonical_uuid"), F.col("name").alias("canonical_name"),
+    )
+    triples = spark.createDataFrame(
+        [("g0", f"entity {i}") for i in range(50)] + [("g0", "ACME CORP"), ("g0", "Unseen Co")],
+        "group_id string, subj_name string",
+    ).withColumn("source_node_uuid", F.lit(None).cast("string"))
+
+    results = {}
+    for strategy in ("broadcast", "shuffle", "auto"):
+        out = resolve_pointers(
+            triples, uuid_map, "source_node_uuid", "subj_name",
+            join_strategy=strategy,
+        )
+        results[strategy] = sorted(
+            (r.subj_name, r.source_node_uuid) for r in out.collect()
+        )
+        plan = physical_plan(out)
+        if strategy == "broadcast":
+            assert "BroadcastHashJoin" in plan
+        elif strategy == "shuffle":
+            assert "BroadcastHashJoin" not in plan  # hint honored
+    assert results["broadcast"] == results["shuffle"] == results["auto"]
+    # unmapped names fall back to their deterministic identity uuid
+    unseen = [u for n, u in results["auto"] if n == "Unseen Co"]
+    assert unseen and unseen[0] is not None
+
+
 def test_resolution_partitions_data_sized(spark):
     from graphiti_spark.operators.resolve import resolution_partitions
 

@@ -131,6 +131,37 @@ def test_tombstone_delete(spark, docs, tmp_path_factory):
     assert idx.stats().collect()[0].n_docs == stats1.n_docs
 
 
+def test_delete_then_remerge_resurrects(spark, docs, tmp_path_factory):
+    """ADVICE r2: a delete()d id must be re-indexable by a later
+    merge() WITHOUT compaction (facade remove_episode + re-ingest).
+    Epoch tombstones hide only postings written at-or-before the
+    delete; the re-merge's fresh postings stay visible and the stats
+    re-admit the doc."""
+    io = TableIO(spark, str(tmp_path_factory.mktemp("ftidx5")))
+    idx = SearchIndex(io, "doc")
+    idx.merge(docs, "doc_id", "text")
+    stats0 = idx.stats().collect()[0]
+    baseline = {(r.id, round(r.score, 9)) for r in idx.search(BM25_QUERY, limit=30).collect()}
+    kill = idx.search(BM25_QUERY, limit=1).collect()[0].id
+
+    idx.delete(spark.createDataFrame([(kill,)], "id string"))
+    assert kill not in {r.id for r in idx.search(BM25_QUERY, limit=30).collect()}
+
+    idx.merge(docs.where(F.col("doc_id") == kill), "doc_id", "text")
+    after = {(r.id, round(r.score, 9)) for r in idx.search(BM25_QUERY, limit=30).collect()}
+    assert after == baseline  # identical scores, doc fully restored
+    stats1 = idx.stats().collect()[0]
+    assert (stats1.n_docs, stats1.total_dl) == (stats0.n_docs, stats0.total_dl)
+
+    # delete → re-merge → delete again still hides it (newer tombstone)
+    idx.delete(spark.createDataFrame([(kill,)], "id string"))
+    assert kill not in {r.id for r in idx.search(BM25_QUERY, limit=30).collect()}
+    # and compaction physically drops every hidden generation
+    idx.compact()
+    assert kill not in {r.id for r in idx.search(BM25_QUERY, limit=30).collect()}
+    assert idx.postings().where(F.col("id") == kill).count() == 0
+
+
 def test_index_search_many_matches_single(spark, docs, index):
     queries = [("q1", BM25_QUERY), ("q2", "vector hash stream batch")]
     batched = index.search_many(queries, limit=25)
