@@ -388,6 +388,66 @@ def _q_episode_subgraph(spark, sf_dir):
     )
 
 
+def _q_near_dup_facts(spark, sf_dir):
+    """D8 near-dup lane end-to-end (operators/resolve.
+    merge_near_duplicate_facts): per document, a base fact + a same-date
+    paraphrase ('... indeed.') on even docs + a differently-dated
+    restatement on every third doc. The paraphrase must merge into the
+    earliest edge (provenance unioned) via fact-embedding cosine inside
+    the pair group; the differently-dated fact must survive."""
+    from graphiti_spark.operators.resolve import merge_near_duplicate_facts
+
+    d = F.col("d")
+    base = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").cast("long").alias("d"))
+    )
+    year = (F.lit(2000) + d % 20).cast("int")
+    stem = F.concat(
+        F.lit("S"), d.cast("string"), F.lit(" partners with O"),
+        d.cast("string"), F.lit(" since "),
+    )
+
+    def edge(variant, yr, created, cond):
+        fact = F.concat(stem, yr.cast("string"), F.lit("."))
+        if variant == "b":
+            fact = F.concat(stem, yr.cast("string"), F.lit(" indeed."))
+        return base.where(cond).select(
+            F.lit("g").alias("group_id"),
+            F.sha2(
+                F.concat_ws("|", F.lit("ndf"), d.cast("string"), F.lit(variant)),
+                256,
+            ).alias("uuid"),
+            F.sha2(F.concat(F.lit("S"), d.cast("string")), 256).alias(
+                "source_node_uuid"
+            ),
+            F.sha2(F.concat(F.lit("O"), d.cast("string")), 256).alias(
+                "target_node_uuid"
+            ),
+            F.lit("PARTNERED_WITH").alias("name"),
+            fact.alias("fact"),
+            F.array(
+                F.concat(F.lit("ep-"), d.cast("string"), F.lit(f"-{variant}"))
+            ).alias("episodes"),
+            F.lit(created).cast("timestamp").alias("created_at"),
+            F.to_timestamp(F.concat(yr.cast("string"), F.lit("-06-01"))).alias(
+                "valid_at"
+            ),
+        )
+
+    edges = (
+        edge("a", year, "2025-01-01 00:00:00", F.lit(True))
+        .unionByName(edge("b", year, "2025-01-01 01:00:00", d % 2 == 0))
+        .unionByName(edge("c", year + 1, "2025-01-01 02:00:00", d % 3 == 0))
+    )
+    out = merge_near_duplicate_facts(edges)
+    return out.select(
+        "fact",
+        F.date_format("valid_at", "yyyy-MM-dd").alias("valid_on"),
+        F.array_join("episodes", ",").alias("episodes_csv"),
+    )
+
+
 # --- non-SQL-expressible ops: driver records a rows-only check --------------
 
 def _q_communities(spark, sf_dir):
@@ -484,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_pairs": _q_duplicate_pairs,
         "as_of_join": _q_as_of_join,
         "interval_join": _q_interval_join,
+        "near_dup_facts": _q_near_dup_facts,
         # non-SQL-expressible (rows-only check)
         "communities": _q_communities,
         "ann_lsh": _q_ann_lsh,
@@ -529,6 +590,7 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_pairs": oo.q_duplicate_pairs(),
         "as_of_join": oo.q_as_of_join(),
         "interval_join": oo.q_interval_join(),
+        "near_dup_facts": oo.q_near_dup_facts(),
         "media_features": oo.q_media_features(),
         "media_frames": oo.q_media_frames(),
         # communities / ann_lsh: intentionally no oracle

@@ -67,7 +67,12 @@ def tokenize_py(text: str) -> list[str]:
 # F2-F5: BM25 as DataFrame algebra over a derived posting table
 # ---------------------------------------------------------------------------
 
-TERM_BUCKETS = 16
+# 256 term-hash partitions for the persisted index: at 16, one bucket
+# held 1/16 of the vocabulary and a stopword's posting list dominated
+# its partition; finer buckets keep per-query partition pruning tight
+# as the corpus grows (VERDICT r2 #5). Bucket count only shapes the
+# layout — BM25 scores are bucket-independent.
+TERM_BUCKETS = 256
 
 
 def term_bucket_py(term: str, n_buckets: int = TERM_BUCKETS) -> int:
@@ -132,6 +137,7 @@ def bm25_score(
     k1: float = BM25_K1,
     b: float = BM25_B,
     stats: DataFrame | None = None,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Score all docs matching any query term: (id, score).
 
@@ -141,11 +147,17 @@ def bm25_score(
     Fully lazy — no driver actions: corpus stats ride along as a
     broadcast 1-row cross join (pass the persisted ``stats`` table;
     when absent they are derived in-plan from the postings).
+
+    ``max_df_ratio``: optional effective-stopword cut (Lucene-style):
+    query terms whose document frequency exceeds this fraction of the
+    corpus contribute nothing (their near-zero idf buys a scan of the
+    corpus's biggest posting lists). Applied in-plan from the matched
+    df counts — still zero driver actions. Off by default (exact BM25).
     """
     terms = list(dict.fromkeys(tokenize_py(query)))[:MAX_QUERY_LENGTH]
     if not terms:
         return postings.sparkSession.createDataFrame([], "id string, score double")
-    scored = _bm25_weights(postings, terms, k1, b, stats)
+    scored = _bm25_weights(postings, terms, k1, b, stats, max_df_ratio)
     return scored.groupBy("id").agg(F.sum("w").alias("score"))
 
 
@@ -155,6 +167,7 @@ def _bm25_weights(
     k1: float,
     b: float,
     stats: DataFrame | None,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Per-(term, id) BM25 weights for the matched postings — weights
     are query-independent, so batched scoring computes them once and
@@ -167,9 +180,16 @@ def _bm25_weights(
         buckets = sorted({term_bucket_py(t) for t in terms})
         matched = matched.where(F.col("tpart").isin(buckets))
     df_counts = matched.groupBy("term").agg(F.countDistinct("id").alias("df"))
-    return (
+    out = (
         matched.join(F.broadcast(df_counts), "term")
         .crossJoin(F.broadcast(stats.select("n_docs", "avgdl")))
+    )
+    if max_df_ratio is not None:
+        out = out.where(
+            F.col("df") <= F.lit(float(max_df_ratio)) * F.col("n_docs")
+        )
+    return (
+        out
         .withColumn(
             "idf",
             F.log1p(
@@ -192,6 +212,7 @@ def bm25_score_many(
     k1: float = BM25_K1,
     b: float = BM25_B,
     stats: DataFrame | None = None,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Batched BM25: score MANY queries in ONE pass over the postings.
 
@@ -210,7 +231,7 @@ def bm25_score_many(
         return spark.createDataFrame([], "query_id string, id string, score double")
     qdf = spark.createDataFrame(qt, "query_id string, term string")
     terms = sorted({t for _, t in qt})
-    w = _bm25_weights(postings, terms, k1, b, stats)
+    w = _bm25_weights(postings, terms, k1, b, stats, max_df_ratio)
     return (
         w.join(F.broadcast(qdf), "term")
         .groupBy("query_id", "id")
@@ -226,13 +247,14 @@ def fulltext_search_many(
     limit: int = 2 * DEFAULT_SEARCH_LIMIT,
     postings: DataFrame | None = None,
     stats: DataFrame | None = None,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """Batched F2-F5: per-query BM25 top-`limit` inside a
     Window.partitionBy(query_id) — no global sort, one shuffle for the
     whole query batch."""
     if postings is None:
         postings = build_postings(df, id_col, text_col)
-    scored = bm25_score_many(postings, queries, stats=stats)
+    scored = bm25_score_many(postings, queries, stats=stats, max_df_ratio=max_df_ratio)
     wq = Window.partitionBy("query_id").orderBy(*_rank_order())
     return (
         scored.withColumn("rank", F.row_number().over(wq))
@@ -250,6 +272,7 @@ def fulltext_search(
     group_ids: list[str] | None = None,
     postings: DataFrame | None = None,
     stats: DataFrame | None = None,
+    max_df_ratio: float | None = None,
 ) -> DataFrame:
     """BM25 top-`limit` over df[text_col] (the 2×limit overscan is the
     caller's reranker headroom, search.py:179-193).
@@ -288,7 +311,7 @@ def fulltext_search(
         # group scope changes the corpus: re-derive stats in-plan
         stats = None
     return (
-        bm25_score(postings, query, stats=stats)
+        bm25_score(postings, query, stats=stats, max_df_ratio=max_df_ratio)
         .orderBy(*_rank_order())
         .limit(limit)
     )
@@ -525,6 +548,7 @@ class SearchIndex:
         group_ids: list[str] | None = None,
         df: DataFrame | None = None,
         id_col: str = "id",
+        max_df_ratio: float | None = None,
     ) -> DataFrame:
         return fulltext_search(
             df,
@@ -535,18 +559,21 @@ class SearchIndex:
             group_ids=group_ids,
             postings=self.postings(),
             stats=self.stats(),
+            max_df_ratio=max_df_ratio,
         )
 
     def search_many(
         self,
         queries: list[tuple[str, str]],
         limit: int = 2 * DEFAULT_SEARCH_LIMIT,
+        max_df_ratio: float | None = None,
     ) -> DataFrame:
         """Batched read path: all queries scored in one pass over the
         pruned index partitions (bm25_score_many) — (query_id, id,
         score), top-`limit` per query."""
         return fulltext_search_many(
-            queries, limit=limit, postings=self.postings(), stats=self.stats()
+            queries, limit=limit, postings=self.postings(), stats=self.stats(),
+            max_df_ratio=max_df_ratio,
         )
 
 

@@ -628,3 +628,43 @@ SELECT media_ref, frame_idx,
   sha256(media_ref || '|' || CAST(frame_idx AS VARCHAR)) AS content_sha
 FROM frames
 """
+
+
+def q_near_dup_facts() -> str:
+    """Oracle for the near-duplicate fact merge (D8 near-dup lane,
+    operators/resolve.merge_near_duplicate_facts): the fixture plants,
+    per document, a base fact, a paraphrase variant sharing its
+    valid_at ('... indeed.', trigram cosine ≈ 0.9 — far above the 0.6
+    reference cutoff) on even docs, and a differently-dated restatement
+    on docs % 3 == 0. Expected merge is known by construction: the
+    paraphrase folds into the earliest edge (provenance unioned), the
+    differently-dated fact survives untouched — the oracle GENERATES
+    that outcome; Spark has to reach it through embedding cosine +
+    union-find inside the pair group."""
+    return """
+WITH docs AS (SELECT CAST(doc_id AS BIGINT) AS d FROM documents),
+base AS (
+  SELECT d,
+    2000 + d % 20 AS y,
+    'S' || CAST(d AS VARCHAR) || ' partners with O' || CAST(d AS VARCHAR)
+      || ' since ' AS stem
+  FROM docs
+),
+merged AS (
+  SELECT
+    stem || CAST(y AS VARCHAR) || '.' AS fact,
+    CAST(y AS VARCHAR) || '-06-01' AS valid_on,
+    'ep-' || CAST(d AS VARCHAR) || '-a'
+      || CASE WHEN d % 2 = 0 THEN ',ep-' || CAST(d AS VARCHAR) || '-b'
+              ELSE '' END AS episodes_csv
+  FROM base
+),
+dated AS (
+  SELECT
+    stem || CAST(y + 1 AS VARCHAR) || '.' AS fact,
+    CAST(y + 1 AS VARCHAR) || '-06-01' AS valid_on,
+    'ep-' || CAST(d AS VARCHAR) || '-c' AS episodes_csv
+  FROM base WHERE d % 3 = 0
+)
+SELECT * FROM merged UNION ALL SELECT * FROM dated
+"""

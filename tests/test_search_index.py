@@ -113,6 +113,42 @@ def test_query_prunes_term_partitions(spark, index):
     assert m, f"no tpart partition filter in plan:\n{plan[:2000]}"
 
 
+def test_max_df_ratio_drops_effective_stopwords(spark, docs, index):
+    """VERDICT r2 #5: the optional df-cap removes ultra-high-df query
+    terms from scoring (Lucene's effective-stopword behavior) — the
+    result equals scoring the query WITHOUT those terms; low-df terms
+    are untouched; default (None) stays exact BM25."""
+    from graphiti_spark.operators.search import bm25_score, build_postings
+
+    postings = index.postings()
+    n_docs = index.stats().collect()[0].n_docs
+    # find one very common and one rare term in the fixture corpus
+    freq = {
+        r.term: r.df
+        for r in postings.groupBy("term")
+        .agg(F.countDistinct("id").alias("df"))
+        .collect()
+    }
+    common = max(freq, key=freq.get)
+    rare = min((t for t in freq if freq[t] < 0.2 * n_docs), key=lambda t: freq[t])
+    assert freq[common] > 0.5 * n_docs
+
+    capped = {
+        (r.id, round(r.score, 9))
+        for r in index.search(f"{common} {rare}", limit=100, max_df_ratio=0.5).collect()
+    }
+    rare_only = {
+        (r.id, round(r.score, 9))
+        for r in index.search(rare, limit=100).collect()
+    }
+    assert capped == rare_only  # the stopword contributed nothing
+    uncapped = {
+        (r.id, round(r.score, 9))
+        for r in index.search(f"{common} {rare}", limit=100).collect()
+    }
+    assert uncapped != capped  # default stays exact
+
+
 def test_tombstone_delete(spark, docs, tmp_path_factory):
     io = TableIO(spark, str(tmp_path_factory.mktemp("ftidx3")))
     idx = SearchIndex(io, "doc")
@@ -182,14 +218,19 @@ def test_compact_drops_tombstones_and_coalesces_files(spark, docs, tmp_path_fact
     idx.merge(rest, "doc_id", "text")
     kill = [r.id for r in idx.search(BM25_QUERY, limit=3).collect()]
     idx.delete(spark.createDataFrame([(k,) for k in kill], "id string"))
-    before = {(r.id, r.score) for r in idx.search(BM25_QUERY, limit=30).collect()}
+    # rounded: compaction changes summation order → last-bit float drift
+    before = {
+        (r.id, round(r.score, 9)) for r in idx.search(BM25_QUERY, limit=30).collect()
+    }
     stats_before = idx.stats().collect()[0]
     n_rows_before = idx.postings().count()
 
     idx.compact()
 
     # identical search results, stats unchanged, tombstones gone
-    after = {(r.id, r.score) for r in idx.search(BM25_QUERY, limit=30).collect()}
+    after = {
+        (r.id, round(r.score, 9)) for r in idx.search(BM25_QUERY, limit=30).collect()
+    }
     assert after == before
     assert idx.stats().collect()[0] == stats_before
     assert not io.exists("doc_tombstones")
