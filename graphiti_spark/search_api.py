@@ -105,6 +105,12 @@ def NODE_HYBRID_SEARCH_CROSS_ENCODER() -> SearchConfig:
 
 
 def EPISODE_HYBRID_SEARCH_RRF() -> SearchConfig:
+    """Repo extra, NOT in the reference's 16 canned recipes: the
+    reference exposes episode search only through retrieve_episodes /
+    the combined config's episode lane (search_config_recipes.py has
+    no EPISODE_* entry). Kept as a named recipe because the episode
+    lane here is a first-class fulltext corpus; listed in
+    EXTRA_RECIPES so parity tests can assert exact 1:1 on the rest."""
     return SearchConfig(episodes=LaneConfig(methods=["bm25"]))
 
 
@@ -167,6 +173,10 @@ RECIPES = {
         COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER,
     )
 }
+
+# Names in RECIPES that have NO counterpart in the reference's
+# search_config_recipes.py — everything else is exact 1:1.
+EXTRA_RECIPES = {"EPISODE_HYBRID_SEARCH_RRF"}
 
 
 @dataclass

