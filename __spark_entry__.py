@@ -545,8 +545,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "as_of_join": _q_as_of_join,
         "interval_join": _q_interval_join,
         "near_dup_facts": _q_near_dup_facts,
-        # non-SQL-expressible (rows-only check)
         "communities": _q_communities,
+        # non-SQL-expressible (rows-only check)
         "ann_lsh": _q_ann_lsh,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
@@ -591,8 +591,11 @@ def oracle_sql() -> dict[str, str]:
         "as_of_join": oo.q_as_of_join(),
         "interval_join": oo.q_interval_join(),
         "near_dup_facts": oo.q_near_dup_facts(),
+        # iterative LPA, oracle = the loop unrolled to its cap (rounds
+        # past convergence are no-ops, so this is exact, not approximate)
+        "communities": oracle.q_communities(),
         "media_features": oo.q_media_features(),
         "media_frames": oo.q_media_frames(),
-        # communities / ann_lsh: intentionally no oracle
-        # (iterative or UDF-bound) → driver rows-only check
+        # ann_lsh: intentionally no oracle (seeded-numpy hyperplane
+        # UDF not SQL-expressible) → driver rows-only + recall pytest
     }

@@ -295,3 +295,67 @@ SELECT DISTINCT c.doc_id, c.group_id, c.subj_name, c.predicate,
   c.obj_name, c.valid_at
 FROM canon c
 """
+
+
+def q_communities(max_iters: int = 20) -> str:
+    """C1/C2 oracle: synchronous label propagation, fully unrolled.
+
+    Exactly equivalent to ``operators.community.label_propagation``
+    (community_operations.py:79-124 semantics): rounds past convergence
+    are no-ops (labels are a deterministic function of labels), and an
+    oscillating instance is cut at the same ``max_iters`` cap — so
+    unrolling the loop as ``max_iters`` chained CTEs reproduces the
+    Spark fixpoint bit-for-bit, including the (weight, label) max_by
+    tie-break and the final min-member canonical id.
+    """
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    # round references the previous one three times -> a 3^max_iters
+    # plan explosion without it.
+    rounds = []
+    for i in range(1, max_iters + 1):
+        rounds.append(f"""
+n{i} AS (
+  SELECT a.group_id, a.src, l.community AS nbr_comm, SUM(a.weight) AS w
+  FROM adj a JOIN l{i - 1} l ON l.uuid = a.dst
+  GROUP BY 1, 2, 3
+),
+b{i} AS (
+  SELECT group_id, src AS uuid, nbr_comm AS new_comm FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY group_id, src ORDER BY w DESC, nbr_comm DESC) AS rn
+    FROM n{i})
+  WHERE rn = 1
+),
+l{i} AS MATERIALIZED (
+  SELECT l.group_id, l.uuid, COALESCE(b.new_comm, l.community) AS community
+  FROM l{i - 1} l LEFT JOIN b{i} b ON b.uuid = l.uuid
+)""")
+    return f"""
+WITH {EDGES_CTE},
+enodes AS (
+  SELECT DISTINCT group_id, canonical_name AS name,
+    sha256('entity|' || group_id || '|' || lower(canonical_name)) AS uuid
+  FROM canon_map
+),
+pairs AS (
+  SELECT group_id,
+    sha256('entity|' || group_id || '|' || lower(subj_name)) AS src,
+    sha256('entity|' || group_id || '|' || lower(obj_name)) AS dst
+  FROM edges
+),
+adj AS MATERIALIZED (
+  SELECT group_id, src, dst, COUNT(*) AS weight FROM (
+    SELECT group_id, src, dst FROM pairs
+    UNION ALL SELECT group_id, dst AS src, src AS dst FROM pairs
+  ) GROUP BY 1, 2, 3
+),
+l0 AS MATERIALIZED (SELECT group_id, uuid, uuid AS community FROM enodes),
+{", ".join(rounds)},
+canon_comm AS (
+  SELECT group_id, community, MIN(uuid) AS community_id
+  FROM l{max_iters} GROUP BY 1, 2
+)
+SELECT l.group_id, l.uuid, c.community_id AS community
+FROM l{max_iters} l
+JOIN canon_comm c ON c.group_id = l.group_id AND c.community = l.community
+"""
