@@ -120,19 +120,26 @@ def default_summarizer(names: list[str]) -> str:
 
 
 def build_communities(
-    membership: DataFrame, nodes: DataFrame, batch_time: str
+    membership: DataFrame,
+    nodes: DataFrame,
+    batch_time: str,
+    summarizer=None,
 ) -> tuple[DataFrame, DataFrame]:
     """C3: (communities, community_members) tables.
 
     Community name = first member name (sorted); summary = pluggable
-    reduce over member names; uuid = sha2 of group + community id.
-    Communities carry a ``name_embedding`` (the reference embeds
-    community names, nodes.py:415-417, community_operations.py:188-192)
-    so the V3 community-similarity lane (search_utils.py:561-609) runs
-    directly on this output.
+    (``summarizer``: a functions.summarize.Summarizer — the default
+    keeps the deterministic roster sentence; UdfSummarizer runs any
+    LLM client executor-side over the same context); uuid = sha2 of
+    group + community id. Communities carry a ``name_embedding`` (the
+    reference embeds community names, nodes.py:415-417,
+    community_operations.py:188-192) so the V3 community-similarity
+    lane (search_utils.py:561-609) runs directly on this output.
     """
     from ..functions.similarity import hash_embed_udf
+    from ..functions.summarize import DeterministicSummarizer
 
+    summarizer = summarizer or DeterministicSummarizer()
     members = membership.join(
         nodes.select("uuid", "name"), "uuid"
     )
@@ -147,8 +154,8 @@ def build_communities(
         ).alias("uuid"),
         "group_id",
         F.element_at("names", 1).alias("name"),
-        F.concat(
-            F.lit("Community of: "), F.array_join("names", ", ")
+        summarizer.summarize(
+            F.concat(F.lit("Community of: "), F.array_join("names", ", "))
         ).alias("summary"),
         F.lit(batch_time).cast("timestamp").alias("created_at"),
         "community",

@@ -117,10 +117,19 @@ def enrich_nodes_with_stats(
     nodes: DataFrame,
     stats: DataFrame,
     entity_types: list[EntityType] | None = None,
+    summarizer=None,
 ) -> DataFrame:
     """Same enrichment from a pre-aggregated (entity_uuid, n_episodes)
     stats table — the incremental write path maintains that table with
-    O(batch) work instead of re-aggregating all mentions per batch."""
+    O(batch) work instead of re-aggregating all mentions per batch.
+
+    ``summarizer`` (functions.summarize.Summarizer) replaces the
+    reference's LLM entity summary (node_operations.py:341-425): the
+    deterministic stat sentence is the context; UdfSummarizer rewrites
+    it executor-side through any client callable."""
+    from ..functions.summarize import DeterministicSummarizer
+
+    summarizer = summarizer or DeterministicSummarizer()
     types = DEFAULT_ENTITY_TYPES if entity_types is None else entity_types
     typed = nodes.join(
         stats.withColumnRenamed("entity_uuid", "uuid"), "uuid", "left"
@@ -138,13 +147,15 @@ def enrich_nodes_with_stats(
         )
         .withColumn(
             "summary",
-            F.concat(
-                F.col("name"),
-                F.lit(" ("),
-                F.col("entity_type"),
-                F.lit(") is mentioned in "),
-                F.coalesce(F.col("n_episodes"), F.lit(0)).cast("string"),
-                F.lit(" episodes."),
+            summarizer.summarize(
+                F.concat(
+                    F.col("name"),
+                    F.lit(" ("),
+                    F.col("entity_type"),
+                    F.lit(") is mentioned in "),
+                    F.coalesce(F.col("n_episodes"), F.lit(0)).cast("string"),
+                    F.lit(" episodes."),
+                )
             ),
         )
         .drop("n_episodes")
