@@ -415,10 +415,14 @@ class SearchIndex:
 
         # checkpoint: the tokenization (explode + two groupBys) feeds
         # the append, the ledger merge, AND the stats delta — without
-        # this it would re-execute once per consumer
+        # this it would re-execute once per consumer. Repartitioned by
+        # tpart first so the partitioned append writes exactly ONE file
+        # per touched bucket per merge (otherwise every writer task
+        # fans out into every bucket dir: tasks × buckets small files).
         postings = (
             build_postings(docs, "id", "text")
             .withColumn("epoch", F.lit(epoch).cast("long"))
+            .repartition(TERM_BUCKETS, "tpart")
             .localCheckpoint(eager=True)
         )
         self.io.append(self._t("postings"), postings, partition_by=["tpart"])

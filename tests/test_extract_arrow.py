@@ -1,0 +1,77 @@
+"""Arrow-native extraction kernel (X1/X3 fast path): RE2
+``pc.extract_regex`` over RecordBatches must parse byte-identically to
+the pandas kernel — same backtracking splits, cleaning, self-loop drop,
+reflexion fallback — since ``extract_triples`` now routes the default
+extractor through ``mapInArrow``."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from graphiti_spark.operators.extract import RuleBasedExtractor, extract_triples
+
+TRICKY = [
+    "Alice: Acme Corp works for Big Co since 2015.",
+    "Bob: J. Smith left Wonka Works since 2017.",
+    "junk line with no structure",
+    "Cyd: A works for B works for C since 2001.",  # phrase inside object
+    "Dee: X​ works for Y since 1999.",  # zero-width char cleaned
+    "Eve: Solo partners with Solo since 2010.",  # self-loop dropped
+    "Fay: Thing works for Other.",  # fallback shape (no year)
+]
+
+
+def _pdf():
+    return pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(len(TRICKY))],
+            "group_id": ["g"] * len(TRICKY),
+            "offset": pd.array(range(len(TRICKY)), dtype="int32"),
+            "episode_valid_at": pd.to_datetime("2025-01-01", utc=True),
+            "text": TRICKY,
+        }
+    )
+
+
+@pytest.mark.parametrize("reflexion", [False, True])
+def test_arrow_kernel_matches_pandas_kernel(reflexion):
+    ex = RuleBasedExtractor(reflexion=reflexion)
+    pdf = _pdf()
+    want = ex.extract(pdf).sort_values("doc_id").reset_index(drop=True)
+    got = (
+        ex.extract_arrow(pa.RecordBatch.from_pandas(pdf, preserve_index=False))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == (5 if reflexion else 4)
+
+
+def test_extract_triples_uses_arrow_for_default_extractor(spark):
+    from graphiti_spark.synth import synthesize_episodes
+    from tests.conftest import SF_SMOKE
+
+    eps = synthesize_episodes(spark, SF_SMOKE)
+    plan = extract_triples(eps)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan, plan[:1500]
+
+
+def test_custom_pandas_extractor_still_routes_mapinpandas(spark):
+    from graphiti_spark.synth import synthesize_episodes
+    from tests.conftest import SF_SMOKE
+
+    class PandasOnly:
+        def extract(self, pdf):
+            return RuleBasedExtractor().extract(pdf)
+
+    eps = synthesize_episodes(spark, SF_SMOKE)
+    df = extract_triples(eps, extractor=PandasOnly())
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan, plan[:1500]
+    # and the two paths produce identical rows
+    arrow_rows = {tuple(r) for r in extract_triples(eps).collect()}
+    pandas_rows = {tuple(r) for r in df.collect()}
+    assert arrow_rows == pandas_rows
