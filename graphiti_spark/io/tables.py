@@ -53,7 +53,11 @@ class TableIO:
         return self.spark.read.parquet(self.path(name))
 
     def write(
-        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        options: dict[str, str] | None = None,
     ) -> None:
         """Snapshot-swap overwrite: write to a staging dir, then rename —
         readers never observe a half-written table (the parquet stand-in
@@ -61,6 +65,8 @@ class TableIO:
         final = self.path(name)
         staging = final + ".staging-" + _uuid.uuid4().hex[:8]
         w = df.write.mode("overwrite")
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(staging)
@@ -72,16 +78,23 @@ class TableIO:
             shutil.rmtree(old, ignore_errors=True)
 
     def append(
-        self, name: str, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        options: dict[str, str] | None = None,
     ) -> None:
         """Append-only file add (Iceberg fast-append): new files land
         inside the existing partition dirs; nothing is rewritten. The
         caller guarantees key-disjointness (e.g. anti-join on already
-        present ids first)."""
+        present ids first). ``options`` pass through to the parquet
+        writer (e.g. per-column bloom filters for point-lookup tables)."""
         if not self.exists(name):
-            self.write(name, df, partition_by=partition_by)
+            self.write(name, df, partition_by=partition_by, options=options)
             return
         w = df.write.mode("append")
+        for k, v in (options or {}).items():
+            w = w.option(k, v)
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))

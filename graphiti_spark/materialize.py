@@ -529,6 +529,7 @@ def materialize_graph(
     #   run bootstraps the index), or full_rewrite=True A/B runs;
     #   resolves batch ∪ ALL stored surface forms in one pass.
     from .operators.incremental import (
+        BAND_INDEX_WRITE_OPTIONS,
         entity_band_rows,
         incremental_resolve,
         upart_col,
@@ -616,7 +617,12 @@ def materialize_graph(
             eager=True
         )
         if not new_bands.isEmpty():
-            io.append("entity_bands", new_bands, partition_by=["kpart"])
+            io.append(
+                "entity_bands",
+                new_bands.sortWithinPartitions("key"),
+                partition_by=["kpart"],
+                options=BAND_INDEX_WRITE_OPTIONS,
+            )
     else:
         # global resolution: the map IS the full entity space —
         # overwrite (stale canonicals disappear, as in a fresh run).
@@ -647,8 +653,9 @@ def materialize_graph(
                 "entity_bands",
                 entity_band_rows(
                     io.read("uuid_map").select("group_id", "uuid", "name")
-                ),
+                ).sortWithinPartitions("key"),
                 partition_by=["kpart"],
+                options=BAND_INDEX_WRITE_OPTIONS,
             )
 
     # Opt-in persistent fulltext indexes (reference index DDL,

@@ -27,10 +27,11 @@ Why this is exactly equivalent to re-resolving the entire entity space
 
 Scale shape per micro-batch:
 - band lookup: broadcast semi-join of the batch's band keys against
-  the ``entity_bands`` index, pruned to the batch's ``kpart`` hash
-  buckets (an Iceberg deployment would add bloom-filter file skipping
-  on ``key``); no shuffle of the stored side, output is the collided
-  id set only.
+  the ``entity_bands`` index, with the keys ALSO pushed to the scan as
+  one InSet predicate over key-sorted, bloom-filtered parquet (row
+  groups that hold no batch key are skipped — the stored side costs
+  O(matching row groups), not O(entities), per batch); no shuffle of
+  the stored side, output is the collided id set only.
 - neighborhood pull: two broadcast-filtered scans of ``uuid_map``
   (by uuid — upart-pruned — then by canonical_uuid); again no shuffle.
 - everything downstream (LSH, scoring, components, canonical pick)
@@ -54,6 +55,18 @@ from .resolve import (
 
 BAND_KPARTS = 64   # entity_bands partition buckets (hash of band+key)
 UUID_PARTS = 64    # uuid_map/nodes/node_stats partition buckets
+
+# Band files are written sorted by `key` with a parquet bloom filter on
+# it, so the batch's band keys — pushed down as one InSet predicate —
+# skip row groups instead of scanning every stored band row. This is
+# the parquet stand-in for Iceberg bloom-filter file skipping.
+BAND_INDEX_WRITE_OPTIONS = {"parquet.bloom.filter.enabled#key": "true"}
+
+# Push the batch's band keys into the scan only while the InSet stays a
+# bounded plan literal (one node holding N longs — NOT the per-literal
+# Catalyst blowup class); a bulk load past the cap keeps the broadcast
+# semi-join alone, whose scan the kpart pruning still bounds.
+KEY_PUSHDOWN_CAP = 100_000
 
 
 def upart_col(col: Column, n_parts: int = UUID_PARTS) -> Column:
@@ -118,6 +131,19 @@ def incremental_resolve(io, mentions_raw: DataFrame) -> dict:
     # --- band-index lookup: which stored entities collide with the batch?
     kparts = sorted({r.kpart for r in batch_bands.select("kpart").distinct().collect()})
     stored_bands = io.read("entity_bands").where(F.col("kpart").isin(kparts))
+    # point-lookup IO bound: a micro-batch's band keys fit one InSet
+    # predicate, pushed to the parquet scan where the key-sorted,
+    # bloom-filtered band files skip non-matching row groups — the
+    # stored side is no longer a full O(entities) scan per batch
+    keys = [
+        r.key
+        for r in batch_bands.select("key")
+        .dropDuplicates()
+        .limit(KEY_PUSHDOWN_CAP + 1)
+        .collect()
+    ]
+    if len(keys) <= KEY_PUSHDOWN_CAP:
+        stored_bands = stored_bands.where(F.col("key").isin(keys))
     collided = (
         stored_bands.join(
             F.broadcast(

@@ -392,3 +392,27 @@ def test_search_uses_materialized_indexes(spark, episodes, tmp_path_factory):
     a = {(r.id, round(r.score, 9)) for r in inline.edges.collect()}
     b = {(r.id, round(r.score, 9)) for r in indexed.edges.collect()}
     assert a == b and a
+
+
+def test_band_lookup_pushes_key_predicate(spark, episodes, tmp_path_factory):
+    """The incremental band-index lookup must reach the parquet scan
+    with the batch's band keys as a pushed In predicate (row-group
+    skipping over the key-sorted, bloom-filtered index) — not scan the
+    whole entity_bands table per micro-batch."""
+    from graphiti_spark.operators.incremental import entity_band_rows
+    from graphiti_spark.operators.resolve import distinct_entities
+
+    d = str(tmp_path_factory.mktemp("bands_push"))
+    io = materialize_graph(spark, episodes, d, incremental=True, skip_completed=False)
+
+    batch = distinct_entities(
+        spark.createDataFrame(
+            [("g0", "Acme Corp"), ("g0", "Brand New Co")],
+            "group_id string, name string",
+        )
+    )
+    bands = entity_band_rows(batch)
+    keys = [r.key for r in bands.select("key").dropDuplicates().collect()]
+    scan = io.read("entity_bands").where(F.col("key").isin(keys))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(key" in plan, plan[:1200]
