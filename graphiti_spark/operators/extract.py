@@ -124,7 +124,14 @@ class RuleBasedExtractor:
         # Fact = sentence body without the speaker prefix (the reference
         # stores the extracted natural-language sentence, edges.py:199).
         out["fact"] = cleaned.str.split(": ", n=1).str[1]
-        out["valid_at"] = pd.to_datetime(ext["year"], format="%Y", utc=True)
+        # errors="coerce": a year outside pandas' ns range (1678-2261)
+        # must yield NULL valid_at, not crash the stage — the
+        # reference's date parse falls back to None on failure
+        # (edge_operations.py:207-221); extract_arrow masks the same
+        # range so both kernels agree.
+        out["valid_at"] = pd.to_datetime(
+            ext["year"], format="%Y", utc=True, errors="coerce"
+        )
         if self.reflexion:
             missed = out["subj_name"].isna()
             if missed.any():
@@ -162,8 +169,20 @@ class RuleBasedExtractor:
         ts_type = batch.column("episode_valid_at").type
 
         def year_to_ts(year):
+            # mirror the pandas kernel's ns-bounds contract: years the
+            # ns epoch cannot hold (outside 1678-2261) become NULL —
+            # nulled BEFORE strptime/cast so no out-of-bounds value is
+            # ever materialized
+            yr = pc.cast(year, pa.int32())
+            ok = pc.and_(
+                pc.greater_equal(yr, pa.scalar(1678, pa.int32())),
+                pc.less_equal(yr, pa.scalar(2261, pa.int32())),
+            )
+            safe = pc.if_else(
+                pc.fill_null(ok, False), year, pa.scalar(None, pa.string())
+            )
             return pc.assume_timezone(
-                pc.strptime(year, format="%Y", unit="us"), "UTC"
+                pc.strptime(safe, format="%Y", unit="us"), "UTC"
             ).cast(ts_type)
 
         fields = {

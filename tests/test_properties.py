@@ -241,3 +241,58 @@ def test_ivf_topk_probes_find_planted_neighbors(spark):
     got = ivf_topk(emb, queries, k=1, n_probe=2, centroids=cents).collect()
     hits = sum(1 for r in got if r.query_id == f"q{r.id}")
     assert hits >= int(0.9 * queries.count())  # near-perfect top-1 recall
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            # well-formed: speaker: subj <phrase> obj since <year>.
+            st.builds(
+                lambda sp, s, ph, o, y: f"{sp}: {s} {ph} {o} since {y}.",
+                st.text(
+                    alphabet=st.characters(
+                        whitelist_categories=("Lu", "Ll"), max_codepoint=0x24F
+                    ),
+                    min_size=1,
+                    max_size=8,
+                ),
+                st.sampled_from(["Acme Corp", "J. Smith", "A works B", "X"]),
+                st.sampled_from(["works for", "left", "partners with"]),
+                st.sampled_from(["Globex", "Big Co Inc", "works", "Y since Z"]),
+                st.integers(min_value=1000, max_value=9999),
+            ),
+            # arbitrary junk incl. control chars / zero-width
+            st.text(max_size=40),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_arrow_kernel_equals_pandas_kernel_fuzzed(texts):
+    """The RE2 RecordBatch kernel and the Python-re pandas kernel must
+    agree row-for-row on arbitrary input, not just the fixture grammar
+    (leftmost-first alternation, non-greedy splits, cleaning, self-loop
+    drop)."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from graphiti_spark.operators.extract import RuleBasedExtractor
+
+    ex = RuleBasedExtractor()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(len(texts))],
+            "group_id": ["g"] * len(texts),
+            "offset": pd.array(range(len(texts)), dtype="int32"),
+            "episode_valid_at": pd.to_datetime("2025-01-01", utc=True),
+            "text": texts,
+        }
+    )
+    want = ex.extract(pdf).reset_index(drop=True)
+    got = (
+        ex.extract_arrow(pa.RecordBatch.from_pandas(pdf, preserve_index=False))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
