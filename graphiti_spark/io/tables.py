@@ -278,8 +278,22 @@ class TableIO:
             if os.path.exists(crc):
                 os.remove(crc)
         seq = len(files)
-        row = self.spark.createDataFrame(
-            [(stage, metric, float(value), seq)],
-            "stage string, metric string, value double, seq long",
+        # one metric row does not need a Spark job: each append was a
+        # full write-job (createDataFrame + committer + dir listing,
+        # seconds each) and materialize_graph records ~17 metrics per
+        # micro-batch — the metrics were costing more than the merges.
+        # pyarrow writes the same 4-column parquet Spark reads back.
+        os.makedirs(p, exist_ok=True)
+        t = pa.table(
+            {
+                "stage": pa.array([stage], pa.string()),
+                "metric": pa.array([metric], pa.string()),
+                "value": pa.array([float(value)], pa.float64()),
+                "seq": pa.array([seq], pa.int64()),
+            }
         )
-        self.append("metrics", row.coalesce(1))
+        tmp = os.path.join(p, f".tmp-{_uuid.uuid4().hex}.parquet")
+        pq.write_table(t, tmp)
+        os.rename(
+            tmp, os.path.join(p, f"part-metric-{_uuid.uuid4().hex}.parquet")
+        )
