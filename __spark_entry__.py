@@ -146,6 +146,19 @@ def _q_language_id(spark, sf_dir):
     return language_id(_docs(spark, sf_dir))
 
 
+
+def _q_repetition_stats(spark, sf_dir):
+    from graphiti_spark.operators.docops import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def _q_boilerplate_ngrams(spark, sf_dir):
+    from graphiti_spark.operators.docops import boilerplate_ngrams
+
+    return boilerplate_ngrams(_docs(spark, sf_dir))
+
+
 def _q_exact_duplicates(spark, sf_dir):
     from graphiti_spark.operators.docops import exact_duplicates
 
@@ -520,6 +533,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality": _q_quality,
         "language_id": _q_language_id,
+        "repetition_stats": _q_repetition_stats,
+        "boilerplate_ngrams": _q_boilerplate_ngrams,
         # dedup
         "exact_duplicates": _q_exact_duplicates,
         "near_duplicates": _q_near_duplicates,
@@ -569,6 +584,8 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": oo.q_token_stats(),
         "quality": oo.q_quality(),
         "language_id": oo.q_language_id(),
+        "repetition_stats": oo.q_repetition_stats(),
+        "boilerplate_ngrams": oo.q_boilerplate_ngrams(),
         "exact_duplicates": oo.q_exact_duplicates(),
         "near_duplicates": oo.q_near_duplicates(),
         "dedup_keep_list": oo.q_dedup_keep_list(),

@@ -130,6 +130,94 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def _word_ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams of a token array as space-joined strings (empty
+    array when the doc has fewer than n tokens) — pure columns."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(n)]
+        ),
+    )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, appendix A1.1):
+    the fraction of a doc's bigrams/trigrams taken by its single most
+    frequent bigram/trigram, plus the duplicate-token fraction. High
+    values mark degenerate/boilerplate docs a pretraining pipeline
+    filters out.
+
+    Scale shape: explode n-grams → groupBy (doc_id, gram) with map-side
+    partial aggregation, then per-doc max/sum — keys are doc-scoped so
+    there is no corpus-wide hot key; linear in total tokens, two
+    shuffles, no window over the corpus. Fractions are emitted as
+    micro-integers (floor(x*1e6 + 0.5)) for engine-independent
+    comparison (see quality_score)."""
+    toks = tokenize(F.col("text"))
+
+    def _micro(c):
+        return F.floor(c * 1000000 + 0.5).cast("long")
+
+    base = documents.select(
+        "doc_id",
+        toks.alias("toks"),
+        _micro(
+            (F.size(toks) - F.size(F.array_distinct(toks)))
+            / F.greatest(F.size(toks), F.lit(1))
+        ).alias("dup_token_frac_micro"),
+    )
+
+    def top_frac(n: int, out_col: str) -> DataFrame:
+        grams = base.select(
+            "doc_id", F.explode(_word_ngrams(F.col("toks"), n)).alias("gram")
+        )
+        counts = grams.groupBy("doc_id", "gram").count()
+        return counts.groupBy("doc_id").agg(
+            _micro(F.max("count") / F.sum("count")).alias(out_col)
+        )
+
+    return (
+        base.select("doc_id", "dup_token_frac_micro")
+        .join(top_frac(2, "top_bigram_frac_micro"), "doc_id", "left")
+        .join(top_frac(3, "top_trigram_frac_micro"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "dup_token_frac_micro",
+            F.coalesce("top_bigram_frac_micro", F.lit(0)).alias(
+                "top_bigram_frac_micro"
+            ),
+            F.coalesce("top_trigram_frac_micro", F.lit(0)).alias(
+                "top_trigram_frac_micro"
+            ),
+        )
+    )
+
+
+def boilerplate_ngrams(documents: DataFrame, n: int = 5, k: int = 20) -> DataFrame:
+    """Corpus-level boilerplate detector: the k word n-grams appearing
+    in the most distinct documents (doc frequency, not occurrences —
+    repeated template text scores by spread, not by within-doc spam).
+    Returns (gram, df) ordered by (df desc, gram asc).
+
+    Scale shape: per-doc distinct n-grams (array_distinct before the
+    explode keeps the shuffle to one row per (doc, gram)), count-
+    distinct-free groupBy with partial aggregation, then global top-k —
+    Spark plans the final ordering as TakeOrderedAndProject, so only k
+    rows ever reach the driver."""
+    toks = tokenize(F.col("text"))
+    grams = documents.select(
+        "doc_id", F.explode(F.array_distinct(_word_ngrams(toks, n))).alias("gram")
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(F.count("doc_id").alias("df"))
+        .orderBy(F.desc("df"), F.asc("gram"))
+        .limit(k)
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------

@@ -91,6 +91,52 @@ FROM s
 """
 
 
+def _gram_sql(n: int) -> str:
+    """SQL mirror of docops._word_ngrams: space-joined word n-grams of
+    the token list (DuckDB lists are 1-based, same as element_at)."""
+    joined = " || ' ' || ".join(f"toks[i + {off}]" for off in range(n))
+    return (
+        f"list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
+        f"i -> {joined})"
+    )
+
+
+def q_repetition_stats() -> str:
+    micro = "CAST(floor({expr} * 1000000 + 0.5) AS BIGINT)"
+    parts = []
+    for n, col in ((2, "top_bigram_frac_micro"), (3, "top_trigram_frac_micro")):
+        parts.append(
+            f"""g{n} AS (
+  SELECT doc_id, unnest({_gram_sql(n)}) AS gram FROM t),
+c{n} AS (SELECT doc_id, gram, count(*) AS cnt FROM g{n} GROUP BY 1, 2),
+m{n} AS (SELECT doc_id,
+  {micro.format(expr='max(cnt) * 1.0 / sum(cnt)')} AS {col}
+  FROM c{n} GROUP BY 1)"""
+        )
+    dup = micro.format(
+        expr="(len(toks) - len(list_distinct(toks))) * 1.0 / greatest(len(toks), 1)"
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+{", ".join(parts)}
+SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+  {dup} AS dup_token_frac_micro,
+  COALESCE(m2.top_bigram_frac_micro, 0) AS top_bigram_frac_micro,
+  COALESCE(m3.top_trigram_frac_micro, 0) AS top_trigram_frac_micro
+FROM t LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id)
+"""
+
+
+def q_boilerplate_ngrams(n: int = 5, k: int = 20) -> str:
+    return f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct({_gram_sql(n)})) AS gram FROM t)
+SELECT gram, CAST(count(*) AS BIGINT) AS df
+FROM g GROUP BY gram
+ORDER BY df DESC, gram ASC LIMIT {k}
+"""
+
+
 def q_exact_duplicates() -> str:
     return """
 SELECT md5(text) AS content_hash,
