@@ -236,6 +236,76 @@ class TableIO:
             "left_anti",
         )
 
+    def fast_count(
+        self,
+        name: str,
+        non_null: str | None = None,
+        parts: tuple[str, list] | None = None,
+    ) -> int:
+        """Table row count — optionally of non-null values in one
+        top-level column — from parquet footer metadata alone: the
+        stand-in for Iceberg snapshot statistics (total-records /
+        null-value-counts), O(#files) driver-side metadata reads with
+        NO executor scan. materialize_graph records its per-batch
+        table-size metrics this way; a Spark ``count()`` there would be
+        an O(table) scan per micro-batch — the complexity class every
+        other part of the incremental path is designed to avoid.
+
+        ``parts=(partition_col, values)`` restricts the walk to those
+        hive partition directories — the footer-stats analogue of the
+        partition-scoped Spark counts the incremental merges report.
+
+        Falls back to a Spark count if any footer lacks the needed
+        column statistics (never happens for Spark-written files)."""
+        import pyarrow.parquet as pq
+
+        roots = (
+            [os.path.join(self.path(name), f"{parts[0]}={v}") for v in parts[1]]
+            if parts is not None
+            else [self.path(name)]
+        )
+        total = 0
+        nulls = 0
+        for dirpath, _dirs, files in (
+            w for r in roots for w in os.walk(r)
+        ):
+            for f in files:
+                if not f.endswith(".parquet") or f.startswith((".", "_")):
+                    continue
+                md = pq.ParquetFile(os.path.join(dirpath, f)).metadata
+                total += md.num_rows
+                if non_null is None:
+                    continue
+                idx = next(
+                    (
+                        i
+                        for i in range(md.num_columns)
+                        if md.schema.column(i).path == non_null
+                    ),
+                    None,
+                )
+                if idx is None:
+                    return self._spark_count(name, non_null, parts)
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or st.null_count is None:
+                        return self._spark_count(name, non_null, parts)
+                    nulls += st.null_count
+        return total - nulls if non_null is not None else total
+
+    def _spark_count(
+        self,
+        name: str,
+        non_null: str | None = None,
+        parts: tuple[str, list] | None = None,
+    ) -> int:
+        df = self.read(name)
+        if parts is not None:
+            df = df.where(F.col(parts[0]).isin(list(parts[1])))
+        if non_null is not None:
+            df = df.where(F.col(non_null).isNotNull())
+        return df.count()
+
     def record_metric(self, stage: str, metric: str, value: float) -> None:
         """Append one metric row; ``seq`` is a monotone write counter so
         readers can order rows across batches. Appends a new file — no

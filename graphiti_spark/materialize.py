@@ -215,7 +215,7 @@ def merge_edges(
         out = updates.withColumn("epart", edge_part(n_parts=n_parts))
         io.write("edges", out, partition_by=["epart"])
         _rebuild_episode_edges(io, io.read("edges"), n_doc_buckets)
-        n = io.read("edges").count()
+        n = io.fast_count("edges")
         return {
             "n_rows_rewritten": n, "n_parts_rewritten": -1,
             "replaced": None, "written": io.read("edges"),
@@ -230,7 +230,7 @@ def merge_edges(
         out = rect.withColumn("epart", edge_part(n_parts=n_parts))
         io.write("edges", out, partition_by=["epart"])
         _rebuild_episode_edges(io, io.read("edges"), n_doc_buckets)
-        n = io.read("edges").count()
+        n = io.fast_count("edges")
         return {
             "n_rows_rewritten": n, "n_parts_rewritten": -1,
             "replaced": None, "written": io.read("edges"),
@@ -283,7 +283,7 @@ def merge_edges(
     )
     io.overwrite_partitions("edges", rect, "epart", parts=parts)
     _sync_episode_edges(io, replaced, rect, n_doc_buckets)
-    n = io.read("edges").where(F.col("epart").isin(parts)).count()
+    n = io.fast_count("edges", parts=("epart", parts))
     return {
         "n_rows_rewritten": n, "n_parts_rewritten": len(parts),
         "replaced": replaced, "written": rect,
@@ -333,7 +333,7 @@ def merge_mentions(
     )
     if not io.exists("mentions"):
         io.write("mentions", updates, partition_by=["mpart"])
-        return {"n_rows_rewritten": io.read("mentions").count(), "n_parts_rewritten": -1}
+        return {"n_rows_rewritten": io.fast_count("mentions"), "n_parts_rewritten": -1}
 
     if full_rewrite:
         stored = _remap_rows(io.read("mentions").select(*mcols))
@@ -344,9 +344,7 @@ def merge_mentions(
             kept.unionByName(updates.select(*mcols)), n_buckets=n_buckets
         ).withColumnRenamed("part", "mpart")
         io.write("mentions", out, partition_by=["mpart"])
-        # count via a fresh read: `out` lazily references the files the
-        # snapshot swap just replaced
-        return {"n_rows_rewritten": io.read("mentions").count(), "n_parts_rewritten": -1}
+        return {"n_rows_rewritten": io.fast_count("mentions"), "n_parts_rewritten": -1}
 
     stored = io.read("mentions")
     batch_parts = updates.select("mpart")
@@ -372,7 +370,7 @@ def merge_mentions(
         kept.unionByName(updates.select(*mcols)), n_buckets=n_buckets
     ).withColumnRenamed("part", "mpart")
     io.overwrite_partitions("mentions", out, "mpart", parts=parts)
-    n = io.read("mentions").where(F.col("mpart").isin(parts)).count()
+    n = io.fast_count("mentions", parts=("mpart", parts))
     return {"n_rows_rewritten": n, "n_parts_rewritten": len(parts)}
 
 
@@ -457,7 +455,7 @@ def _merge_nodes(io: TableIO, fresh: DataFrame, dead: DataFrame) -> dict:
     fresh = fresh.withColumn("npart", upart_col(F.col("uuid")))
     if not io.exists("nodes"):
         io.write("nodes", fresh, partition_by=["npart"])
-        return {"n_rows_rewritten": io.read("nodes").count(), "n_parts_rewritten": -1}
+        return {"n_rows_rewritten": io.fast_count("nodes"), "n_parts_rewritten": -1}
     keys = (
         fresh.select("uuid")
         .unionByName(dead.select("uuid"))
@@ -470,7 +468,7 @@ def _merge_nodes(io: TableIO, fresh: DataFrame, dead: DataFrame) -> dict:
         kept = stored.join(F.broadcast(keys.select("uuid")), "uuid", "left_anti")
         out = kept.withColumn("npart", upart_col(F.col("uuid"))).unionByName(fresh)
         io.write("nodes", out, partition_by=["npart"])
-        return {"n_rows_rewritten": io.read("nodes").count(), "n_parts_rewritten": -1}
+        return {"n_rows_rewritten": io.fast_count("nodes"), "n_parts_rewritten": -1}
     parts = sorted({r.npart for r in keys.select("npart").distinct().collect()})
     if not parts:
         return {"n_rows_rewritten": 0, "n_parts_rewritten": 0}
@@ -690,15 +688,16 @@ def materialize_graph(
     # lineage AFTER the writes (a crash before this point re-runs the
     # partitions; the keyed merges make that idempotent)
     io.record_lineage("extract", triples, "part")
-    io.record_metric("extract", "n_triples", io.read("triples_raw").count())
-    io.record_metric("resolve", "n_nodes", io.read("nodes").count())
-    io.record_metric("edges", "n_edges", io.read("edges").count())
+    # table-size metrics from footer stats (Iceberg snapshot-stats
+    # stand-in) — NOT Spark counts, which would re-scan every table
+    # per micro-batch
+    io.record_metric("extract", "n_triples", io.fast_count("triples_raw"))
+    io.record_metric("resolve", "n_nodes", io.fast_count("nodes"))
+    io.record_metric("edges", "n_edges", io.fast_count("edges"))
     io.record_metric(
-        "edges",
-        "n_invalidated",
-        io.read("edges").where(F.col("invalid_at").isNotNull()).count(),
+        "edges", "n_invalidated", io.fast_count("edges", non_null="invalid_at")
     )
-    io.record_metric("mentions", "n_mentions", io.read("mentions").count())
+    io.record_metric("mentions", "n_mentions", io.fast_count("mentions"))
     # O(batch) evidence: how much the edge/mention merges actually
     # rewrote (-1 parts = initial or full rewrite).
     io.record_metric("edges_merge", "n_rows_rewritten", edge_stats["n_rows_rewritten"])

@@ -416,3 +416,21 @@ def test_band_lookup_pushes_key_predicate(spark, episodes, tmp_path_factory):
     scan = io.read("entity_bands").where(F.col("key").isin(keys))
     plan = scan._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [In(key" in plan, plan[:1200]
+
+
+def test_fast_count_matches_spark_counts(spark, episodes, tmp_path_factory):
+    """Footer-stats counts (the Iceberg snapshot-stats stand-in the
+    per-batch metrics use) must equal real Spark counts — total,
+    non-null-column, and partition-scoped."""
+    d = str(tmp_path_factory.mktemp("fastcount"))
+    io = materialize_graph(spark, episodes, d)
+    edges = io.read("edges")
+    assert io.fast_count("edges") == edges.count()
+    assert io.fast_count("edges", non_null="invalid_at") == edges.where(
+        F.col("invalid_at").isNotNull()
+    ).count()
+    some_parts = [r.epart for r in edges.select("epart").distinct().limit(3).collect()]
+    assert io.fast_count("edges", parts=("epart", some_parts)) == edges.where(
+        F.col("epart").isin(some_parts)
+    ).count()
+    assert io.fast_count("edges", parts=("epart", [10**6])) == 0
