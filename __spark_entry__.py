@@ -120,6 +120,14 @@ def _q_episode_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _q_pagerank(spark, sf_dir):
+    from graphiti_spark.operators.centrality import pagerank
+
+    out = _graph(spark, sf_dir)
+    return pagerank(out.nodes, out.edges)
+
+
 # ---------------------------------------------------------------------------
 # docops / search / maintenance queries
 # ---------------------------------------------------------------------------
@@ -529,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "invalidation_counts": _q_invalidation_counts,
         "mentions": _q_mentions,
         "episode_edges": _q_episode_edges,
+        "pagerank": _q_pagerank,
         # text analysis
         "token_stats": _q_token_stats,
         "quality": _q_quality,
@@ -584,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": oo.q_token_stats(),
         "quality": oo.q_quality(),
         "language_id": oo.q_language_id(),
+        "pagerank": oo.q_pagerank(),
         "repetition_stats": oo.q_repetition_stats(),
         "boilerplate_ngrams": oo.q_boilerplate_ngrams(),
         "exact_duplicates": oo.q_exact_duplicates(),

@@ -1,0 +1,97 @@
+"""PageRank centrality over the canonical entity graph.
+
+The reference ranks nodes only by mention counts / node distance
+(search/search_utils.py rerankers); a corpus-scale KG also wants a
+global structural importance signal — PageRank over the canonical
+directed edge set — usable as a reranker lane or an analytics export.
+
+Determinism across engines (the driver compares against a DuckDB
+oracle): ranks are kept in integer micro-units (``scale`` = 1e9) and
+every division is an explicit floor division (Spark ``DIV``, DuckDB
+``//``) — no float summation-order ambiguity, so the 10-iteration
+unrolled SQL (oracle_ops.q_pagerank) reproduces bit-identical longs.
+Per iteration (damping d = 17/20):
+
+    r_0(v)     = scale // n_g
+    r_{k+1}(v) = (3 * scale) // (20 * n_g)
+               + Σ_{u→v} (17 * r_k(u)) // (20 * outdeg(u))
+
+Dangling mass is deliberately NOT redistributed (ranks are used for
+ordering, not as a probability distribution) — documented so the SQL
+mirror stays a 6-line CTE per iteration.
+
+Scale shape: each iteration is one hash join (ranks ⋈ out-edges) and
+one partial-aggregated groupBy on the destination — the iterative
+hash-join propagation pattern of community.py's LPA; lineage is cut
+with localCheckpoint every 4 iterations, and the static edge+degree
+relation is checkpointed once. Hot destinations (the corpus's hot
+entity) are a groupBy skew, not a join skew — partial aggregation
+combines map-side, so no salting is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_ITER = 10
+SCALE = 10**9
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = N_ITER,
+    scale: int = SCALE,
+) -> DataFrame:
+    """(group_id, name, pr_scaled) — PageRank in integer micro-units
+    over the distinct directed canonical edge set, per group.
+
+    ``nodes``: canonical entities (group_id, name, ...);
+    ``edges``: canonical triples with subj_name/obj_name columns (the
+    pipeline's resolved edges; multi-predicate parallel edges collapse
+    to one directed pair).
+    """
+    e = edges.select(
+        "group_id",
+        F.col("subj_name").alias("src"),
+        F.col("obj_name").alias("dst"),
+    ).dropDuplicates()
+    outdeg = e.groupBy("group_id", "src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_deg = e.join(outdeg, ["group_id", "src"]).localCheckpoint(eager=True)
+
+    ng = nodes.groupBy("group_id").agg(F.count(F.lit(1)).alias("n"))
+    base = (
+        nodes.select("group_id", "name")
+        .join(ng, "group_id")
+        .localCheckpoint(eager=True)
+    )
+    r = base.select(
+        "group_id", "name", F.expr(f"CAST({scale} AS BIGINT) DIV n").alias("r")
+    )
+    for k in range(n_iter):
+        contrib = (
+            r.withColumnRenamed("name", "src")
+            .join(e_deg, ["group_id", "src"])
+            .select(
+                "group_id",
+                F.col("dst").alias("name"),
+                F.expr("(17 * r) DIV (20 * outdeg)").alias("c"),
+            )
+            .groupBy("group_id", "name")
+            .agg(F.sum("c").alias("c"))
+        )
+        r = (
+            base.join(contrib, ["group_id", "name"], "left")
+            .select(
+                "group_id",
+                "name",
+                (
+                    F.expr(f"(3 * CAST({scale} AS BIGINT)) DIV (20 * n)")
+                    + F.coalesce("c", F.lit(0))
+                ).alias("r"),
+            )
+        )
+        if (k + 1) % 4 == 0 and k + 1 < n_iter:
+            r = r.localCheckpoint(eager=True)
+    return r.select("group_id", "name", F.col("r").alias("pr_scaled"))

@@ -137,6 +137,38 @@ ORDER BY df DESC, gram ASC LIMIT {k}
 """
 
 
+def q_pagerank(n_iter: int = 10, scale: int = 10**9) -> str:
+    """Unrolled integer PageRank — the SQL twin of
+    operators/centrality.py::pagerank (same micro-unit floor-division
+    arithmetic, DuckDB ``//`` = Spark ``DIV``), one CTE per iteration
+    (the LPA-unroll pattern of oracle_ops.q_communities)."""
+    iters = []
+    for k in range(n_iter):
+        iters.append(
+            f"""r{k + 1} AS (
+  SELECT b.group_id, b.name,
+    (3 * CAST({scale} AS BIGINT)) // (20 * b.n) + COALESCE(s.c, 0) AS r
+  FROM base b LEFT JOIN (
+    SELECT ed.group_id, ed.dst AS name, SUM((17 * r.r) // (20 * ed.outdeg)) AS c
+    FROM r{k} r JOIN e_deg ed ON ed.group_id = r.group_id AND ed.src = r.name
+    GROUP BY 1, 2
+  ) s ON s.group_id = b.group_id AND s.name = b.name
+)"""
+        )
+    return f"""
+WITH {EDGES_CTE},
+pr_nodes AS (SELECT DISTINCT group_id, canonical_name AS name FROM canon_map),
+ng AS (SELECT group_id, COUNT(*) AS n FROM pr_nodes GROUP BY 1),
+e AS (SELECT DISTINCT group_id, subj_name AS src, obj_name AS dst FROM dedup),
+outdeg AS (SELECT group_id, src, COUNT(*) AS outdeg FROM e GROUP BY 1, 2),
+e_deg AS (SELECT e.*, o.outdeg FROM e JOIN outdeg o USING (group_id, src)),
+base AS (SELECT n.group_id, n.name, ng.n FROM pr_nodes n JOIN ng USING (group_id)),
+r0 AS (SELECT group_id, name, CAST({scale} AS BIGINT) // n AS r FROM base),
+{",".join(iters)}
+SELECT group_id, name, r AS pr_scaled FROM r{n_iter}
+"""
+
+
 def q_exact_duplicates() -> str:
     return """
 SELECT md5(text) AS content_hash,
