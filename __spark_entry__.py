@@ -167,6 +167,41 @@ def _q_boilerplate_ngrams(spark, sf_dir):
     return boilerplate_ngrams(_docs(spark, sf_dir))
 
 
+def _q_decontaminate(spark, sf_dir):
+    from graphiti_spark.operators.docops import decontaminate
+
+    d = _docs(spark, sf_dir)
+    return decontaminate(
+        d.where(F.col("doc_id") % 10 != 7),
+        d.where(F.col("doc_id") % 10 == 7),
+        n=4,
+    )
+
+
+def _q_split_summary(spark, sf_dir):
+    from graphiti_spark.operators.docops import split_summary
+
+    return split_summary(_docs(spark, sf_dir))
+
+
+def _q_pack_documents(spark, sf_dir):
+    from graphiti_spark.operators.docops import pack_documents
+
+    return pack_documents(_docs(spark, sf_dir))
+
+
+def _q_pii_scrub(spark, sf_dir):
+    from graphiti_spark.operators.docops import pii_scrub
+    from graphiti_spark.oracle_ops import PII_TAILS
+
+    d = _docs(spark, sf_dir)
+    inject = F.when(F.col("doc_id") % 7 == 0, F.lit(PII_TAILS[0]))
+    for i, t in enumerate(PII_TAILS[1:], start=1):
+        inject = inject.when(F.col("doc_id") % 7 == i, F.lit(t))
+    inject = inject.otherwise(F.lit(""))
+    return pii_scrub(d.select("doc_id", F.concat("text", inject).alias("text")))
+
+
 def _q_exact_duplicates(spark, sf_dir):
     from graphiti_spark.operators.docops import exact_duplicates
 
@@ -544,6 +579,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": _q_language_id,
         "repetition_stats": _q_repetition_stats,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
+        # corpus curation
+        "decontaminate": _q_decontaminate,
+        "split_summary": _q_split_summary,
+        "pack_documents": _q_pack_documents,
+        "pii_scrub": _q_pii_scrub,
         # dedup
         "exact_duplicates": _q_exact_duplicates,
         "near_duplicates": _q_near_duplicates,
@@ -596,6 +636,10 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oo.q_pagerank(),
         "repetition_stats": oo.q_repetition_stats(),
         "boilerplate_ngrams": oo.q_boilerplate_ngrams(),
+        "decontaminate": oo.q_decontaminate(),
+        "split_summary": oo.q_split_summary(),
+        "pack_documents": oo.q_pack_documents(),
+        "pii_scrub": oo.q_pii_scrub(),
         "exact_duplicates": oo.q_exact_duplicates(),
         "near_duplicates": oo.q_near_duplicates(),
         "dedup_keep_list": oo.q_dedup_keep_list(),

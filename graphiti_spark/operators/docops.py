@@ -675,3 +675,164 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: decontamination, deterministic splits, sequence
+# packing, PII scrubbing — the remaining table-stakes ops of a
+# training-data pipeline (beyond dedup/quality above)
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    documents: DataFrame, eval_docs: DataFrame, n: int = 4
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word ``n``-gram with the held-out eval set (the standard exact
+    n-gram overlap test used before pretraining). Shape at scale:
+    explode DISTINCT n-grams on both sides, hash semi-join on the gram
+    (AQE broadcasts the eval side when it is small — the usual case:
+    eval benchmarks are tiny next to a 100 TB corpus), then one
+    groupBy(doc_id) count. Never doc×doc.
+
+    Returns (doc_id, n_shared_ngrams, contaminated) for every training
+    doc."""
+
+    def _grams(df: DataFrame) -> DataFrame:
+        toks = tokenize(F.col("text"))
+        return df.select(
+            "doc_id",
+            F.explode(F.array_distinct(_word_ngrams(toks, n))).alias("gram"),
+        )
+
+    eval_grams = _grams(eval_docs).select("gram").dropDuplicates()
+    hits = (
+        _grams(documents)
+        .join(eval_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_ngrams"))
+    )
+    return (
+        documents.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_ngrams", F.lit(0)).cast("long").alias(
+                "n_shared_ngrams"
+            ),
+        )
+        .withColumn("contaminated", F.col("n_shared_ngrams") > 0)
+    )
+
+
+def hash_split(
+    documents: DataFrame,
+    boundaries: tuple = (("train", 80), ("val", 90), ("test", 100)),
+) -> DataFrame:
+    """Deterministic dataset split: bucket = md5('split|'||doc_id) %
+    100, assigned to the first split whose cumulative-percent boundary
+    exceeds it. Pure column expressions — no sampling state, stable
+    under re-runs and across partitionings (the property a resumable
+    100 TB pipeline needs; Spark's randomSplit is neither)."""
+    bucket = _md5_u32(F.concat_ws("|", F.lit("split"), F.col("doc_id"))) % 100
+    expr = None
+    for name, hi in boundaries:
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return documents.withColumn("split", expr)
+
+
+def split_summary(documents: DataFrame) -> DataFrame:
+    """Per (split, lang) doc and token counts over the hash split —
+    the budget sheet a data-mixture plan reads. One partial-aggregated
+    groupBy."""
+    toks = tokenize(F.col("text"))
+    return (
+        hash_split(documents)
+        .select("split", "lang", F.size(toks).cast("long").alias("n"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def pack_documents(
+    documents: DataFrame, budget: int = 256, n_streams: int = 8
+) -> DataFrame:
+    """Sequence packing (concat-and-chunk): documents are dealt into
+    ``n_streams`` independent token streams by doc-id hash, ordered
+    within each stream by a second hash (a deterministic shuffle), and
+    the concatenated stream is cut into ``budget``-token training
+    chunks. Emits each doc's stream, start offset, and first/last
+    chunk index. One window (cumulative sum) per stream — each stream
+    packs independently, so at scale this is shuffle-once,
+    window-per-partition work; n_streams scales with the cluster, and
+    no stream ever needs another stream's state."""
+    toks = tokenize(F.col("text"))
+    base = documents.select(
+        "doc_id",
+        (_md5_u32(F.concat_ws("|", F.lit("pack"), F.col("doc_id"))) % n_streams)
+        .cast("int")
+        .alias("stream"),
+        _md5_u32(F.concat_ws("|", F.lit("ord"), F.col("doc_id"))).alias("ord"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = base.withColumn("cum_end", F.sum("n_tokens").over(w))
+    start = F.col("cum_end") - F.col("n_tokens")
+    first = F.floor(start / budget).cast("long")
+    last = F.greatest(first, F.floor((F.col("cum_end") - 1) / budget)).cast("long")
+    return out.select(
+        "doc_id",
+        "stream",
+        "n_tokens",
+        start.alias("start_off"),
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+    )
+
+
+# PII patterns — shared Java/RE2 syntax so the DuckDB oracle runs the
+# byte-identical regex. Detection is over lowercased text.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_URL_RE = r"https?://[a-z0-9./_%-]+"
+PII_PHONE_RE = r"\+[0-9]{7,15}"
+
+
+def pii_scrub(documents: DataFrame) -> DataFrame:
+    """PII scrubbing: count and redact emails, URLs, and E.164-style
+    phone numbers (emails first so URL redaction never eats a mailto
+    host). Pure regexp columns — whole-stage codegen, shuffle-free.
+    Returns (doc_id, n_emails, n_urls, n_phones, scrubbed_md5,
+    scrubbed_len); the scrubbed text itself stays an expression a sink
+    can select."""
+    low = F.lower(F.col("text"))
+
+    def _n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(low, F.lit(pat), F.lit(0))).cast("long")
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(low, PII_EMAIL_RE, "<email>"),
+            PII_URL_RE,
+            "<url>",
+        ),
+        PII_PHONE_RE,
+        "<phone>",
+    )
+    return documents.select(
+        "doc_id",
+        _n(PII_EMAIL_RE).alias("n_emails"),
+        _n(PII_URL_RE).alias("n_urls"),
+        _n(PII_PHONE_RE).alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )

@@ -746,3 +746,90 @@ dated AS (
 )
 SELECT * FROM merged UNION ALL SELECT * FROM dated
 """
+
+
+def _md5_u32_sql(expr: str) -> str:
+    """SQL twin of docops._md5_u32 (see that docstring)."""
+    return f"CAST(md5_number_lower({expr}) % 4294967296 AS BIGINT)"
+
+
+def q_decontaminate(n: int = 4) -> str:
+    """Train docs = doc_id % 10 <> 7; eval set = doc_id % 10 = 7."""
+    return f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+g AS (SELECT doc_id, list_distinct({_gram_sql(n)}) AS grams FROM t),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 10 = 7),
+tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 <> 7),
+hit AS (SELECT doc_id, count(*) AS c FROM tr JOIN ev USING (gram) GROUP BY 1)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  CAST(COALESCE(hit.c, 0) AS BIGINT) AS n_shared_ngrams,
+  COALESCE(hit.c, 0) > 0 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7) d
+LEFT JOIN hit USING (doc_id)
+"""
+
+
+def q_split_summary() -> str:
+    bucket = _md5_u32_sql("'split|' || CAST(doc_id AS VARCHAR)") + " % 100"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_toks('text')} AS toks, {bucket} AS bucket
+           FROM documents),
+s AS (SELECT *, CASE WHEN bucket < 80 THEN 'train'
+                     WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+      FROM t)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(len(toks)) AS BIGINT) AS n_tokens
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_pack_documents(budget: int = 256, n_streams: int = 8) -> str:
+    stream = _md5_u32_sql("'pack|' || CAST(doc_id AS VARCHAR)") + f" % {n_streams}"
+    ordk = _md5_u32_sql("'ord|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH t AS (SELECT doc_id, CAST(len({_toks('text')}) AS BIGINT) AS n_tokens,
+  CAST({stream} AS INT) AS stream, {ordk} AS ord FROM documents),
+c AS (SELECT doc_id, stream, n_tokens,
+  sum(n_tokens) OVER (PARTITION BY stream ORDER BY ord, doc_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+  FROM t)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, stream, n_tokens,
+  CAST(cum_end - n_tokens AS BIGINT) AS start_off,
+  CAST(floor((cum_end - n_tokens) / {budget}) AS BIGINT) AS first_chunk,
+  CAST(greatest(floor((cum_end - n_tokens) / {budget}),
+                floor((cum_end - 1) / {budget})) AS BIGINT) AS last_chunk
+FROM c
+"""
+
+
+PII_TAILS = (
+    " contact alice.smith@example.com for access",
+    " mirror at https://data.example.org/v1/dump",
+    " hotline +14155550123 anytime",
+)
+
+
+def q_pii_scrub() -> str:
+    from .operators.docops import PII_EMAIL_RE, PII_PHONE_RE, PII_URL_RE
+
+    tails = " ".join(
+        f"WHEN {i} THEN '{t}'" for i, t in enumerate(PII_TAILS)
+    )
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(lower(text), "
+        f"'{PII_EMAIL_RE}', '<email>', 'g'), "
+        f"'{PII_URL_RE}', '<url>', 'g'), "
+        f"'{PII_PHONE_RE}', '<phone>', 'g')"
+    )
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text || CASE doc_id % 7 {tails} ELSE '' END AS text
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+  CAST(len(regexp_extract_all(lower(text), '{PII_EMAIL_RE}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(lower(text), '{PII_URL_RE}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(lower(text), '{PII_PHONE_RE}')) AS BIGINT) AS n_phones,
+  md5({scrub}) AS scrubbed_md5,
+  CAST(length({scrub}) AS BIGINT) AS scrubbed_len
+FROM corpus
+"""
