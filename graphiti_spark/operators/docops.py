@@ -132,8 +132,15 @@ def language_id(documents: DataFrame) -> DataFrame:
 
 def _word_ngrams(toks: Column, n: int) -> Column:
     """Word n-grams of a token array as space-joined strings (empty
-    array when the doc has fewer than n tokens) — pure columns."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    array when the doc has fewer than n tokens) — pure columns.
+
+    sequence(1, hi) must be guarded: Spark's sequence(1, 0) yields the
+    DESCENDING [1, 0] (not an empty array), which made element_at blow
+    up on docs shorter than n tokens."""
+    hi = F.size(toks) - (n - 1)
+    idx = F.when(hi >= 1, F.sequence(F.lit(1), hi)).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.transform(
         idx,
         lambda i: F.concat_ws(

@@ -1,0 +1,123 @@
+"""Corpus-curation operators: decontamination, deterministic splits,
+sequence packing, PII scrubbing (operators/docops.py tail section).
+
+The oracle-parity suite already hash-checks these against DuckDB on the
+fixture corpus; here we pin the *semantic invariants* on hand-crafted
+inputs — the properties a 100 TB pipeline relies on (determinism under
+repartitioning, prefix-sum packing with no gaps, exact-overlap
+detection, redaction completeness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from graphiti_spark.operators.docops import (
+    decontaminate,
+    hash_split,
+    pack_documents,
+    pii_scrub,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    train = _docs(
+        spark,
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated corpus text about parquet files"),
+            # shares "quick brown fox jumps" only case/punct-normalized
+            (3, "A Quick, Brown Fox Jumps today"),
+        ],
+    )
+    eval_ = _docs(spark, [(100, "the quick brown fox jumps high")])
+    out = {r.doc_id: r for r in decontaminate(train, eval_, n=4).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].contaminated and out[1].n_shared_ngrams >= 2
+    assert not out[2].contaminated and out[2].n_shared_ngrams == 0
+    # tokenizer lowercases/strips punctuation, so 3 matches too
+    assert out[3].contaminated
+
+
+def test_decontaminate_short_docs_have_no_ngrams(spark):
+    train = _docs(spark, [(1, "too short"), (2, "")])
+    eval_ = _docs(spark, [(9, "too short")])
+    out = {r.doc_id: r.contaminated for r in decontaminate(train, eval_, n=4).collect()}
+    assert out == {1: False, 2: False}
+
+
+def test_hash_split_total_deterministic_and_partition_invariant(spark):
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(500)])
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(docs.repartition(13, "text")).collect()
+    }
+    assert a == b  # stable under physical layout — unlike randomSplit
+    assert set(a.values()) <= {"train", "val", "test"}
+    n = len(a)
+    frac_train = sum(v == "train" for v in a.values()) / n
+    assert 0.7 < frac_train < 0.9  # 80% boundary, hash noise allowed
+    assert all(v is not None for v in a.values())  # total assignment
+
+
+def test_pack_documents_prefix_sum_no_gaps(spark):
+    docs = _docs(spark, [(i, "tok " * (i % 17 + 1)) for i in range(300)])
+    rows = pack_documents(docs, budget=64, n_streams=4).collect()
+    by_stream: dict[int, list] = {}
+    for r in rows:
+        by_stream.setdefault(r.stream, []).append(r)
+    assert set(by_stream) <= set(range(4))
+    for stream_rows in by_stream.values():
+        stream_rows.sort(key=lambda r: r.start_off)
+        off = 0
+        for r in stream_rows:
+            assert r.start_off == off, "packing must leave no gaps/overlaps"
+            off += r.n_tokens
+            assert r.first_chunk == r.start_off // 64
+            assert r.last_chunk == max(r.first_chunk, (off - 1) // 64)
+
+
+def test_pack_documents_deterministic_across_parallelism(spark):
+    docs = _docs(spark, [(i, "w " * (i % 5 + 1)) for i in range(100)])
+    a = sorted(map(tuple, pack_documents(docs, budget=32).collect()))
+    b = sorted(
+        map(tuple, pack_documents(docs.repartition(7), budget=32).collect())
+    )
+    assert a == b
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "mail Bob.Smith@Example.COM or +14155550123 now"),
+            (2, "see https://example.org/path and http://a.b/c"),
+            (3, "clean text with no identifiers at all"),
+        ],
+    )
+    out = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    assert (out[1].n_emails, out[1].n_urls, out[1].n_phones) == (1, 0, 1)
+    assert (out[2].n_emails, out[2].n_urls, out[2].n_phones) == (0, 2, 0)
+    assert (out[3].n_emails, out[3].n_urls, out[3].n_phones) == (0, 0, 0)
+
+    # redaction completeness: scrubbing the scrubbed text is a no-op,
+    # so the md5 must equal the md5 of a manually redacted string
+    import hashlib
+
+    exp1 = "mail <email> or <phone> now"
+    assert out[1].scrubbed_md5 == hashlib.md5(exp1.encode()).hexdigest()
+    assert out[1].scrubbed_len == len(exp1)
+    exp2 = "see <url> and http://a.b/c".lower()
+    # http:// (no s) IS matched by the pattern's s? — recompute exactly:
+    exp2 = "see <url> and <url>"
+    assert out[2].scrubbed_md5 == hashlib.md5(exp2.encode()).hexdigest()
+
+
+def test_pii_scrub_plan_is_shuffle_free(spark):
+    docs = _docs(spark, [(1, "x")])
+    plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
