@@ -202,6 +202,13 @@ def _q_pii_scrub(spark, sf_dir):
     return pii_scrub(d.select("doc_id", F.concat("text", inject).alias("text")))
 
 
+def _q_mixture_sample(spark, sf_dir):
+    from graphiti_spark.operators.docops import mixture_sample
+    from graphiti_spark.oracle_ops import MIXTURE_WEIGHTS
+
+    return mixture_sample(_docs(spark, sf_dir), MIXTURE_WEIGHTS)
+
+
 def _q_exact_duplicates(spark, sf_dir):
     from graphiti_spark.operators.docops import exact_duplicates
 
@@ -584,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_summary": _q_split_summary,
         "pack_documents": _q_pack_documents,
         "pii_scrub": _q_pii_scrub,
+        "mixture_sample": _q_mixture_sample,
         # dedup
         "exact_duplicates": _q_exact_duplicates,
         "near_duplicates": _q_near_duplicates,
@@ -640,6 +648,7 @@ def oracle_sql() -> dict[str, str]:
         "split_summary": oo.q_split_summary(),
         "pack_documents": oo.q_pack_documents(),
         "pii_scrub": oo.q_pii_scrub(),
+        "mixture_sample": oo.q_mixture_sample(),
         "exact_duplicates": oo.q_exact_duplicates(),
         "near_duplicates": oo.q_near_duplicates(),
         "dedup_keep_list": oo.q_dedup_keep_list(),

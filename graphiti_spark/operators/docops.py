@@ -843,3 +843,40 @@ def pii_scrub(documents: DataFrame) -> DataFrame:
         F.md5(scrubbed).alias("scrubbed_md5"),
         F.length(scrubbed).cast("long").alias("scrubbed_len"),
     )
+
+
+def mixture_sample(
+    documents: DataFrame, weights: dict, grain: int = 1_000_000
+) -> DataFrame:
+    """Deterministic data-mixture sampling: each doc of language L is
+    emitted floor(weights[L]) times, plus one more with probability
+    frac(weights[L]) — i.e. weight 2.3 means "2.3 epochs" of that
+    slice, the standard mixing knob of a pretraining run. Languages
+    absent from ``weights`` drop out.
+
+    The Bernoulli is an md5 bucket of the doc_id (not rand()): exactly
+    reproducible, partition-invariant, and resumable — re-running any
+    shard of a 100 TB job re-draws identical decisions. Copies emit as
+    (doc_id, lang, copy) via a guarded sequence explode (sequence(1,0)
+    is DESCENDING in Spark, never empty — see _word_ngrams).
+    """
+    w_expr = None
+    for lang, w in sorted(weights.items()):
+        whole = int(w)
+        frac_grain = int(round((w - whole) * grain))
+        n = (F.lit(whole) + (
+            _md5_u32(F.concat_ws("|", F.lit("mix"), F.col("doc_id"))) % grain
+            < frac_grain
+        ).cast("int")).cast("int")
+        w_expr = (
+            F.when(F.col("lang") == lang, n)
+            if w_expr is None
+            else w_expr.when(F.col("lang") == lang, n)
+        )
+    n_copies = w_expr.otherwise(F.lit(0))
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return documents.select(
+        "doc_id", "lang", F.explode(copies).alias("copy")
+    )

@@ -833,3 +833,25 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
   CAST(length({scrub}) AS BIGINT) AS scrubbed_len
 FROM corpus
 """
+
+
+MIXTURE_WEIGHTS = {"en": 1.0, "de": 2.5, "fr": 0.4}
+
+
+def q_mixture_sample(grain: int = 1_000_000) -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(w)} + "
+        f"CASE WHEN b < {int(round((w - int(w)) * grain))} THEN 1 ELSE 0 END"
+        for lang, w in sorted(MIXTURE_WEIGHTS.items())
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang,
+    {_md5_u32_sql("'mix|' || CAST(doc_id AS VARCHAR)")} % {grain} AS b
+  FROM documents),
+n AS (SELECT doc_id, lang,
+  CASE lang {cases} ELSE 0 END AS n_copies FROM d)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+  CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
+FROM n WHERE n_copies >= 1
+"""

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from graphiti_spark.operators.docops import (
     decontaminate,
+    mixture_sample,
     hash_split,
     pack_documents,
     pii_scrub,
@@ -121,3 +122,22 @@ def test_pii_scrub_plan_is_shuffle_free(spark):
     docs = _docs(spark, [(1, "x")])
     plan = pii_scrub(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_mixture_sample_epoch_semantics(spark):
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "zh") for i in range(400)],
+        "doc_id long, lang string",
+    )
+    out = mixture_sample(docs, {"en": 2.5}).collect()
+    assert all(r.lang == "en" for r in out)  # unlisted langs drop
+    per_doc: dict[int, int] = {}
+    for r in out:
+        per_doc[r.doc_id] = max(per_doc.get(r.doc_id, 0), r.copy)
+        assert r.copy >= 1
+    assert set(per_doc.values()) == {2, 3}  # 2.5 epochs = 2 or 3 copies
+    mean = sum(per_doc.values()) / len(per_doc)
+    assert 2.3 < mean < 2.7  # Bernoulli fraction ~0.5
+    # determinism across physical layout
+    again = sorted(map(tuple, mixture_sample(docs.repartition(9), {"en": 2.5}).collect()))
+    assert again == sorted(map(tuple, out))
