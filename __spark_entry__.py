@@ -128,6 +128,13 @@ def _q_pagerank(spark, sf_dir):
     return pagerank(out.nodes, out.edges)
 
 
+def _q_triangle_count(spark, sf_dir):
+    from graphiti_spark.operators.centrality import triangle_count
+
+    out = _graph(spark, sf_dir)
+    return triangle_count(out.nodes, out.edges)
+
+
 # ---------------------------------------------------------------------------
 # docops / search / maintenance queries
 # ---------------------------------------------------------------------------
@@ -580,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions": _q_mentions,
         "episode_edges": _q_episode_edges,
         "pagerank": _q_pagerank,
+        "triangle_count": _q_triangle_count,
         # text analysis
         "token_stats": _q_token_stats,
         "quality": _q_quality,
@@ -642,6 +650,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": oo.q_quality(),
         "language_id": oo.q_language_id(),
         "pagerank": oo.q_pagerank(),
+        "triangle_count": oo.q_triangle_count(),
         "repetition_stats": oo.q_repetition_stats(),
         "boilerplate_ngrams": oo.q_boilerplate_ngrams(),
         "decontaminate": oo.q_decontaminate(),

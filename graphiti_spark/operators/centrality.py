@@ -95,3 +95,90 @@ def pagerank(
         if (k + 1) % 4 == 0 and k + 1 < n_iter:
             r = r.localCheckpoint(eager=True)
     return r.select("group_id", "name", F.col("r").alias("pr_scaled"))
+
+
+def triangle_count(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(group_id, name, n_triangles) — per-node triangle membership over
+    the undirected canonical entity graph (predicate-collapsed distinct
+    pairs), zero-filled for triangle-free nodes. Σ/3 per group is the
+    group's triangle count; the per-node form also yields the local
+    clustering coefficient (2T / deg(deg−1)) downstream.
+
+    Scale shape — degree-ordered node-iterator (the standard
+    distributed formulation, cf. Suri & Vassilvitskii, WWW'11): every
+    undirected edge is directed from its lower-(degree, name) endpoint
+    to the higher one, wedges are enumerated by self-joining the
+    directed edges on their source, and a wedge is a triangle iff its
+    (v, w) closure exists in the same directed set (left-semi hash
+    join). Directing by degree rank bounds each vertex's out-degree by
+    O(√m), so the wedge join is O(m^{3/2}) worst-case instead of
+    Σdeg² — hub entities (the corpus's hot key) produce wedges at
+    their LOW-degree neighbors, not at the hub. Three hash joins +
+    one groupBy, no iteration, no Python.
+    """
+    und = (
+        edges.select(
+            "group_id",
+            F.least("subj_name", "obj_name").alias("a"),
+            F.greatest("subj_name", "obj_name").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    deg = (
+        und.select("group_id", F.col("a").alias("name"))
+        .unionByName(und.select("group_id", F.col("b").alias("name")))
+        .groupBy("group_id", "name")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    j = (
+        und.join(
+            deg.select("group_id", F.col("name").alias("a"), F.col("deg").alias("da")),
+            ["group_id", "a"],
+        )
+        .join(
+            deg.select("group_id", F.col("name").alias("b"), F.col("deg").alias("db")),
+            ["group_id", "b"],
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    e = j.select(
+        "group_id",
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+        F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("hi_deg"),
+    ).localCheckpoint(eager=True)
+    e1 = e.select(
+        "group_id", F.col("lo").alias("u"), F.col("hi").alias("v"),
+        F.col("hi_deg").alias("dv"),
+    )
+    e2 = e.select(
+        "group_id", F.col("lo").alias("u"), F.col("hi").alias("w"),
+        F.col("hi_deg").alias("dw"),
+    )
+    wedges = e1.join(e2, ["group_id", "u"]).where(
+        (F.col("dv") < F.col("dw"))
+        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
+    )
+    tri = wedges.join(
+        e.select("group_id", F.col("lo").alias("v"), F.col("hi").alias("w")),
+        ["group_id", "v", "w"],
+        "left_semi",
+    )
+    per_node = (
+        tri.select("group_id", F.explode(F.array("u", "v", "w")).alias("name"))
+        .groupBy("group_id", "name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        nodes.select("group_id", "name")
+        .dropDuplicates()
+        .join(per_node, ["group_id", "name"], "left")
+        .select(
+            "group_id",
+            "name",
+            F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+        )
+    )

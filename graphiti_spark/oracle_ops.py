@@ -855,3 +855,49 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
   CAST(unnest(range(1, n_copies + 1)) AS INT) AS copy
 FROM n WHERE n_copies >= 1
 """
+
+
+def q_triangle_count() -> str:
+    """SQL twin of operators/centrality.py::triangle_count — identical
+    degree-ordered wedge enumeration over the canonical edge set."""
+    return f"""
+WITH {EDGES_CTE},
+tnodes AS (SELECT DISTINCT group_id, canonical_name AS name FROM canon_map),
+und AS (
+  SELECT DISTINCT group_id, least(subj_name, obj_name) AS a,
+         greatest(subj_name, obj_name) AS b
+  FROM dedup WHERE subj_name <> obj_name),
+deg AS (
+  SELECT group_id, name, COUNT(*) AS deg FROM (
+    SELECT group_id, a AS name FROM und
+    UNION ALL SELECT group_id, b AS name FROM und)
+  GROUP BY 1, 2),
+e AS (
+  SELECT u.group_id,
+    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         THEN u.a ELSE u.b END AS lo,
+    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         THEN u.b ELSE u.a END AS hi,
+    CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND u.a < u.b)
+         THEN db.deg ELSE da.deg END AS hi_deg
+  FROM und u
+  JOIN deg da ON da.group_id = u.group_id AND da.name = u.a
+  JOIN deg db ON db.group_id = u.group_id AND db.name = u.b),
+tri AS (
+  SELECT e1.group_id, e1.u, e1.v, e2.w
+  FROM (SELECT group_id, lo AS u, hi AS v, hi_deg AS dv FROM e) e1
+  JOIN (SELECT group_id, lo AS u, hi AS w, hi_deg AS dw FROM e) e2
+    ON e1.group_id = e2.group_id AND e1.u = e2.u
+   AND (e1.dv < e2.dw OR (e1.dv = e2.dw AND e1.v < e2.w))
+  WHERE EXISTS (SELECT 1 FROM e c WHERE c.group_id = e1.group_id
+                AND c.lo = e1.v AND c.hi = e2.w)),
+per_node AS (
+  SELECT group_id, name, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+    SELECT group_id, u AS name FROM tri
+    UNION ALL SELECT group_id, v FROM tri
+    UNION ALL SELECT group_id, w FROM tri)
+  GROUP BY 1, 2)
+SELECT n.group_id, n.name,
+  CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles
+FROM tnodes n LEFT JOIN per_node p USING (group_id, name)
+"""
