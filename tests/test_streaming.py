@@ -97,3 +97,99 @@ def test_stateful_context_window_matches_batch(spark, tmp_path_factory):
         for r in with_previous_episode_context(eps).collect()
     }
     assert got == expect
+
+
+def test_windowed_rates_match_batch(spark, tmp_path_factory):
+    """Watermarked event-time windowed agg (streaming/rates.py): with
+    all data on time, the update-mode stream's final per-window counts
+    equal the batch aggregation over the same episodes."""
+    from graphiti_spark.streaming.rates import episode_rate_agg, stream_ingest_rates
+
+    eps = synthesize_episodes(spark, SF_SMOKE).select(
+        "doc_id", "group_id", "valid_at", "spans"
+    )
+    in_dir = str(tmp_path_factory.mktemp("rates_in"))
+    eps.where(F.col("doc_id") < "doc-000250").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    eps.where(F.col("doc_id") >= "doc-000250").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    ckpt = str(tmp_path_factory.mktemp("rates_ckpt"))
+    q = stream_ingest_rates(spark, in_dir, ckpt, sink_table="rates_a")
+    q.awaitTermination(300)
+
+    got = spark.sql("SELECT * FROM rates_a").collect()
+    # update mode re-emits a window on refinement: keep the last (=max,
+    # counts grow monotonically with on-time data) emission per key
+    final: dict = {}
+    for r in got:
+        k = (r.window_start, r.group_id)
+        if k not in final or r.n_episodes >= final[k].n_episodes:
+            final[k] = r
+    expected = {
+        (r.window_start, r.group_id): r for r in episode_rate_agg(eps).collect()
+    }
+    assert set(final) == set(expected)
+    for k, r in final.items():
+        assert (r.n_episodes, r.n_text_spans) == (
+            expected[k].n_episodes,
+            expected[k].n_text_spans,
+        ), k
+
+
+def test_windowed_rates_drop_too_late_rows(spark, tmp_path_factory):
+    """A row older than (max event time − watermark delay) arriving in
+    a later micro-batch must be DROPPED from the aggregation — bounded
+    state is the point of the watermark."""
+    import datetime as dt
+    import os
+    import time as _time
+
+    from graphiti_spark.schemas import EPISODES_SCHEMA
+    from graphiti_spark.streaming.rates import stream_ingest_rates
+
+    def ep(doc_id, when):
+        return {
+            "doc_id": doc_id,
+            "group_id": "g0",
+            "name": doc_id,
+            "source": "message",
+            "source_description": None,
+            "spans": [{"kind": "text", "text": "A: b works for c.",
+                       "media_ref": "", "offset": 0}],
+            "created_at": when,
+            "valid_at": when,
+        }
+
+    on_time = [ep(f"doc-{i}", dt.datetime(2024, 6, 1 + i)) for i in range(3)]
+    late = [ep("doc-late", dt.datetime(2015, 1, 1))]  # years late
+
+    in_dir = str(tmp_path_factory.mktemp("late_in"))
+    f1 = os.path.join(in_dir, "b0")
+    f2 = os.path.join(in_dir, "b1")
+    spark.createDataFrame(on_time, EPISODES_SCHEMA).coalesce(1).write.parquet(f1)
+    spark.createDataFrame(late, EPISODES_SCHEMA).coalesce(1).write.parquet(f2)
+    flat = str(tmp_path_factory.mktemp("late_flat"))
+    now = _time.time()
+    for i, d in enumerate((f1, f2)):
+        for f in sorted(os.listdir(d)):
+            if f.endswith(".parquet"):
+                dst = os.path.join(flat, f"{i:02d}.parquet")
+                os.rename(os.path.join(d, f), dst)
+                os.utime(dst, (now + 30 * i, now + 30 * i))  # arrival order
+
+    ckpt = str(tmp_path_factory.mktemp("late_ckpt"))
+    q = stream_ingest_rates(
+        spark, flat, ckpt, sink_table="rates_late",
+        window_duration="30 days", watermark_delay="30 days",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    rows = spark.sql("SELECT * FROM rates_late").collect()
+    # after batch 1 the watermark is ~2024-05-04; the 2015 row in batch
+    # 2 is far older and must not create (or join) any window
+    assert sum(r.n_episodes for r in rows) >= 3
+    assert not [r for r in rows if r.window_start.year == 2015], rows
