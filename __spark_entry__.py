@@ -135,6 +135,12 @@ def _q_triangle_count(spark, sf_dir):
     return triangle_count(out.nodes, out.edges)
 
 
+def _q_clustering_coefficient(spark, sf_dir):
+    from graphiti_spark.operators.centrality import clustering_coefficient
+
+    out = _graph(spark, sf_dir)
+    return clustering_coefficient(out.nodes, out.edges)
+
 # ---------------------------------------------------------------------------
 # docops / search / maintenance queries
 # ---------------------------------------------------------------------------
@@ -588,6 +594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "episode_edges": _q_episode_edges,
         "pagerank": _q_pagerank,
         "triangle_count": _q_triangle_count,
+        "clustering_coefficient": _q_clustering_coefficient,
         # text analysis
         "token_stats": _q_token_stats,
         "quality": _q_quality,
@@ -651,6 +658,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": oo.q_language_id(),
         "pagerank": oo.q_pagerank(),
         "triangle_count": oo.q_triangle_count(),
+        "clustering_coefficient": oo.q_clustering_coefficient(),
         "repetition_stats": oo.q_repetition_stats(),
         "boilerplate_ngrams": oo.q_boilerplate_ngrams(),
         "decontaminate": oo.q_decontaminate(),

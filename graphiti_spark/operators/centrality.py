@@ -182,3 +182,42 @@ def triangle_count(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
         )
     )
+
+
+def clustering_coefficient(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(group_id, name, deg, n_triangles, cc_micro) — local clustering
+    coefficient 2T / (deg·(deg−1)) in integer micro-units (floor of
+    x·1e6, engine-independent like pagerank's arithmetic; 0 for
+    deg < 2). One extra degree join over :func:`triangle_count`."""
+    und = (
+        edges.select(
+            "group_id",
+            F.least("subj_name", "obj_name").alias("a"),
+            F.greatest("subj_name", "obj_name").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    deg = (
+        und.select("group_id", F.col("a").alias("name"))
+        .unionByName(und.select("group_id", F.col("b").alias("name")))
+        .groupBy("group_id", "name")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    tri = triangle_count(nodes, edges)
+    return (
+        tri.join(deg, ["group_id", "name"], "left")
+        .select(
+            "group_id",
+            "name",
+            F.coalesce("deg", F.lit(0)).cast("long").alias("deg"),
+            "n_triangles",
+            F.when(
+                F.coalesce("deg", F.lit(0)) >= 2,
+                F.expr("(2 * n_triangles * 1000000) DIV (deg * (deg - 1))"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("cc_micro"),
+        )
+    )

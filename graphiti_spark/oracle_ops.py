@@ -857,10 +857,7 @@ FROM n WHERE n_copies >= 1
 """
 
 
-def q_triangle_count() -> str:
-    """SQL twin of operators/centrality.py::triangle_count — identical
-    degree-ordered wedge enumeration over the canonical edge set."""
-    return f"""
+_TRIANGLE_CTES = f"""
 WITH {EDGES_CTE},
 tnodes AS (SELECT DISTINCT group_id, canonical_name AS name FROM canon_map),
 und AS (
@@ -896,8 +893,31 @@ per_node AS (
     SELECT group_id, u AS name FROM tri
     UNION ALL SELECT group_id, v FROM tri
     UNION ALL SELECT group_id, w FROM tri)
-  GROUP BY 1, 2)
+  GROUP BY 1, 2)"""
+
+
+def q_triangle_count() -> str:
+    """SQL twin of operators/centrality.py::triangle_count — identical
+    degree-ordered wedge enumeration over the canonical edge set."""
+    return f"""{_TRIANGLE_CTES}
 SELECT n.group_id, n.name,
   CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles
 FROM tnodes n LEFT JOIN per_node p USING (group_id, name)
 """
+
+
+def q_clustering_coefficient() -> str:
+    """Triangle CTEs + degree join + integer-micro local clustering
+    coefficient (2T // (deg·(deg−1)), DuckDB // = Spark DIV)."""
+    return f"""{_TRIANGLE_CTES}
+SELECT n.group_id, n.name,
+  CAST(COALESCE(d.deg, 0) AS BIGINT) AS deg,
+  CAST(COALESCE(p.n_triangles, 0) AS BIGINT) AS n_triangles,
+  CAST(CASE WHEN COALESCE(d.deg, 0) >= 2
+       THEN (2 * COALESCE(p.n_triangles, 0) * 1000000) // (d.deg * (d.deg - 1))
+       ELSE 0 END AS BIGINT) AS cc_micro
+FROM tnodes n
+LEFT JOIN per_node p USING (group_id, name)
+LEFT JOIN deg d USING (group_id, name)
+"""
+
