@@ -296,3 +296,79 @@ def test_arrow_kernel_equals_pandas_kernel_fuzzed(texts):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_curation_randomized_invariants(spark):
+    """One seeded random corpus through the curation ops; invariants
+    recomputed in plain python (see module docstring for the pattern):
+    - pii_scrub: redaction is a fixpoint — scrubbing the scrubbed text
+      changes nothing (no partial redactions left behind);
+    - pack_documents: per-stream offsets are an exact prefix sum and
+      the chunk index range covers each doc's token span;
+    - hash_split + mixture_sample: assignments are pure functions of
+      doc_id (stable across runs of the same frame).
+    """
+    import hashlib
+    import random as rnd
+
+    from graphiti_spark.operators.docops import (
+        hash_split,
+        mixture_sample,
+        pack_documents,
+        pii_scrub,
+    )
+
+    rnd.seed(42)
+    words = ["alpha", "bravo", "x9", "mailto", "http", "...", "+123",
+             "a.b@c.io", "https://e.org/p", "+12345678901", "plain"]
+    rows = [
+        (i, " ".join(rnd.choices(words, k=rnd.randint(0, 30))))
+        for i in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    scrubbed = {r.doc_id: r for r in pii_scrub(docs).collect()}
+    # fixpoint: feed a manually scrubbed corpus back through — zero hits
+    import re
+
+    from graphiti_spark.operators.docops import (
+        PII_EMAIL_RE,
+        PII_PHONE_RE,
+        PII_URL_RE,
+    )
+
+    def scrub_py(t):
+        t = t.lower()
+        t = re.sub(PII_EMAIL_RE, "<email>", t)
+        t = re.sub(PII_URL_RE, "<url>", t)
+        t = re.sub(PII_PHONE_RE, "<phone>", t)
+        return t
+
+    docs2 = spark.createDataFrame(
+        [(i, scrub_py(t)) for i, t in rows], "doc_id long, text string"
+    )
+    again = {r.doc_id: r for r in pii_scrub(docs2).collect()}
+    for i, t in rows:
+        assert (again[i].n_emails, again[i].n_urls, again[i].n_phones) == (0, 0, 0)
+        assert scrubbed[i].scrubbed_md5 == hashlib.md5(
+            scrub_py(t).encode()
+        ).hexdigest(), i
+
+    packed = pack_documents(docs, budget=50, n_streams=3).collect()
+    streams: dict = {}
+    for r in packed:
+        streams.setdefault(r.stream, []).append(r)
+    for srows in streams.values():
+        srows.sort(key=lambda r: r.start_off)
+        off = 0
+        for r in srows:
+            assert r.start_off == off
+            off += r.n_tokens
+            assert r.first_chunk <= r.last_chunk
+
+    a = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    b = {r.doc_id: r.split for r in hash_split(docs).collect()}
+    assert a == b
+    m1 = sorted(map(tuple, mixture_sample(docs.withColumn("lang", F.lit("en")), {"en": 1.5}).collect()))
+    m2 = sorted(map(tuple, mixture_sample(docs.withColumn("lang", F.lit("en")), {"en": 1.5}).collect()))
+    assert m1 == m2 and len(m1) >= 300
