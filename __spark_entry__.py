@@ -222,6 +222,12 @@ def _q_mixture_sample(spark, sf_dir):
     return mixture_sample(_docs(spark, sf_dir), MIXTURE_WEIGHTS)
 
 
+
+def _q_sessionize(spark, sf_dir):
+    from graphiti_spark.operators.events import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
 def _q_exact_duplicates(spark, sf_dir):
     from graphiti_spark.operators.docops import exact_duplicates
 
@@ -607,6 +613,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_documents": _q_pack_documents,
         "pii_scrub": _q_pii_scrub,
         "mixture_sample": _q_mixture_sample,
+        "sessionize": _q_sessionize,
         # dedup
         "exact_duplicates": _q_exact_duplicates,
         "near_duplicates": _q_near_duplicates,
@@ -666,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_documents": oo.q_pack_documents(),
         "pii_scrub": oo.q_pii_scrub(),
         "mixture_sample": oo.q_mixture_sample(),
+        "sessionize": oo.q_sessionize(),
         "exact_duplicates": oo.q_exact_duplicates(),
         "near_duplicates": oo.q_near_duplicates(),
         "dedup_keep_list": oo.q_dedup_keep_list(),

@@ -921,3 +921,32 @@ LEFT JOIN per_node p USING (group_id, name)
 LEFT JOIN deg d USING (group_id, name)
 """
 
+
+
+def q_sessionize(gap_minutes: int = 30) -> str:
+    """SQL twin of operators/events.py::sessionize — same epoch-second
+    gap rule, first-event-id session key, integer-cents sums."""
+    return f"""
+WITH o AS (
+  SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS secs,
+    lag(CAST(floor(epoch(ts)) AS BIGINT))
+      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+flagged AS (
+  SELECT *, CASE WHEN prev IS NULL OR secs - prev > {gap_minutes * 60}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o),
+sess AS (
+  SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+  FROM flagged)
+SELECT user_id,
+  CAST(MIN(event_id) AS BIGINT) AS session_id,
+  MIN(ts) AS session_start,
+  MAX(ts) AS session_end,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents,
+  MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS max_k
+FROM sess GROUP BY user_id, sess_idx
+"""

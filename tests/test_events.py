@@ -1,0 +1,49 @@
+"""Sessionization semantics (operators/events.py) on crafted event
+streams; the fixture-scale parity is covered by test_oracle_parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from graphiti_spark.operators.events import sessionize
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, "
+        "event_type string, value double, props string",
+    )
+
+
+def test_sessionize_gap_rule_and_aggregates(spark):
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(minutes):
+        return t0 + dt.timedelta(minutes=minutes)
+
+    rows = [
+        # user 1: two sessions split by a 31-min gap (30 min = keep)
+        (1, at(0), 1, "view", 1.00, '{"k": 1}'),
+        (2, at(30), 1, "error", 2.50, '{"k": 7}'),
+        (3, at(61), 1, "purchase", 0.25, '{"k": 3}'),
+        # user 2: single event
+        (4, at(5), 2, "signup", 10.00, '{"k": 0}'),
+    ]
+    out = {
+        (r.user_id, r.session_id): r
+        for r in sessionize(_ev(spark, rows), gap_minutes=30).collect()
+    }
+    assert set(out) == {(1, 1), (1, 3), (2, 4)}
+    s1 = out[(1, 1)]
+    assert (s1.n_events, s1.n_errors, s1.value_cents, s1.max_k) == (2, 1, 350, 7)
+    assert s1.session_start == t0 and s1.session_end == at(30)
+    s2 = out[(1, 3)]
+    assert (s2.n_events, s2.value_cents, s2.max_k) == (1, 25, 3)
+    assert out[(2, 4)].n_events == 1
+
+
+def test_sessionize_single_shuffle(spark):
+    df = sessionize(_ev(spark, [(1, dt.datetime(2024, 1, 1), 1, "x", 0.0, "{}")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # one user_id shuffle, reused
