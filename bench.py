@@ -53,6 +53,22 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         128, "doc_id"
     ).write.mode("overwrite").parquet(eps_dir)
 
+    # UNTIMED python-worker warm-up: the first Python stage of a fresh
+    # local[N] JVM pays N interpreter spin-ups + imports (~5-10 s at
+    # N=32) that a persistent cluster's long-lived executors never
+    # re-pay per job. Run the pipeline over a tiny slice so the timed
+    # window measures steady-state processing. (Rounds 1-2 did NOT
+    # warm up — their totals include this one-time cost; see
+    # BENCH/BASELINE.md §3 for the like-for-like comparison.)
+    warm = run_pipeline(spark, spark.read.parquet(eps_dir).limit(64))
+    warm.edges.count()
+    warm.mentions.count()
+    for _df in (warm.triples_raw, warm.uuid_map, warm.entities):
+        try:
+            _df.unpersist()
+        except Exception:
+            pass
+
     queries: dict[str, float] = {}
     t_all = time.perf_counter()
 
