@@ -60,7 +60,13 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     # window measures steady-state processing. (Rounds 1-2 did NOT
     # warm up — their totals include this one-time cost; see
     # BENCH/BASELINE.md §3 for the like-for-like comparison.)
-    warm = run_pipeline(spark, spark.read.parquet(eps_dir).limit(64))
+    # repartition the tiny slice across 4x the cores so EVERY python
+    # worker daemon (one per core) imports + JITs, not just the 1-2
+    # tasks a 64-row scan would schedule
+    warm = run_pipeline(
+        spark,
+        spark.read.parquet(eps_dir).limit(40 * cpus).repartition(4 * cpus),
+    )
     warm.edges.count()
     warm.mentions.count()
     for _df in (warm.triples_raw, warm.uuid_map, warm.entities):
