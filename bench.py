@@ -374,8 +374,15 @@ def run_cpu_probe(cpus: int, n_rows: int) -> dict:
 
 
 def run_cpu_scaling(n_rows: int) -> None:
-    results = {}
-    for cpus in (8, 32):
+    """Best-of-N interleaved trials per level (CPU_PROBE_TRIALS,
+    default 3): single-shot pairs on this multi-tenant box are routinely
+    ruined by an external load burst hitting exactly one of the two
+    legs; interleaving the levels samples different contention windows
+    and the per-level minimum is the least-contended measurement."""
+    trials = int(os.environ.get("CPU_PROBE_TRIALS", "3"))
+    results: dict[int, dict] = {}
+
+    def one(cpus: int) -> dict:
         env = dict(os.environ)
         env["CPU_PROBE"] = f"{cpus}:{n_rows}"
         out = subprocess.run(
@@ -384,10 +391,17 @@ def run_cpu_scaling(n_rows: int) -> None:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-        results[cpus] = json.loads(line)
+        return json.loads(line)
+
+    for _ in range(trials):
+        for cpus in (8, 32):
+            r = one(cpus)
+            if cpus not in results or r["wall_sec"] < results[cpus]["wall_sec"]:
+                results[cpus] = r
     eff = (results[32]["rows_per_sec"] / results[8]["rows_per_sec"]) / 4
     print(json.dumps({"metric": "cpu_scaling_efficiency", "value": round(eff, 3),
-                      "unit": "ratio", "low": results[8], "high": results[32]}))
+                      "unit": "ratio", "trials": trials,
+                      "low": results[8], "high": results[32]}))
 
 
 if __name__ == "__main__":
