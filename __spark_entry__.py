@@ -228,6 +228,12 @@ def _q_sessionize(spark, sf_dir):
 
     return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
+
+def _q_funnel(spark, sf_dir):
+    from graphiti_spark.operators.events import funnel
+
+    return funnel(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
 def _q_exact_duplicates(spark, sf_dir):
     from graphiti_spark.operators.docops import exact_duplicates
 
@@ -614,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _q_pii_scrub,
         "mixture_sample": _q_mixture_sample,
         "sessionize": _q_sessionize,
+        "funnel": _q_funnel,
         # dedup
         "exact_duplicates": _q_exact_duplicates,
         "near_duplicates": _q_near_duplicates,
@@ -674,6 +681,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oo.q_pii_scrub(),
         "mixture_sample": oo.q_mixture_sample(),
         "sessionize": oo.q_sessionize(),
+        "funnel": oo.q_funnel(),
         "exact_duplicates": oo.q_exact_duplicates(),
         "near_duplicates": oo.q_near_duplicates(),
         "dedup_keep_list": oo.q_dedup_keep_list(),

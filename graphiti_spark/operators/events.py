@@ -65,3 +65,43 @@ def sessionize(
             F.max(F.regexp_extract("props", _K_RE, 1).cast("int")).alias("max_k"),
         )
     )
+
+
+DEFAULT_FUNNEL = ("view", "click", "signup", "purchase")
+
+
+def funnel(events: DataFrame, steps: tuple = DEFAULT_FUNNEL) -> DataFrame:
+    """(step_idx, step_name, n_users) — ordered conversion funnel: a
+    user counts for step i iff they performed step i's event type
+    strictly AFTER their earliest qualifying time for step i−1 (the
+    classic strictly-ordered funnel; ties at the same timestamp do not
+    advance).
+
+    Scale shape: one filtered groupBy(user) per step, chained by a
+    per-user equi-join — k small aggregations over the SAME user_id
+    partitioning (no windows, no sequence explode, no per-user event
+    sorting); each step's frame only shrinks. k is a query constant,
+    so this is a fixed-depth DAG regardless of event count."""
+    reached = None  # (user_id, ts_i)
+    counts = []
+    for i, step in enumerate(steps):
+        ev = events.where(F.col("event_type") == step).select(
+            "user_id", F.col("ts").alias("_t")
+        )
+        if reached is None:
+            cur = ev
+        else:
+            cur = ev.join(reached, "user_id").where(F.col("_t") > F.col("_ts"))
+        reached = cur.groupBy("user_id").agg(F.min("_t").alias("_ts"))
+        counts.append(
+            reached.select(
+                F.lit(i + 1).cast("int").alias("step_idx"),
+                F.lit(step).alias("step_name"),
+            )
+            .groupBy("step_idx", "step_name")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out

@@ -950,3 +950,24 @@ SELECT user_id,
   MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS max_k
 FROM sess GROUP BY user_id, sess_idx
 """
+
+
+def q_funnel(steps: tuple = ("view", "click", "signup", "purchase")) -> str:
+    """SQL twin of operators/events.py::funnel — chained min-after
+    CTEs, one per step."""
+    ctes = [
+        f"s1 AS (SELECT user_id, MIN(ts) AS ts FROM events "
+        f"WHERE event_type = '{steps[0]}' GROUP BY 1)"
+    ]
+    for i, step in enumerate(steps[1:], start=2):
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, MIN(e.ts) AS ts FROM events e "
+            f"JOIN s{i - 1} p ON p.user_id = e.user_id AND e.ts > p.ts "
+            f"WHERE e.event_type = '{step}' GROUP BY 1)"
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INT) AS step_idx, '{s}' AS step_name, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i + 1}"
+        for i, s in enumerate(steps)
+    )
+    return f"WITH {', '.join(ctes)} {selects}"

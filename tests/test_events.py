@@ -47,3 +47,33 @@ def test_sessionize_single_shuffle(spark):
     df = sessionize(_ev(spark, [(1, dt.datetime(2024, 1, 1), 1, "x", 0.0, "{}")]))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # one user_id shuffle, reused
+
+
+def test_funnel_strict_order(spark):
+    import datetime as dt
+
+    from graphiti_spark.operators.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def at(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    rows = [
+        # user 1 completes view -> click in order
+        (1, at(0), 1, "view", 0.0, "{}"),
+        (2, at(1), 1, "click", 0.0, "{}"),
+        # user 2 clicked BEFORE viewing: reaches step 1 only
+        (3, at(0), 2, "click", 0.0, "{}"),
+        (4, at(1), 2, "view", 0.0, "{}"),
+        # user 3 view+click at the SAME instant: tie does not advance
+        (5, at(0), 3, "view", 0.0, "{}"),
+        (6, at(0), 3, "click", 0.0, "{}"),
+        # user 4 never viewed
+        (7, at(0), 4, "click", 0.0, "{}"),
+    ]
+    out = {
+        (r.step_idx, r.step_name): r.n_users
+        for r in funnel(_ev(spark, rows), steps=("view", "click")).collect()
+    }
+    assert out == {(1, "view"): 3, (2, "click"): 1}
