@@ -97,7 +97,32 @@ def pagerank(
     return r.select("group_id", "name", F.col("r").alias("pr_scaled"))
 
 
-def triangle_count(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+def _undirected_degrees(edges: DataFrame):
+    """Shared edge normalization for the triangle family: distinct
+    undirected (a < b) entity pairs plus per-node degree. Factored out
+    so clustering_coefficient doesn't recompute the identical und/deg
+    subtree (and its shuffles) that triangle_count builds."""
+    und = (
+        edges.select(
+            "group_id",
+            F.least("subj_name", "obj_name").alias("a"),
+            F.greatest("subj_name", "obj_name").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    deg = (
+        und.select("group_id", F.col("a").alias("name"))
+        .unionByName(und.select("group_id", F.col("b").alias("name")))
+        .groupBy("group_id", "name")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    return und, deg
+
+
+def triangle_count(
+    nodes: DataFrame, edges: DataFrame, _und_deg: tuple | None = None
+) -> DataFrame:
     """(group_id, name, n_triangles) — per-node triangle membership over
     the undirected canonical entity graph (predicate-collapsed distinct
     pairs), zero-filled for triangle-free nodes. Σ/3 per group is the
@@ -116,21 +141,7 @@ def triangle_count(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     their LOW-degree neighbors, not at the hub. Three hash joins +
     one groupBy, no iteration, no Python.
     """
-    und = (
-        edges.select(
-            "group_id",
-            F.least("subj_name", "obj_name").alias("a"),
-            F.greatest("subj_name", "obj_name").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .dropDuplicates()
-    )
-    deg = (
-        und.select("group_id", F.col("a").alias("name"))
-        .unionByName(und.select("group_id", F.col("b").alias("name")))
-        .groupBy("group_id", "name")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
+    und, deg = _und_deg if _und_deg is not None else _undirected_degrees(edges)
     j = (
         und.join(
             deg.select("group_id", F.col("name").alias("a"), F.col("deg").alias("da")),
@@ -188,23 +199,10 @@ def clustering_coefficient(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """(group_id, name, deg, n_triangles, cc_micro) — local clustering
     coefficient 2T / (deg·(deg−1)) in integer micro-units (floor of
     x·1e6, engine-independent like pagerank's arithmetic; 0 for
-    deg < 2). One extra degree join over :func:`triangle_count`."""
-    und = (
-        edges.select(
-            "group_id",
-            F.least("subj_name", "obj_name").alias("a"),
-            F.greatest("subj_name", "obj_name").alias("b"),
-        )
-        .where(F.col("a") != F.col("b"))
-        .dropDuplicates()
-    )
-    deg = (
-        und.select("group_id", F.col("a").alias("name"))
-        .unionByName(und.select("group_id", F.col("b").alias("name")))
-        .groupBy("group_id", "name")
-        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-    )
-    tri = triangle_count(nodes, edges)
+    deg < 2). One extra degree join over :func:`triangle_count`; the
+    und/deg subtree is computed once and shared with it."""
+    und, deg = _undirected_degrees(edges)
+    tri = triangle_count(nodes, edges, _und_deg=(und, deg))
     return (
         tri.join(deg, ["group_id", "name"], "left")
         .select(

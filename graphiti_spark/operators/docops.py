@@ -741,6 +741,8 @@ def hash_split(
     exceeds it. Pure column expressions — no sampling state, stable
     under re-runs and across partitionings (the property a resumable
     100 TB pipeline needs; Spark's randomSplit is neither)."""
+    if not boundaries:
+        raise ValueError("boundaries must be non-empty")
     bucket = _md5_u32(F.concat_ws("|", F.lit("split"), F.col("doc_id"))) % 100
     expr = None
     for name, hi in boundaries:
@@ -748,6 +750,9 @@ def hash_split(
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
             cond, F.lit(name)
         )
+    # buckets past the last boundary (custom boundaries summing < 100)
+    # fall into the final split rather than silently becoming NULL
+    expr = expr.otherwise(F.lit(boundaries[-1][0]))
     return documents.withColumn("split", expr)
 
 
@@ -860,6 +865,10 @@ def mixture_sample(
     (doc_id, lang, copy) via a guarded sequence explode (sequence(1,0)
     is DESCENDING in Spark, never empty — see _word_ngrams).
     """
+    if not weights:
+        return documents.select(
+            "doc_id", "lang", F.lit(1).cast("int").alias("copy")
+        ).limit(0)
     w_expr = None
     for lang, w in sorted(weights.items()):
         whole = int(w)

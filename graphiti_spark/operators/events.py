@@ -33,8 +33,10 @@ def sessionize(
     session breaks when consecutive events are more than
     ``gap_minutes`` apart (epoch-second arithmetic, deterministic).
 
-    ``session_id`` = the session's first event_id (content-derived,
-    stable under replays — never a rank or uuid)."""
+    ``session_id`` = the session's MINIMUM event_id (content-derived,
+    stable under replays — never a rank or uuid; note this differs from
+    "first event's id" whenever event_ids are not monotone in ts for a
+    user — both engines use MIN deliberately)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # the fixture stores ts as TIMESTAMP_NTZ; route through timestamp
     # (session TZ is pinned UTC in session.py) to get epoch seconds —
@@ -93,13 +95,14 @@ def funnel(events: DataFrame, steps: tuple = DEFAULT_FUNNEL) -> DataFrame:
         else:
             cur = ev.join(reached, "user_id").where(F.col("_t") > F.col("_ts"))
         reached = cur.groupBy("user_id").agg(F.min("_t").alias("_ts"))
+        # global agg (no GROUP BY) so a step nobody reached still emits
+        # one row with n_users = 0, matching the oracle's COUNT(*)
         counts.append(
-            reached.select(
+            reached.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
                 F.lit(i + 1).cast("int").alias("step_idx"),
                 F.lit(step).alias("step_name"),
+                "n_users",
             )
-            .groupBy("step_idx", "step_name")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
         )
     out = counts[0]
     for c in counts[1:]:

@@ -165,7 +165,7 @@ e_deg AS (SELECT e.*, o.outdeg FROM e JOIN outdeg o USING (group_id, src)),
 base AS (SELECT n.group_id, n.name, ng.n FROM pr_nodes n JOIN ng USING (group_id)),
 r0 AS (SELECT group_id, name, CAST({scale} AS BIGINT) // n AS r FROM base),
 {",".join(iters)}
-SELECT group_id, name, r AS pr_scaled FROM r{n_iter}
+SELECT group_id, name, CAST(r AS BIGINT) AS pr_scaled FROM r{n_iter}
 """
 
 

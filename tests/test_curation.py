@@ -65,6 +65,30 @@ def test_hash_split_total_deterministic_and_partition_invariant(spark):
     assert all(v is not None for v in a.values())  # total assignment
 
 
+def test_hash_split_short_boundaries_assign_tail_to_last(spark):
+    """Custom boundaries whose cumulative percent stops short of 100
+    must not leave NULL splits — the tail falls into the last split
+    (ADVICE r3 #4)."""
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(200)])
+    out = {
+        r.doc_id: r.split
+        for r in hash_split(docs, boundaries=(("a", 40), ("b", 70))).collect()
+    }
+    assert all(v in ("a", "b") for v in out.values())
+    # buckets in [70, 100) exist at n=200 with overwhelming probability,
+    # so 'b' must absorb more than the nominal 30%
+    assert sum(v == "b" for v in out.values()) > 0.35 * len(out)
+
+
+def test_mixture_sample_empty_weights_returns_empty(spark):
+    docs = spark.createDataFrame(
+        [(1, "en"), (2, "zh")], "doc_id long, lang string"
+    )
+    out = mixture_sample(docs, {})
+    assert out.columns == ["doc_id", "lang", "copy"]
+    assert out.count() == 0
+
+
 def test_pack_documents_prefix_sum_no_gaps(spark):
     docs = _docs(spark, [(i, "tok " * (i % 17 + 1)) for i in range(300)])
     rows = pack_documents(docs, budget=64, n_streams=4).collect()

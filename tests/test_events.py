@@ -77,3 +77,20 @@ def test_funnel_strict_order(spark):
         for r in funnel(_ev(spark, rows), steps=("view", "click")).collect()
     }
     assert out == {(1, "view"): 3, (2, "click"): 1}
+
+
+def test_funnel_emits_zero_rows_for_empty_steps(spark):
+    """A step no user reaches must still emit a row with n_users=0 —
+    the oracle's COUNT(*) always yields one row per step, and the
+    driver's row-count gate compares them (ADVICE r3 #1)."""
+    from graphiti_spark.operators.events import funnel
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 1, "view", 0.0, "{}")]
+    out = {
+        (r.step_idx, r.step_name): r.n_users
+        for r in funnel(
+            _ev(spark, rows), steps=("view", "click", "signup")
+        ).collect()
+    }
+    assert out == {(1, "view"): 1, (2, "click"): 0, (3, "signup"): 0}

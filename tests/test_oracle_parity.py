@@ -6,6 +6,7 @@ values) against its ``oracle_sql()`` twin."""
 from __future__ import annotations
 
 import datetime
+import decimal
 
 import duckdb
 import pytest
@@ -24,6 +25,14 @@ def _norm(v):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, float):
         return round(v, 6)
+    if isinstance(v, decimal.Decimal):
+        # Keep Decimals DISTINCT from ints: DuckDB SUM(BIGINT) returns
+        # HUGEINT (arrow decimal128), which the driver's value hash treats
+        # as a different type even when values are numerically identical
+        # (the round-3 pagerank failure class). Tagging forces the local
+        # parity test to catch any oracle final projection that surfaces
+        # a Decimal where Spark yields int64/double.
+        return ("decimal", str(v))
     return v
 
 
