@@ -103,13 +103,24 @@ def _rank_order(score_col: str = "score", id_col: str = "id"):
 def build_postings(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, term, tf, dl, tpart) posting rows + per-doc length. tpart is
     the term's hash bucket — the persisted index's partition key, so a
-    query's term filter becomes static partition pruning."""
+    query's term filter becomes static partition pruning.
+
+    dl (the doc's total token count) is computed BEFORE the explode and
+    carried through the tf aggregation — one shuffle total, instead of
+    the two-groupBys-plus-rejoin formulation (which shuffled the
+    exploded token stream twice and hash-joined 10^? posting rows back
+    on id)."""
     toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("term")
+        F.col(id_col).alias("id"),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("dl"),
+        F.explode(tokenize(F.col(text_col))).alias("term"),
     )
-    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    return tf.join(dl, "id").withColumn("tpart", term_bucket_col(F.col("term")))
+    tf = toks.groupBy("id", "term").agg(
+        F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")
+    )
+    return tf.select("id", "term", "tf", "dl").withColumn(
+        "tpart", term_bucket_col(F.col("term"))
+    )
 
 
 def build_corpus_stats(postings: DataFrame) -> DataFrame:
@@ -330,6 +341,11 @@ class SearchIndex:
         self.io = io
         self.prefix = prefix
         self.n_doc_buckets = n_doc_buckets
+        # _migrate_epoch_format is a per-merge no-op after the first
+        # check: cache the verdict so steady-state ingest never re-probes
+        # the stored postings schema (a driver footer read per call that
+        # the round-3 bench showed adds up at micro-batch cadence)
+        self._fmt_checked = False
 
     def _t(self, suffix: str) -> str:
         return f"{self.prefix}_{suffix}"
@@ -345,11 +361,17 @@ class SearchIndex:
         permanently un-indexable: a re-merge was skipped by the ledger
         while its postings stayed tombstone-hidden). O(table) once,
         never again — the same pattern as the node_stats layout
-        migration."""
+        migration. The probe (a driver-side schema read) is cached per
+        instance: once the layout is current it stays current — every
+        writer in this module stamps epoch."""
+        if self._fmt_checked:
+            return
         if not self.exists():
+            self._fmt_checked = True
             return
         p = self.io.read(self._t("postings"))
         if "epoch" in p.columns:
+            self._fmt_checked = True
             return
         self.io.write(
             self._t("postings"),
@@ -373,18 +395,35 @@ class SearchIndex:
                 self._t("tombstones"),
                 t.select("id", "dl").withColumn("epoch", F.lit(0).cast("long")),
             )
+        self._fmt_checked = True
 
     def _epoch(self) -> int:
         """Current write generation from the 1-row stats table (0 when
         the index is empty). Ingest-side driver read — the QUERY path
-        never calls this."""
+        never calls this. Read with pyarrow directly: the table is one
+        row in one file, and a Spark job here charged ~100ms of
+        scheduling to every micro-batch merge for one integer."""
         if not self.io.exists(self._t("stats")):
             return 0
-        s = self.io.read(self._t("stats"))
-        if "epoch" not in s.columns:
-            return 0
-        row = s.select("epoch").collect()
-        return int(row[0][0]) if row else 0
+        import os
+
+        import pyarrow.parquet as pq
+
+        p = self.io.path(self._t("stats"))
+        files = [
+            os.path.join(p, f)
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        ]
+        epoch = 0
+        for f in files:
+            pf = pq.ParquetFile(f)
+            if "epoch" not in pf.schema_arrow.names:
+                continue
+            col = pf.read(columns=["epoch"]).column("epoch")
+            if len(col):
+                epoch = max(epoch, int(col[0].as_py()))
+        return epoch
 
     def merge(self, df: DataFrame, id_col: str, text_col: str) -> None:
         """Index the batch: drop already-indexed ids (bucket-scoped
@@ -413,27 +452,39 @@ class SearchIndex:
         if docs.isEmpty():
             return  # everything already indexed: true no-op, no epoch bump
 
-        # checkpoint: the tokenization (explode + two groupBys) feeds
-        # the append, the ledger merge, AND the stats delta — without
-        # this it would re-execute once per consumer. Repartitioned by
-        # tpart first so the partitioned append writes exactly ONE file
-        # per touched bucket per merge (otherwise every writer task
-        # fans out into every bucket dir: tasks × buckets small files).
+        # Postings are written EXACTLY ONCE: tokenize → tf-aggregate →
+        # one layout shuffle to tpart (so the partitioned append emits
+        # one file per touched bucket, not tasks × buckets small files)
+        # → append. The round-3 formulation localCheckpoint'ed the
+        # postings before appending them — a second full write of the
+        # index plus a redundant read-back — because the ledger and the
+        # stats delta were derived FROM the postings; both now derive
+        # from the (already-checkpointed) docs batch, so the postings
+        # plan has a single consumer and needs no materialization.
         postings = (
             build_postings(docs, "id", "text")
             .withColumn("epoch", F.lit(epoch).cast("long"))
             .repartition(TERM_BUCKETS, "tpart")
-            .localCheckpoint(eager=True)
         )
         self.io.append(self._t("postings"), postings, partition_by=["tpart"])
         # docs with zero tokens still enter the ledger (dl=0) so a
         # re-ingest of them stays a no-op — but they don't count toward
-        # corpus stats (matching build_corpus_stats on inline postings)
-        dls = postings.groupBy("id").agg(F.first("dl").alias("dl"))
+        # corpus stats (matching build_corpus_stats on inline postings).
+        # dl comes straight from the batch text (same expression
+        # build_postings uses), not from a groupBy over the postings.
+        # Checkpointed: it is tiny (id, part, dl) and feeds three
+        # consumers (the parts collect inside merge_upsert, the bucket
+        # rewrite, the stats delta).
         ledger = (
-            docs.select("id", "part")
-            .join(dls, "id", "left")
-            .withColumn("dl", F.coalesce("dl", F.lit(0).cast("long")))
+            docs.select(
+                "id",
+                "part",
+                F.coalesce(
+                    F.size(tokenize(F.col("text"))).cast("long"), F.lit(0).cast("long")
+                ).alias("dl"),
+            )
+            .repartition(self.n_doc_buckets, "part")
+            .localCheckpoint(eager=True)
         )
         self.io.merge_upsert(
             self._t("docs"), ledger, key_cols=["id"], partition_col="part"
