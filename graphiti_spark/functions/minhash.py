@@ -39,7 +39,9 @@ def _minhash(sh: Column, seed: int) -> Column:
     )
 
 
-def band_keys(sh: Column, num_hashes: int = NUM_HASHES, band_size: int = BAND_SIZE) -> Column:
+def band_keys(
+    sh: Column | str, num_hashes: int = NUM_HASHES, band_size: int = BAND_SIZE
+) -> Column:
     """array<struct<band:int, key:long>> — one LSH bucket key per band.
 
     IMPORTANT: built directly from the shingle column, NOT from an
@@ -47,8 +49,32 @@ def band_keys(sh: Column, num_hashes: int = NUM_HASHES, band_size: int = BAND_SI
     the whole num_hashes-element array expression once per reference
     (num_hashes² copies of the shingle subtree), which blows plan
     compilation up from milliseconds to minutes. This shape keeps it at
-    num_hashes min-hash subtrees total."""
+    num_hashes min-hash subtrees total.
+
+    Pass the shingle column NAME (not a Column) on hot paths: the
+    num_hashes-subtree expression is then rendered as ONE SQL string and
+    parsed JVM-side in a single call. Building the identical tree
+    through the Column API costs hundreds of py4j round-trips (~2.5 s of
+    driver time per call — measured as the top fixed cost of the
+    incremental micro-batch, where this runs per batch, not per job).
+    The Column overload is kept for composed expressions."""
     n_bands = num_hashes // band_size
+    if isinstance(sh, str):
+        def mh(seed: int) -> str:
+            return (
+                f"array_min(transform({sh}, s -> xxhash64(concat('{seed}|', s))))"
+            )
+
+        bands = ", ".join(
+            "named_struct('band', {b}, 'key', xxhash64({ms}))".format(
+                b=b,
+                ms=", ".join(
+                    mh(b * band_size + j) for j in range(band_size)
+                ),
+            )
+            for b in range(n_bands)
+        )
+        return F.expr(f"array({bands})")
     return F.array(
         *[
             F.struct(
@@ -87,7 +113,7 @@ def lsh_candidate_pairs(
         *parts,
         "_id",
         "_text",
-        F.explode(band_keys(F.col("_sh"), num_hashes, band_size)).alias("bk"),
+        F.explode(band_keys("_sh", num_hashes, band_size)).alias("bk"),
     ).select(*parts, "_id", "_text", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # The self-join would compile + execute the bucket plan twice; the
     # bucket table is small (distinct keys only), so checkpoint it.

@@ -105,6 +105,7 @@ class TableIO:
         updates: DataFrame,
         key_cols: list[str],
         partition_col: str | None = None,
+        parts: list | None = None,
     ) -> None:
         """MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED INSERT:
         updates win on key collision; all other existing rows survive.
@@ -114,7 +115,11 @@ class TableIO:
         the batch touches are read-modified-rewritten; every other
         bucket's files are left in place — O(batch), not O(table), work
         and I/O per incremental batch (Iceberg MERGE INTO file-level
-        rewrite semantics)."""
+        rewrite semantics).
+
+        ``parts``: the exact set of ``partition_col`` values present in
+        ``updates``, when the caller already knows it — skips the
+        distinct-collect job this method would otherwise run."""
         if not self.exists(name):
             self.write(
                 name, updates, partition_by=[partition_col] if partition_col else None
@@ -131,7 +136,8 @@ class TableIO:
             )
             self.write(name, kept.unionByName(updates, allowMissingColumns=True))
             return
-        parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        if parts is None:
+            parts = [r[0] for r in updates.select(partition_col).distinct().collect()]
         # static partition pruning: only the affected buckets are scanned
         existing = self.read(name).where(F.col(partition_col).isin(parts))
         kept = existing.join(

@@ -440,9 +440,14 @@ def _merge_uuid_map(io: TableIO, rows: DataFrame) -> dict:
     from .operators.incremental import upart_col
 
     rows = rows.withColumn("upart", upart_col(F.col("uuid")))
-    n = rows.count()
-    parts = [r[0] for r in rows.select("upart").distinct().collect()]
-    io.merge_upsert("uuid_map", rows, key_cols=["uuid"], partition_col="upart")
+    # one job yields the row count AND the affected-bucket set; pass the
+    # buckets through so merge_upsert skips its own distinct-collect
+    per_part = rows.groupBy("upart").agg(F.count(F.lit(1)).alias("n")).collect()
+    n = sum(r.n for r in per_part)
+    parts = [r.upart for r in per_part]
+    io.merge_upsert(
+        "uuid_map", rows, key_cols=["uuid"], partition_col="upart", parts=parts
+    )
     return {"n_rows_rewritten": n, "n_parts_rewritten": len(parts)}
 
 

@@ -231,6 +231,76 @@ class RuleBasedExtractor:
         return out.filter(keep)
 
 
+class ClientBackedExtractor:
+    """X9: the reference's central LLM plug point, Spark-shaped.
+
+    The reference drives extraction through
+    ``LLMClient.generate_response`` (graphiti_core/llm_client/
+    client.py:129-169): each episode's text goes to the client, which
+    returns structured entities/edges (node_operations.py:69-176,
+    edge_operations.py:106-240). This wrapper gives any such client the
+    scale-correct execution shape: ``extract_triples`` routes it
+    through ``mapInPandas``, so the client is invoked executor-side
+    once per Arrow batch of text spans — batch your LLM HTTP calls
+    inside the callable; never a driver loop over collected rows.
+
+    ``client``: ``(episodes: list[dict]) -> list[list[dict]]`` — for
+    each input span dict (keys ``doc_id, group_id, offset, text,
+    episode_valid_at``) return a list of triple dicts with keys
+    ``speaker, subj_name, predicate, obj_name, fact`` and optional
+    ``valid_at`` (datetime / ISO string / None — None falls back to
+    NULL, matching the reference's date-parse failure path,
+    edge_operations.py:207-221). The client must be deterministic per
+    input for resumed runs to stay byte-identical (the same contract
+    as ``UdfSummarizer`` / ``UdfCrossEncoder``).
+
+    Reference-side post-filters are applied here so a well-behaved
+    client composes with the rest of the pipeline unchanged: empty
+    subject/object names are dropped (node_operations.py:148) and
+    self-referential triples are discarded (bulk_utils.py:469-471).
+    """
+
+    _COLS = [
+        "doc_id", "group_id", "offset", "speaker", "subj_name",
+        "predicate", "obj_name", "fact", "valid_at", "episode_valid_at",
+    ]
+
+    def __init__(self, client):
+        self.client = client
+
+    def extract(self, pdf: pd.DataFrame) -> pd.DataFrame:
+        episodes = pdf[
+            ["doc_id", "group_id", "offset", "text", "episode_valid_at"]
+        ].to_dict("records")
+        out_rows: list[dict] = []
+        for ep, triples in zip(episodes, self.client(episodes)):
+            for t in triples or []:
+                out_rows.append(
+                    {
+                        "doc_id": ep["doc_id"],
+                        "group_id": ep["group_id"],
+                        "offset": ep["offset"],
+                        "speaker": t.get("speaker"),
+                        "subj_name": t.get("subj_name"),
+                        "predicate": t.get("predicate"),
+                        "obj_name": t.get("obj_name"),
+                        "fact": t.get("fact"),
+                        "valid_at": t.get("valid_at"),
+                        "episode_valid_at": ep["episode_valid_at"],
+                    }
+                )
+        out = pd.DataFrame(out_rows, columns=self._COLS)
+        out["offset"] = out["offset"].astype("int32")
+        out["valid_at"] = pd.to_datetime(out["valid_at"], utc=True)
+        out["episode_valid_at"] = pd.to_datetime(out["episode_valid_at"], utc=True)
+        keep = (
+            out["subj_name"].fillna("").str.strip().ne("")
+            & out["obj_name"].fillna("").str.strip().ne("")
+            & (out["subj_name"] != out["obj_name"])
+        )
+        return out[keep][self._COLS]
+
+
 def text_spans(episodes: DataFrame) -> DataFrame:
     """Explode spans, keep kind='text' (columnar; media filtered before
     any Python runs)."""

@@ -84,7 +84,7 @@ def entity_band_rows(entities: DataFrame) -> DataFrame:
         "group_id", "uuid", shingles(F.col("name")).alias("_sh")
     )
     return (
-        sh.select("group_id", "uuid", F.explode(band_keys(F.col("_sh"))).alias("bk"))
+        sh.select("group_id", "uuid", F.explode(band_keys("_sh")).alias("bk"))
         .select(
             "group_id",
             "uuid",
@@ -126,23 +126,37 @@ def incremental_resolve(io, mentions_raw: DataFrame) -> dict:
     batch_entities = distinct_entities(
         mentions_raw.select("group_id", "name")
     ).localCheckpoint(eager=True)
-    batch_bands = entity_band_rows(batch_entities).localCheckpoint(eager=True)
+    # batch_bands is a cheap column plan over the checkpointed entities
+    # (band_keys renders as one SQL expression), so its two consumers —
+    # the key collect below and the broadcast join — just recompute it;
+    # a checkpoint here was one more fixed-cost job per micro-batch.
+    batch_bands = entity_band_rows(batch_entities)
 
     # --- band-index lookup: which stored entities collide with the batch?
-    kparts = sorted({r.kpart for r in batch_bands.select("kpart").distinct().collect()})
+    # ONE collect serves both pruning levels: the kpart partition filter
+    # and the key InSet pushdown (they were two separate jobs).
+    kp_rows = (
+        batch_bands.select("kpart", "key")
+        .dropDuplicates()
+        .limit(KEY_PUSHDOWN_CAP + 1)
+        .collect()
+    )
+    capped = len(kp_rows) > KEY_PUSHDOWN_CAP
+    if capped:
+        # bulk load past the cap: the limited sample can't prove kpart
+        # coverage — re-collect the (bounded, ≤BAND_KPARTS) kpart set
+        kparts = sorted(
+            {r.kpart for r in batch_bands.select("kpart").distinct().collect()}
+        )
+    else:
+        kparts = sorted({r.kpart for r in kp_rows})
     stored_bands = io.read("entity_bands").where(F.col("kpart").isin(kparts))
     # point-lookup IO bound: a micro-batch's band keys fit one InSet
     # predicate, pushed to the parquet scan where the key-sorted,
     # bloom-filtered band files skip non-matching row groups — the
     # stored side is no longer a full O(entities) scan per batch
-    keys = [
-        r.key
-        for r in batch_bands.select("key")
-        .dropDuplicates()
-        .limit(KEY_PUSHDOWN_CAP + 1)
-        .collect()
-    ]
-    if len(keys) <= KEY_PUSHDOWN_CAP:
+    if not capped:
+        keys = sorted({r.key for r in kp_rows})
         stored_bands = stored_bands.where(F.col("key").isin(keys))
     collided = (
         stored_bands.join(
@@ -246,11 +260,22 @@ def incremental_resolve(io, mentions_raw: DataFrame) -> dict:
     # batch twin (identical shingles), so "first-seen" == "not collided"
     new_entities = batch_entities.join(F.broadcast(collided), "uuid", "left_anti")
 
+    # one Spark job for all four evidence counters (each source is
+    # already checkpointed, so the union of their 1-row aggregates is
+    # pure agg work — four separate .count() jobs were pure scheduling
+    # overhead at micro-batch cadence)
+    def _n(df: DataFrame, key: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(key).alias("k"), "n"
+        )
+
     metrics = {
-        "n_batch_entities": batch_entities.count(),
-        "n_collided": collided.count(),
-        "n_neighborhood": neighborhood.count(),
-        "n_vertices_resolved": vertices.count(),
+        r.k: r.n
+        for r in _n(batch_entities, "n_batch_entities")
+        .unionByName(_n(collided, "n_collided"))
+        .unionByName(_n(neighborhood, "n_neighborhood"))
+        .unionByName(_n(vertices, "n_vertices_resolved"))
+        .collect()
     }
     return {
         "uuid_map": new_map,
