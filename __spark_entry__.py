@@ -555,6 +555,38 @@ def _q_ann_lsh(spark, sf_dir):
     return lsh_bucketed_topk(emb, queries_df, k=10)
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF ANN, the approximate setting (n_probe < n_centroids):
+    rows-only driver check (the seeded driver-side k-means quantizer is
+    not SQL-expressible); recall ≥ 0.9 is pinned by
+    tests/test_properties.py."""
+    from graphiti_spark.operators.docops import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
+
+
+def _q_ann_ivf_exhaustive(spark, sf_dir):
+    """IVF with every bucket probed (n_probe = n_centroids): the
+    partition-by-centroid + probe + exact-score machinery must then
+    reproduce brute-force cosine top-k EXACTLY, whatever the quantizer
+    did — so the full IVF pipeline gets an independent DuckDB oracle
+    (the exact top-k SQL), leaving only the probe-selection heuristic
+    to the recall pytest."""
+    from graphiti_spark.operators.docops import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_topk(
+        emb, queries_df, k=10, n_centroids=16, n_probe=16
+    ).withColumn("rank", F.col("rank").cast("int"))
+
+
 def _q_media_frames(spark, sf_dir):
     """Frame sampling over the media catalog (operators/multimodal
     sample_frames, force=True so the all-img synthetic corpus exercises
@@ -647,8 +679,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join": _q_interval_join,
         "near_dup_facts": _q_near_dup_facts,
         "communities": _q_communities,
+        # ANN: exhaustive probing == brute force, so the IVF machinery
+        # is fully oracled; the approximate settings are rows-only
+        "ann_ivf_exhaustive": _q_ann_ivf_exhaustive,
         # non-SQL-expressible (rows-only check)
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "media_features": _q_media_features,
         "media_frames": _q_media_frames,
     }
@@ -709,6 +745,10 @@ def oracle_sql() -> dict[str, str]:
         "communities": oracle.q_communities(),
         "media_features": oo.q_media_features(),
         "media_frames": oo.q_media_frames(),
-        # ann_lsh: intentionally no oracle (seeded-numpy hyperplane
-        # UDF not SQL-expressible) → driver rows-only + recall pytest
+        # every bucket probed ⇒ IVF output ≡ exact cosine top-k, so the
+        # exhaustive variant shares the brute-force oracle
+        "ann_ivf_exhaustive": oo.q_cosine_topk(),
+        # ann_lsh / ann_ivf: intentionally no oracle (seeded-numpy
+        # hyperplane / k-means quantizer UDFs not SQL-expressible) →
+        # driver rows-only + recall pytests
     }

@@ -486,10 +486,16 @@ def lsh_bucketed_topk(
     dim = dim_row[0]["d"] if dim_row else 0
     planes = rng.randn(n_tables, n_planes, dim)
 
+    # The corpus-side explode carries ONLY (id, t, bucket) — at
+    # production dims × n_tables, carrying the vector through the
+    # explode pushed n_tables× the corpus vector bytes through the
+    # bucket-join shuffle (VERDICT r3 #6). Vectors re-join by id AFTER
+    # candidate dedup: the candidate set is query-bounded, so AQE
+    # broadcasts it into a single corpus scan.
     emb_b = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col(id_col).alias("id"),
         F.explode(_hyperplane_tables(F.col(vec_col), planes)).alias("tb"),
-    ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    ).select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
     q_b = F.broadcast(
         queries.select(
             F.col("query_id"), F.col("query_vec").alias("qv"),
@@ -503,7 +509,8 @@ def lsh_bucketed_topk(
         emb_b.join(q_b, ["t", "bucket"])
         .dropDuplicates(["query_id", "id"])
     )
-    scored = cand.select(
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    scored = cand.join(vecs, "id").select(
         "query_id",
         "id",
         F.round(
@@ -551,26 +558,36 @@ def embedding_near_duplicates(
     rng = np.random.RandomState(seed)
     planes = rng.randn(n_tables, n_planes, dim)
 
+    # id-only explode (see lsh_bucketed_topk): the bucket self-join
+    # shuffles (id, t, bucket) rows, never n_tables copies of the
+    # vectors; both sides' vectors re-join by id on the deduped
+    # candidate pairs (blocking keeps candidates ≪ corpus², so the
+    # pair set broadcasts into two corpus scans under AQE).
     e = embeddings.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        F.col(id_col).alias("id"),
         F.explode(_hyperplane_tables(F.col(vec_col), planes)).alias("tb"),
-    ).select("id", "v", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    ).select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
 
-    a = e.select("t", "bucket", F.col("id").alias("id_a"), F.col("v").alias("va"))
-    b = e.select("t", "bucket", F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    a = e.select("t", "bucket", F.col("id").alias("id_a"))
+    b = e.select("t", "bucket", F.col("id").alias("id_b"))
     cand = (
         a.join(b, ["t", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    scored = cand.select(
-        "id_a",
-        "id_b",
-        F.round(
-            dot(F.col("va"), F.col("vb"))
-            / (l2_norm(F.col("va")) * l2_norm(F.col("vb"))),
-            6,
-        ).alias("score"),
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    scored = (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("va"), F.col("vb"))
+                / (l2_norm(F.col("va")) * l2_norm(F.col("vb"))),
+                6,
+            ).alias("score"),
+        )
     )
     return scored.where(F.col("score") >= threshold)
 

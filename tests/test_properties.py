@@ -174,6 +174,43 @@ def test_hyperplane_plan_builds_fast_at_1024_dims(spark):
     assert len(plan) < 200_000  # no literal-inlined plane matrices
 
 
+def test_hyperplane_explodes_exclude_vector_column(spark):
+    """VERDICT r3 #6: the corpus-side bucket explode must carry only
+    (id, t, bucket) — carrying the vector pushed n_tables× the corpus
+    vector bytes through the bucket-join shuffle. Vectors re-join by id
+    after candidate dedup, so every CORPUS-side `Generate explode` node
+    in both hyperplane paths must exclude the embedding column. (The
+    query-side explode keeps query_vec deliberately: queries are the
+    bounded broadcast side and scoring needs qv.)"""
+    import re
+
+    import numpy as np
+
+    from graphiti_spark.operators.docops import (
+        embedding_near_duplicates,
+        lsh_bucketed_topk,
+    )
+
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(16)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q0", [float(x) for x in rng.randn(16)])],
+        "query_id string, query_vec array<double>",
+    )
+    for df in (
+        embedding_near_duplicates(emb, threshold=0.9),
+        lsh_bucketed_topk(emb, queries, k=5),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        gens = re.findall(r"Generate explode[^\n]*", plan)
+        assert gens, "expected explode nodes in the hyperplane plan"
+        for g in gens:
+            assert "embedding" not in g, g
+
+
 def test_lsh_topk_or_amplification_improves_recall(spark):
     """Multi-table OR-amplification lifts the chance of finding a TRUE
     near neighbor (cos ≈ 0.98) to near-certainty, vs the single-table
