@@ -577,12 +577,41 @@ class GraphitiSpark:
 
     # -- communities --------------------------------------------------------
 
-    def build_communities(self) -> None:
-        """C2+C3: detect + build + persist community tables."""
+    def build_communities(self, group_ids: list[str] | None = None) -> None:
+        """C2+C3: detect + build + persist community tables.
+
+        ``group_ids``: rebuild ONLY those graph partitions' communities
+        (the reference filters the community projection per group —
+        graphiti.py:667, community_operations.py:33-43); every other
+        group's community rows carry over untouched, so a multi-tenant
+        deployment never pays an all-tenant rebuild for one tenant's
+        ingest. LPA is group-local (detection partitions by group_id),
+        so a scoped rebuild's output for the scoped groups is identical
+        to a full rebuild's."""
+        from pyspark.sql import functions as F
+
         from .operators.community import build_communities, detect_communities
 
-        membership = detect_communities(self.edges, self.nodes)
-        comms, members = build_communities(membership, self.nodes, self.batch_time)
+        edges, nodes = self.edges, self.nodes
+        if group_ids:
+            edges = edges.where(F.col("group_id").isin(group_ids))
+            nodes = nodes.where(F.col("group_id").isin(group_ids))
+        membership = detect_communities(edges, nodes)
+        comms, members = build_communities(membership, nodes, self.batch_time)
+        if group_ids and self.io.exists("communities"):
+            # snapshot-swap write: the union plan reads the OLD table
+            # files while the staging dir is written, so no checkpoint
+            # is needed before overwriting the table it reads from
+            comms = (
+                self.table("communities")
+                .where(~F.col("group_id").isin(group_ids))
+                .unionByName(comms)
+            )
+            members = (
+                self.table("community_members")
+                .where(~F.col("group_id").isin(group_ids))
+                .unionByName(members)
+            )
         self.io.write("communities", comms)
         self.io.write("community_members", members)
 

@@ -113,6 +113,39 @@ def test_communities_lifecycle(spark, graph):
     assert graph.table("communities").count() == 0
 
 
+def test_build_communities_group_scoped(spark, graph):
+    """Scoped rebuild (reference graphiti.py:667 →
+    community_operations.py:33-43): after ``build_communities(
+    group_ids=[g])``, every untouched group's community rows survive
+    byte-identical, and the scoped group's rows equal what the full
+    rebuild produced (LPA is group-local)."""
+
+    def rows(table, cond):
+        return {
+            tuple(tuple(v) if isinstance(v, list) else v for v in r)
+            for r in graph.table(table).where(cond).collect()
+        }
+
+    graph.build_communities()
+    groups = sorted(
+        r.group_id
+        for r in graph.table("communities").select("group_id").distinct().collect()
+    )
+    assert len(groups) >= 2, "fixture must span multiple groups"
+    target = groups[0]
+    scoped, other = F.col("group_id") == target, F.col("group_id") != target
+    before = {
+        (t, which): rows(t, cond)
+        for t in ("communities", "community_members")
+        for which, cond in (("scoped", scoped), ("other", other))
+    }
+    graph.build_communities(group_ids=[target])
+    for t in ("communities", "community_members"):
+        assert rows(t, other) == before[(t, "other")], f"{t}: other groups changed"
+        assert rows(t, scoped) == before[(t, "scoped")], f"{t}: scoped != full rebuild"
+        assert before[(t, "scoped")], f"{t}: scoped group produced no rows"
+
+
 def _part_file_stats(io, table, prefix):
     import os
 
