@@ -619,3 +619,23 @@ class GraphitiSpark:
         from .operators.graph_api import remove_communities as _rc
 
         _rc(self.io)
+
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self) -> None:
+        """Iceberg-style table maintenance (run on a cadence, never per
+        batch): rewrite the append-only LSH band index to one key-sorted
+        bloom-filtered file per bucket, and compact the fulltext indexes
+        (coalesce append-generated small files, physically drop
+        tombstone-hidden postings). Query results are unchanged; what
+        changes is file count and row-group skipping tightness, which
+        otherwise degrade linearly with micro-batch count."""
+        from .operators.incremental import compact_entity_bands
+        from .operators.search import SearchIndex
+
+        if self.io.exists("entity_bands"):
+            compact_entity_bands(self.io)
+        for prefix in ("ft_episodes", "ft_nodes", "ft_edges"):
+            idx = SearchIndex(self.io, prefix)
+            if idx.exists():
+                idx.compact()

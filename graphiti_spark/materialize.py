@@ -582,22 +582,59 @@ def materialize_graph(
     uuid_map = out.uuid_map
 
     triples = with_part(out.triples_raw, n_buckets=n_buckets)
-    io.merge_upsert("episodes", eps, key_cols=["doc_id"], partition_col="part")
-    io.merge_upsert(
-        "triples_raw", triples, key_cols=["doc_id", "offset"], partition_col="part"
-    )
 
     # A new batch can merge clusters the old graph kept separate, so
     # stored edges/mentions must be re-canonicalized through the new
     # map — the merges below scope all re-grouping, rectification, and
     # file rewrites to the affected hash buckets.
-    edge_stats = merge_edges(
-        io, out.edges, remap=changed, n_parts=edge_parts, full_rewrite=full_rewrite
-    )
-    mention_stats = merge_mentions(
-        io, out.mentions, remap=changed, n_buckets=n_buckets,
-        full_rewrite=full_rewrite,
-    )
+    #
+    # The keyed merges touch DISJOINT tables and read only checkpointed
+    # upstream plans, so they are submitted from a thread pool: Spark
+    # runs the jobs concurrently (multi-threaded job submission is the
+    # supported pattern) and the per-batch DRIVER latency — plan
+    # compile, job scheduling, commit renames, the dominant micro-batch
+    # fixed cost per the round-3 profile — overlaps instead of
+    # serializing. Each merge is byte-for-byte the job it was when
+    # sequential; only wall-clock changes.
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = {
+        "episodes": lambda: io.merge_upsert(
+            "episodes", eps, key_cols=["doc_id"], partition_col="part"
+        ),
+        "triples_raw": lambda: io.merge_upsert(
+            "triples_raw", triples, key_cols=["doc_id", "offset"],
+            partition_col="part",
+        ),
+        "edges": lambda: merge_edges(
+            io, out.edges, remap=changed, n_parts=edge_parts,
+            full_rewrite=full_rewrite,
+        ),
+        "mentions": lambda: merge_mentions(
+            io, out.mentions, remap=changed, n_buckets=n_buckets,
+            full_rewrite=full_rewrite,
+        ),
+    }
+    if use_restricted:
+        jobs["uuid_map"] = lambda: _merge_uuid_map(io, uuid_map)
+        new_bands_plan = entity_band_rows(res_side["new_entities"])
+
+        def _append_bands():
+            nb = new_bands_plan.localCheckpoint(eager=True)
+            if not nb.isEmpty():
+                io.append(
+                    "entity_bands",
+                    nb.sortWithinPartitions("key"),
+                    partition_by=["kpart"],
+                    options=BAND_INDEX_WRITE_OPTIONS,
+                )
+
+        jobs["entity_bands"] = _append_bands
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futures = {k: pool.submit(fn) for k, fn in jobs.items()}
+        merged = {k: f.result() for k, f in futures.items()}
+    edge_stats = merged["edges"]
+    mention_stats = merged["mentions"]
 
     # Node enrichment (summary = all-time mention stats) must see the
     # MERGED mention counts; node_stats maintains them incrementally.
@@ -605,8 +642,10 @@ def materialize_graph(
 
     if use_restricted:
         # entity-space tables: partition-scoped keyed merges over the
-        # restricted rows only — never a full rewrite.
-        resolve_stats = _merge_uuid_map(io, uuid_map)
+        # restricted rows only — never a full rewrite. uuid_map and the
+        # band index merged in the pool above; node_stats must follow
+        # the mentions merge, nodes must follow node_stats.
+        resolve_stats = merged["uuid_map"]
         stats = _update_node_stats(io, out.mentions, changed)
         nodes_base = out.nodes.select(
             "group_id", "uuid", "name", "name_embedding", "created_at"
@@ -616,16 +655,6 @@ def materialize_graph(
             enrich_nodes_with_stats(nodes_base, stats),
             res_side["dead_canonicals"],
         )
-        new_bands = entity_band_rows(res_side["new_entities"]).localCheckpoint(
-            eager=True
-        )
-        if not new_bands.isEmpty():
-            io.append(
-                "entity_bands",
-                new_bands.sortWithinPartitions("key"),
-                partition_by=["kpart"],
-                options=BAND_INDEX_WRITE_OPTIONS,
-            )
     else:
         # global resolution: the map IS the full entity space —
         # overwrite (stale canonicals disappear, as in a fresh run).

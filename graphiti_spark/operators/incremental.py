@@ -100,6 +100,27 @@ def entity_band_rows(entities: DataFrame) -> DataFrame:
     )
 
 
+def compact_entity_bands(io) -> None:
+    """Iceberg-style maintenance for the append-only band index: every
+    micro-batch appends one file per touched ``kpart`` bucket, so file
+    count grows linearly with batch count and each file covers its own
+    key range (bloom filters and min/max stats lose skipping power as
+    files accumulate). Rewrite to ONE key-sorted, bloom-filtered file
+    per bucket; content is unchanged (the snapshot-swap write reads the
+    old files while staging, so no checkpoint is needed). Run on a
+    maintenance cadence, not per batch — the same contract as
+    ``SearchIndex.compact``."""
+    bands = (
+        io.read("entity_bands")
+        .repartition(BAND_KPARTS, "kpart")
+        .sortWithinPartitions("key")
+    )
+    io.write(
+        "entity_bands", bands, partition_by=["kpart"],
+        options=BAND_INDEX_WRITE_OPTIONS,
+    )
+
+
 def incremental_resolve(io, mentions_raw: DataFrame) -> dict:
     """Resolve one micro-batch against the existing graph, touching
     only the LSH-collided neighborhood.

@@ -192,3 +192,72 @@ def test_remove_episode_cascade(spark, graph):
         .select("id").distinct().collect()
     }
     assert doc not in ep_ids
+
+
+def test_compact_preserves_content_and_coalesces_files(spark, graph):
+    """Maintenance compaction: visible content of the band index and
+    the fulltext indexes is byte-identical afterwards, the band index
+    is down to ONE file per kpart bucket, tombstone tables are gone,
+    and the next incremental batch still resolves against the
+    compacted index."""
+    import os
+
+    from graphiti_spark.operators.search import SearchIndex
+
+    def band_rows():
+        return {
+            tuple(r)
+            for r in graph.table("entity_bands")
+            .select("group_id", "uuid", "band", "key", "kpart")
+            .collect()
+        }
+
+    def live_postings(prefix):
+        return {
+            tuple(r)
+            for r in SearchIndex(graph.io, prefix).postings()
+            .select("id", "term", "tf", "dl")
+            .collect()
+        }
+
+    # ensure a tombstone exists so compaction has hidden rows to drop
+    # (remove_episode leaves one behind when the full module ran first;
+    # create one explicitly so the test is order-independent)
+    if not graph.io.exists("ft_episodes_tombstones"):
+        doc = graph.episodes.select("doc_id").limit(1)
+        SearchIndex(graph.io, "ft_episodes").delete(doc)
+    bands_before = band_rows()
+    posts_before = {p: live_postings(p) for p in ("ft_episodes", "ft_edges")}
+    assert bands_before and posts_before["ft_edges"]
+    assert graph.io.exists("ft_episodes_tombstones")
+
+    graph.compact()
+
+    assert band_rows() == bands_before
+    for p, before in posts_before.items():
+        assert live_postings(p) == before, f"{p} postings changed"
+    assert not graph.io.exists("ft_episodes_tombstones")
+    # one file per band bucket
+    root = graph.io.path("entity_bands")
+    for d in os.listdir(root):
+        if d.startswith("kpart="):
+            files = [
+                f for f in os.listdir(os.path.join(root, d))
+                if f.endswith(".parquet")
+            ]
+            assert len(files) == 1, f"{d}: {len(files)} files after compact"
+    # the compacted index still serves incremental resolution: re-ingest
+    # docs STILL PRESENT in the graph (remove_episode dropped one doc
+    # earlier, whose entities may have been orphan-purged) — every name
+    # must band-collide with its stored twin, so no new entities appear
+    # collect the doc ids FIRST: a lazy plan over graph.episodes would
+    # reference table files that add_episodes itself rewrites mid-run
+    live_docs = [
+        r.doc_id for r in graph.episodes.select("doc_id").limit(3).collect()
+    ]
+    eps = synthesize_episodes(spark, SF_SMOKE).where(
+        F.col("doc_id").isin(live_docs)
+    )
+    n_map = graph.table("uuid_map").count()
+    graph.add_episodes(eps)
+    assert graph.table("uuid_map").count() == n_map  # re-ingest: no new entities
