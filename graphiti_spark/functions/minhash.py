@@ -106,15 +106,20 @@ def lsh_candidate_pairs(
     sh = df.select(
         *parts,
         F.col(id_col).alias("_id"),
-        F.col(text_col).alias("_text"),
         shingles(F.col(text_col)).alias("_sh"),
     )
+    # id-only bucket rows: carrying the text through the band explode
+    # would replicate every document's text n_bands times through the
+    # self-join shuffle, and force the pair dedup into a SortAggregate
+    # (string payload aggregates are not hash-aggregable). Texts
+    # re-join by id onto the deduped pair set instead — both text
+    # joins shuffle the lookup side on the same key, so the exchange
+    # is reused.
     buckets = sh.select(
         *parts,
         "_id",
-        "_text",
         F.explode(band_keys("_sh", num_hashes, band_size)).alias("bk"),
-    ).select(*parts, "_id", "_text", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    ).select(*parts, "_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     # The self-join would compile + execute the bucket plan twice; the
     # bucket table is small (distinct keys only), so checkpoint it.
     buckets = buckets.localCheckpoint(eager=True)
@@ -128,14 +133,18 @@ def lsh_candidate_pairs(
     )
     for p in parts:
         join_cond = join_cond & (F.col(f"a.{p}") == F.col(f"b.{p}"))
-    return (
+    pairs = (
         a.join(b, join_cond)
         .select(
             *[F.col(f"a.{p}").alias(p) for p in parts],
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            F.col("a._text").alias("text_a"),
-            F.col("b._text").alias("text_b"),
         )
         .dropDuplicates(parts + ["id_a", "id_b"])
+    )
+    texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext"))
+    return (
+        pairs.join(texts.withColumnsRenamed({"_tid": "id_a", "_ttext": "text_a"}), "id_a")
+        .join(texts.withColumnsRenamed({"_tid": "id_b", "_ttext": "text_b"}), "id_b")
+        .select(*parts, "id_a", "id_b", "text_a", "text_b")
     )

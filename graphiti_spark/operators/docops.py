@@ -496,21 +496,28 @@ def lsh_bucketed_topk(
         F.col(id_col).alias("id"),
         F.explode(_hyperplane_tables(F.col(vec_col), planes)).alias("tb"),
     ).select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    # The query side is id-only too: carrying qv through the bucket
+    # join would materialize the query vector on every candidate row
+    # and force the (query_id, id) dedup into a SortAggregate (array
+    # payload aggregates are not hash-aggregable). Pure distinct keeps
+    # it a HashAggregate; qv re-joins from the broadcast query table
+    # at scoring time.
     q_b = F.broadcast(
         queries.select(
-            F.col("query_id"), F.col("query_vec").alias("qv"),
+            F.col("query_id"),
             F.explode(_hyperplane_tables(F.col("query_vec"), planes)).alias("tb"),
         ).select(
-            "query_id", "qv", F.col("tb.t").alias("t"),
-            F.col("tb.bucket").alias("bucket"),
+            "query_id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"),
         )
     )
     cand = (
         emb_b.join(q_b, ["t", "bucket"])
-        .dropDuplicates(["query_id", "id"])
+        .select("query_id", "id")
+        .distinct()
     )
     vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    scored = cand.join(vecs, "id").select(
+    qvecs = F.broadcast(queries.select("query_id", F.col("query_vec").alias("qv")))
+    scored = cand.join(vecs, "id").join(qvecs, "query_id").select(
         "query_id",
         "id",
         F.round(
@@ -573,7 +580,11 @@ def embedding_near_duplicates(
     cand = (
         a.join(b, ["t", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        # id-only select before dedup: a pure distinct hash-aggregates,
+        # while dropDuplicates carrying (t, bucket) payload would add
+        # first() aggregates for columns the verify stage never reads.
+        .select("id_a", "id_b")
+        .distinct()
     )
     vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     scored = (

@@ -291,10 +291,19 @@ def run_pipeline(
 
     # MENTIONS episodic edges: episode × canonical entity, distinct
     # (reference build_episodic_edges, edge_operations.py:46-63).
+    # Dedup is a 4-column distinct, NOT dropDuplicates([doc_id,
+    # entity_uuid]): canonical name is functional per entity_uuid (by
+    # build_uuid_map construction), so the result set is identical —
+    # but dropDuplicates carries string payload aggregates
+    # (first(name)), whose agg buffer is not hash-aggregable, forcing
+    # SortAggregate = two full sorts of the pre-dedup mention set.
+    # Pure distinct keeps it a HashAggregate with map-side partial
+    # dedup, and matches the oracle (q_mentions_table SELECT DISTINCT)
+    # deterministically instead of via arbitrary first().
     speaker_m = resolve_pointers(mentions_raw, uuid_map, "entity_uuid", "name")
     mentions = (
         speaker_m.select("doc_id", "group_id", F.col("entity_uuid"), F.col("name"))
-        .dropDuplicates(["doc_id", "entity_uuid"])
+        .distinct()
         .withColumn(
             "uuid",
             F.sha2(

@@ -175,13 +175,15 @@ def test_hyperplane_plan_builds_fast_at_1024_dims(spark):
 
 
 def test_hyperplane_explodes_exclude_vector_column(spark):
-    """VERDICT r3 #6: the corpus-side bucket explode must carry only
-    (id, t, bucket) — carrying the vector pushed n_tables× the corpus
-    vector bytes through the bucket-join shuffle. Vectors re-join by id
-    after candidate dedup, so every CORPUS-side `Generate explode` node
-    in both hyperplane paths must exclude the embedding column. (The
-    query-side explode keeps query_vec deliberately: queries are the
-    bounded broadcast side and scoring needs qv.)"""
+    """VERDICT r3 #6: the bucket explodes must carry only
+    (id, t, bucket) — carrying a vector pushes n_tables× the vector
+    bytes through the bucket-join shuffle, and an array payload in the
+    candidate dedup forces a SortAggregate (array agg buffers are not
+    hash-aggregable). Vectors re-join by id/query_id after candidate
+    dedup, so EVERY `Generate explode` node in both hyperplane paths
+    must exclude the embedding/query_vec columns, and the candidate
+    dedup must compile to a HashAggregate (no SortAggregate anywhere
+    in either plan)."""
     import re
 
     import numpy as np
@@ -209,6 +211,8 @@ def test_hyperplane_explodes_exclude_vector_column(spark):
         assert gens, "expected explode nodes in the hyperplane plan"
         for g in gens:
             assert "embedding" not in g, g
+            assert "query_vec" not in g, g
+        assert "SortAggregate" not in plan, "candidate dedup fell off HashAggregate"
 
 
 def test_lsh_topk_or_amplification_improves_recall(spark):

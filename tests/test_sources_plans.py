@@ -68,3 +68,19 @@ def test_temporal_plan_has_no_python(spark):
         "predicate string, va string",
     ).withColumn("valid_at", F.col("va").cast("timestamp")).drop("va")
     scan_summary(resolve_bitemporal(e)).assert_no_python()
+
+
+def test_mentions_dedup_hash_aggregates(spark):
+    """The MENTIONS dedup is a 4-column distinct so it compiles to a
+    HashAggregate with a map-side partial; dropDuplicates([doc_id,
+    entity_uuid]) would carry first(name) string payloads whose agg
+    buffer is not hash-aggregable, forcing SortAggregate = two full
+    sorts of the pre-dedup mention set (~3 rows per triple)."""
+    from graphiti_spark.pipeline import run_on_sf
+
+    out = run_on_sf(spark, SF_SMOKE)
+    plan = out.mentions._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan.split("SortMergeJoin")[0], (
+        "mentions dedup fell off HashAggregate"
+    )
+    assert "HashAggregate" in plan
