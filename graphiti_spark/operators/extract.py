@@ -8,16 +8,16 @@ with the speaker-first rule for message episodes
 (prompts/extract_nodes.py:73-110) and SCREAMING_SNAKE_CASE predicates
 (prompts/extract_edges.py:26,111).
 
-Here the extractor is a pluggable pure function applied with
-``mapInPandas`` (Arrow batches, vectorized pandas string kernels — no
-per-row Python at the Spark level). The default ``RuleBasedExtractor``
+Here the extractor is pluggable. The default ``RuleBasedExtractor``
 is deterministic: it is configured with a relation ontology
 (predicate → surface phrase), mirroring how the reference receives
 ``edge_types`` (graphiti_core/graphiti.py:361-365), and parses
-"Speaker: Subj <phrase> Obj since <year>." sentences. An LLM-backed
-extractor would slot into the same interface (one batch per Arrow
-chunk), exactly like the reference's pluggable LLMClient
-(llm_client/client.py:129-169).
+"Speaker: Subj <phrase> Obj since <year>." sentences — and because
+that extractor IS a regex, its default execution is pure Catalyst
+``regexp_*`` expressions (WholeStageCodegen, zero Python in the
+stage). LLM-backed extractors slot into the same interface and run
+one Arrow batch per client call through ``mapInPandas``, exactly like
+the reference's pluggable LLMClient (llm_client/client.py:129-169).
 
 Scale notes: the input is the exploded text-span table, partitioned by
 doc_id hash — extraction is embarrassingly parallel, no shuffle. The
@@ -106,6 +106,15 @@ class RuleBasedExtractor:
         self.phrase_to_pred = {p: name for name, p in self.ontology}
         # RE2 spells unicode code points \x{200b}, not ​
         self._clean_re2 = "[\\x00-\\x08\\x0b-\\x1f\\x7f\\x{200b}-\\x{200d}\\x{feff}]"
+        # Java regex (Catalyst regexp_* kernels): unnamed groups —
+        # java.util.regex rejects (?P<name>...). Same leftmost-first
+        # lazy-quantifier semantics as Python re / RE2, same
+        # alternation order, so all three kernels split identically
+        # (pinned by tests/test_extract_arrow.py).
+        self._pattern_java = (
+            rf"^([^:]+): (.+?) ({alt}) (.+?) since (\d{{4}})\.$"
+        )
+        self._fallback_java = rf"^([^:]+): (.+?) ({alt}) (.+?)\.$"
 
     def extract(self, pdf: pd.DataFrame) -> pd.DataFrame:
         """One Arrow batch of text spans → parsed triple columns.
@@ -230,6 +239,86 @@ class RuleBasedExtractor:
         )
         return out.filter(keep)
 
+    def extract_native(self, spans: DataFrame) -> DataFrame:
+        """Same parse as :meth:`extract`, pure Catalyst expressions —
+        zero Python in the stage.
+
+        The rule-based extractor is a regex, so the Spark-first
+        execution is JVM codegen, not an Arrow round-trip: one
+        cleaning ``regexp_replace``, one ``rlike`` gate, and one
+        anchored ``regexp_replace`` that rewrites the whole matched
+        sentence into a ``\\x01``-delimited record (the cleaning pass
+        strips ``\\x01`` from the input first, so the delimiter cannot
+        collide), then a ``split``. That is ~4 regex passes per row,
+        all inside WholeStageCodegen — no serialization to a Python
+        worker at all, which was most of the Arrow path's stage time.
+        The Arrow/pandas kernels remain the execution shape for
+        pluggable LLM-backed extractors (X9), which genuinely need
+        Python per batch.
+        """
+        SEP = "\x01"
+
+        def parse(pattern: str, ngroups: int):
+            repl = SEP.join(f"${i}" for i in range(1, ngroups + 1))
+            # anchored pattern → at most one match per row, so
+            # replace-all is a single full-sentence rewrite
+            return F.split(
+                F.regexp_replace(F.col("_cleaned"), pattern, repl), SEP
+            )
+
+        pred_map = F.create_map(
+            *[F.lit(x) for kv in self.phrase_to_pred.items() for x in kv]
+        )
+
+        def year_to_ts(year):
+            # mirror the pandas/arrow kernels' ns-bounds contract:
+            # years outside 1678-2261 yield NULL valid_at
+            y = year.cast("int")
+            return F.when(
+                y.between(1678, 2261),
+                F.to_timestamp(F.concat(year, F.lit("-01-01")), "yyyy-MM-dd"),
+            )
+
+        cleaned = spans.withColumn(
+            "_cleaned", F.regexp_replace(F.col("text"), self.CLEAN_RE, "")
+        )
+        matched = F.col("_cleaned").rlike(self._pattern_java)
+        # F.get (not []): unmatched rows keep the original sentence,
+        # whose split has 1 element — get() NULLs the missing indexes
+        # (ANSI mode errors on out-of-bounds [i]); those rows are
+        # filtered by _matched anyway.
+        p = parse(self._pattern_java, 5)
+        speaker, subj, phrase, obj = (F.get(p, i) for i in range(4))
+        valid_at = year_to_ts(F.get(p, 4))
+        if self.reflexion:
+            fb = parse(self._fallback_java, 4)
+            use_fb = (~matched) & F.col("_cleaned").rlike(self._fallback_java)
+            speaker = F.when(matched, speaker).otherwise(F.get(fb, 0))
+            subj = F.when(matched, subj).otherwise(F.get(fb, 1))
+            phrase = F.when(matched, phrase).otherwise(F.get(fb, 2))
+            obj = F.when(matched, obj).otherwise(F.get(fb, 3))
+            valid_at = F.when(matched, valid_at).otherwise(
+                F.col("episode_valid_at")
+            )
+            matched = matched | use_fb
+        out = cleaned.select(
+            "doc_id",
+            "group_id",
+            "offset",
+            speaker.alias("speaker"),
+            subj.alias("subj_name"),
+            F.element_at(pred_map, phrase).alias("predicate"),
+            obj.alias("obj_name"),
+            # fact = sentence body without the speaker prefix
+            F.regexp_replace(F.col("_cleaned"), "^[^:]+: ", "").alias("fact"),
+            valid_at.alias("valid_at"),
+            "episode_valid_at",
+            matched.alias("_matched"),
+        )
+        return out.where(
+            F.col("_matched") & (F.col("subj_name") != F.col("obj_name"))
+        ).drop("_matched")
+
 
 class ClientBackedExtractor:
     """X9: the reference's central LLM plug point, Spark-shaped.
@@ -325,14 +414,23 @@ def text_spans(episodes: DataFrame) -> DataFrame:
 def extract_triples(episodes: DataFrame, extractor: RuleBasedExtractor | None = None) -> DataFrame:
     """Episodes → raw triples (one row per parsed sentence).
 
-    The default rule-based extractor runs through ``mapInArrow``
-    (pyarrow RecordBatches end to end — RE2 ``extract_regex``, no
-    pandas materialization; ~40% less stage time than the pandas path
-    at sf0.1, all of it serialization overhead, same rows). A custom
-    extractor exposing only ``extract(pdf)`` (the X9 LLM plug point)
-    gets the pandas path unchanged.
+    Kernel selection, fastest shape the extractor supports:
+
+    - ``extract_native`` (the default ``RuleBasedExtractor``): pure
+      Catalyst regexp expressions, WholeStageCodegen, zero Python —
+      the regex IS the extractor, so the JVM runs it directly.
+    - ``extract_arrow``: ``mapInArrow`` (pyarrow RecordBatches end to
+      end, RE2 kernels, no pandas materialization).
+    - ``extract(pdf)`` only (the X9 LLM plug point, e.g.
+      ``ClientBackedExtractor``): ``mapInPandas`` — one Arrow batch
+      per client call, the scale-correct shape for remote LLMs.
+
+    All kernels parse byte-identically (tests/test_extract_arrow.py).
     """
     ex = extractor or RuleBasedExtractor()
+
+    if hasattr(ex, "extract_native"):
+        return ex.extract_native(text_spans(episodes))
 
     if hasattr(ex, "extract_arrow"):
         import pyarrow as pa

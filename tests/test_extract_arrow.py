@@ -1,10 +1,14 @@
-"""Arrow-native extraction kernel (X1/X3 fast path): RE2
-``pc.extract_regex`` over RecordBatches must parse byte-identically to
-the pandas kernel — same backtracking splits, cleaning, self-loop drop,
-reflexion fallback — since ``extract_triples`` now routes the default
-extractor through ``mapInArrow``."""
+"""Extraction kernel equivalence (X1/X3): the three kernels — pandas
+``str.extract``, RE2 ``pc.extract_regex`` over RecordBatches, and the
+pure-Catalyst ``regexp_*`` path — must parse byte-identically: same
+backtracking splits, cleaning, self-loop drop, reflexion fallback.
+``extract_triples`` routes the default extractor through the Catalyst
+kernel (zero Python in the stage); Arrow/pandas remain the execution
+shapes for pluggable extractors."""
 
 from __future__ import annotations
+
+import re
 
 import pandas as pd
 import pyarrow as pa
@@ -50,13 +54,65 @@ def test_arrow_kernel_matches_pandas_kernel(reflexion):
     assert len(got) == (5 if reflexion else 4)
 
 
-def test_extract_triples_uses_arrow_for_default_extractor(spark):
+@pytest.mark.parametrize("reflexion", [False, True])
+def test_native_kernel_matches_pandas_kernel(spark, reflexion):
+    """The Catalyst kernel (java.util.regex) must split the TRICKY
+    corpus exactly like the pandas kernel (Python re) — same lazy
+    quantifier backtracking, alternation order, cleaning, ns-range
+    NULLing, reflexion fallback."""
+    ex = RuleBasedExtractor(reflexion=reflexion)
+    pdf = _pdf()
+    want = ex.extract(pdf).sort_values("doc_id").reset_index(drop=True)
+    spans = spark.createDataFrame(pdf)
+    got = (
+        ex.extract_native(spans)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # Spark returns tz-aware UTC timestamps; align dtypes only
+    for c in ("valid_at", "episode_valid_at"):
+        got[c] = pd.to_datetime(got[c], utc=True)
+        want[c] = pd.to_datetime(want[c], utc=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    assert len(got) == (5 if reflexion else 4)
+
+
+def test_extract_triples_default_is_pure_codegen(spark):
+    """The default extractor is a regex, so the stage must be pure
+    JVM: no Python eval node of any kind in the executed plan, and
+    the regexp projection inside WholeStageCodegen."""
     from graphiti_spark.synth import synthesize_episodes
     from tests.conftest import SF_SMOKE
 
     eps = synthesize_episodes(spark, SF_SMOKE)
     plan = extract_triples(eps)._jdf.queryExecution().executedPlan().toString()
+    for node in ("MapInArrow", "MapInPandas", "EvalPython", "ArrowEval"):
+        assert node not in plan, plan[:1500]
+    # executedPlan().toString() marks WholeStageCodegen spans with the
+    # "*(n)" prefix; the regexp projection must carry one.
+    assert re.search(r"\*\(\d+\) Project \[doc_id", plan), plan[:1500]
+
+
+def test_arrow_capable_extractor_routes_mapinarrow(spark):
+    """An extractor exposing extract_arrow (but not the Catalyst
+    path) keeps the mapInArrow shape."""
+    from graphiti_spark.synth import synthesize_episodes
+    from tests.conftest import SF_SMOKE
+
+    inner = RuleBasedExtractor()
+
+    class ArrowOnly:
+        extract = staticmethod(inner.extract)
+        extract_arrow = staticmethod(inner.extract_arrow)
+
+    eps = synthesize_episodes(spark, SF_SMOKE)
+    df = extract_triples(eps, extractor=ArrowOnly())
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "MapInArrow" in plan, plan[:1500]
+    native_rows = {tuple(r) for r in extract_triples(eps).collect()}
+    arrow_rows = {tuple(r) for r in df.collect()}
+    assert native_rows == arrow_rows
 
 
 def test_custom_pandas_extractor_still_routes_mapinpandas(spark):
