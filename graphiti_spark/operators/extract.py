@@ -12,12 +12,14 @@ Here the extractor is pluggable. The default ``RuleBasedExtractor``
 is deterministic: it is configured with a relation ontology
 (predicate → surface phrase), mirroring how the reference receives
 ``edge_types`` (graphiti_core/graphiti.py:361-365), and parses
-"Speaker: Subj <phrase> Obj since <year>." sentences — and because
-that extractor IS a regex, its default execution is pure Catalyst
-``regexp_*`` expressions (WholeStageCodegen, zero Python in the
-stage). LLM-backed extractors slot into the same interface and run
-one Arrow batch per client call through ``mapInPandas``, exactly like
-the reference's pluggable LLMClient (llm_client/client.py:129-169).
+"Speaker: Subj <phrase> Obj since <year>." sentences. Its default
+execution is ``mapInArrow`` (RE2 kernels over RecordBatches — the
+measured-fastest shape; see ``extract_triples``); a pure-Catalyst
+``regexp_*`` kernel (zero Python in the stage) is available via
+``kernel="native"``. LLM-backed extractors slot into the same
+interface and run one Arrow batch per client call through
+``mapInPandas``, exactly like the reference's pluggable LLMClient
+(llm_client/client.py:129-169).
 
 Scale notes: the input is the exploded text-span table, partitioned by
 doc_id hash — extraction is embarrassingly parallel, no shuffle. The
@@ -251,10 +253,16 @@ class RuleBasedExtractor:
         strips ``\\x01`` from the input first, so the delimiter cannot
         collide), then a ``split``. That is ~4 regex passes per row,
         all inside WholeStageCodegen — no serialization to a Python
-        worker at all, which was most of the Arrow path's stage time.
-        The Arrow/pandas kernels remain the execution shape for
-        pluggable LLM-backed extractors (X9), which genuinely need
-        Python per batch.
+        worker at all.
+
+        Measured vs the Arrow kernel at the bench shape (3.7M spans,
+        best-of-3 interleaved): faster on pruned reads (1.99 s vs
+        2.07 s), ~25% slower on full-column materialization (2.71 s
+        vs 2.08 s) — java.util.regex backtracks on this lazy-
+        quantifier + alternation pattern where RE2 runs a linear-time
+        DFA — so the Arrow kernel stays the default and this one is
+        opt-in (``extract_triples(..., kernel="native")``) for
+        deployments that want a Python-less write path.
         """
         SEP = "\x01"
 
@@ -411,16 +419,30 @@ def text_spans(episodes: DataFrame) -> DataFrame:
     )
 
 
-def extract_triples(episodes: DataFrame, extractor: RuleBasedExtractor | None = None) -> DataFrame:
+def extract_triples(
+    episodes: DataFrame,
+    extractor: RuleBasedExtractor | None = None,
+    kernel: str | None = None,
+) -> DataFrame:
     """Episodes → raw triples (one row per parsed sentence).
 
-    Kernel selection, fastest shape the extractor supports:
+    Kernel selection (``kernel``: ``"arrow"`` | ``"native"`` |
+    ``"pandas"``; default = fastest MEASURED shape the extractor
+    supports):
 
-    - ``extract_native`` (the default ``RuleBasedExtractor``): pure
-      Catalyst regexp expressions, WholeStageCodegen, zero Python —
-      the regex IS the extractor, so the JVM runs it directly.
-    - ``extract_arrow``: ``mapInArrow`` (pyarrow RecordBatches end to
-      end, RE2 kernels, no pandas materialization).
+    - ``extract_arrow`` (the default for ``RuleBasedExtractor``):
+      ``mapInArrow`` — pyarrow RecordBatches end to end, RE2 kernels,
+      no pandas materialization. Measured fastest on full-column
+      materialization at the bench shape (best-of-3 interleaved,
+      3.7M spans): 2.08 s vs the Catalyst kernel's 2.71 s — RE2's
+      linear-time DFA beats java.util.regex's backtracking NFA on
+      this lazy-quantifier + 8-way-alternation pattern.
+    - ``extract_native`` (opt-in, ``kernel="native"``): pure Catalyst
+      regexp expressions, WholeStageCodegen, zero Python anywhere in
+      the stage (PLANS.md plan 11). Slightly faster when downstream
+      prunes most parse columns (1.99 s vs 2.07 s for a count-style
+      read) and removes the Python-worker dependency entirely; ~25%
+      slower when every column materializes, hence not the default.
     - ``extract(pdf)`` only (the X9 LLM plug point, e.g.
       ``ClientBackedExtractor``): ``mapInPandas`` — one Arrow batch
       per client call, the scale-correct shape for remote LLMs.
@@ -429,10 +451,18 @@ def extract_triples(episodes: DataFrame, extractor: RuleBasedExtractor | None = 
     """
     ex = extractor or RuleBasedExtractor()
 
-    if hasattr(ex, "extract_native"):
+    if kernel is None:
+        if hasattr(ex, "extract_arrow"):
+            kernel = "arrow"
+        elif hasattr(ex, "extract_native"):
+            kernel = "native"
+        else:
+            kernel = "pandas"
+
+    if kernel == "native":
         return ex.extract_native(text_spans(episodes))
 
-    if hasattr(ex, "extract_arrow"):
+    if kernel == "arrow":
         import pyarrow as pa
 
         def run_arrow(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:

@@ -2,9 +2,9 @@
 ``str.extract``, RE2 ``pc.extract_regex`` over RecordBatches, and the
 pure-Catalyst ``regexp_*`` path — must parse byte-identically: same
 backtracking splits, cleaning, self-loop drop, reflexion fallback.
-``extract_triples`` routes the default extractor through the Catalyst
-kernel (zero Python in the stage); Arrow/pandas remain the execution
-shapes for pluggable extractors."""
+``extract_triples`` routes the default extractor through ``mapInArrow``
+(measured fastest — see its docstring); the Catalyst kernel (zero
+Python in the stage) is opt-in via ``kernel="native"``."""
 
 from __future__ import annotations
 
@@ -78,15 +78,28 @@ def test_native_kernel_matches_pandas_kernel(spark, reflexion):
     assert len(got) == (5 if reflexion else 4)
 
 
-def test_extract_triples_default_is_pure_codegen(spark):
-    """The default extractor is a regex, so the stage must be pure
-    JVM: no Python eval node of any kind in the executed plan, and
-    the regexp projection inside WholeStageCodegen."""
+def test_extract_triples_default_routes_mapinarrow(spark):
+    """The default kernel is the measured-fastest one: mapInArrow
+    (RE2 over RecordBatches) — see extract_triples' docstring for the
+    A/B numbers that picked it over the Catalyst kernel."""
     from graphiti_spark.synth import synthesize_episodes
     from tests.conftest import SF_SMOKE
 
     eps = synthesize_episodes(spark, SF_SMOKE)
     plan = extract_triples(eps)._jdf.queryExecution().executedPlan().toString()
+    assert "MapInArrow" in plan, plan[:1500]
+
+
+def test_native_kernel_is_pure_codegen(spark):
+    """kernel="native" must be pure JVM: no Python eval node of any
+    kind in the executed plan, and the regexp projection inside a
+    WholeStageCodegen span."""
+    from graphiti_spark.synth import synthesize_episodes
+    from tests.conftest import SF_SMOKE
+
+    eps = synthesize_episodes(spark, SF_SMOKE)
+    df = extract_triples(eps, kernel="native")
+    plan = df._jdf.queryExecution().executedPlan().toString()
     for node in ("MapInArrow", "MapInPandas", "EvalPython", "ArrowEval"):
         assert node not in plan, plan[:1500]
     # executedPlan().toString() marks WholeStageCodegen spans with the
@@ -94,25 +107,17 @@ def test_extract_triples_default_is_pure_codegen(spark):
     assert re.search(r"\*\(\d+\) Project \[doc_id", plan), plan[:1500]
 
 
-def test_arrow_capable_extractor_routes_mapinarrow(spark):
-    """An extractor exposing extract_arrow (but not the Catalyst
-    path) keeps the mapInArrow shape."""
+def test_native_and_arrow_kernels_agree_on_spark(spark):
+    """Routing equivalence end-to-end through extract_triples: the
+    opt-in Catalyst kernel returns exactly the default kernel's rows."""
     from graphiti_spark.synth import synthesize_episodes
     from tests.conftest import SF_SMOKE
 
-    inner = RuleBasedExtractor()
-
-    class ArrowOnly:
-        extract = staticmethod(inner.extract)
-        extract_arrow = staticmethod(inner.extract_arrow)
-
     eps = synthesize_episodes(spark, SF_SMOKE)
-    df = extract_triples(eps, extractor=ArrowOnly())
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "MapInArrow" in plan, plan[:1500]
-    native_rows = {tuple(r) for r in extract_triples(eps).collect()}
-    arrow_rows = {tuple(r) for r in df.collect()}
+    arrow_rows = {tuple(r) for r in extract_triples(eps).collect()}
+    native_rows = {tuple(r) for r in extract_triples(eps, kernel="native").collect()}
     assert native_rows == arrow_rows
+    assert len(arrow_rows) > 0
 
 
 def test_custom_pandas_extractor_still_routes_mapinpandas(spark):
