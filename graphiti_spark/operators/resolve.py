@@ -48,10 +48,24 @@ def distinct_entities(mentions: DataFrame) -> DataFrame:
     ('Acme Corp' / 'ACME CorP') share one vertex row instead of
     emitting duplicate uuids. The representative surface form is the
     deterministic min by (length, name); ``resolve_pointers`` joins on
-    the lowercase key, so every variant still resolves."""
+    the lowercase key, so every variant still resolves.
+
+    Two-phase on purpose: a direct ``groupBy(...).agg(min_by(name, ...))``
+    carries a string-payload aggregate, which is not hash-aggregable —
+    Spark plans a SortAggregate, i.e. a full sort of the ENTIRE exploded
+    mention stream on both sides of the exchange. Distinct surface
+    forms first (pure grouping keys → HashAggregate with map-side
+    partial dedup collapses the stream before the shuffle), then the
+    min_by runs over the already-tiny distinct set. min_by over the
+    distinct multiset equals min_by over the raw stream, so the result
+    is unchanged (plan + equality pinned in tests/test_resolve.py)."""
+    distinct_forms = (
+        mentions.select(
+            "group_id", F.lower(F.col("name")).alias("_k"), "name"
+        ).distinct()
+    )
     return (
-        mentions.select("group_id", "name")
-        .groupBy("group_id", F.lower(F.col("name")).alias("_k"))
+        distinct_forms.groupBy("group_id", "_k")
         .agg(
             F.min_by(
                 F.col("name"), F.struct(F.length("name"), F.col("name"))

@@ -164,6 +164,50 @@ def test_case_variant_names_share_one_vertex(spark):
     assert out[0].subj_name == acme.name
 
 
+def test_distinct_entities_first_agg_is_hash_not_sort(spark):
+    """The wide mention stream must collapse through a HashAggregate
+    (map-side partial dedup): a single-phase min_by(name, ...) carries
+    a string-payload aggregate, which forces SortAggregate = two full
+    sorts of the ENTIRE exploded mention stream. The min_by may only
+    run on the post-distinct (tiny) set."""
+    from graphiti_spark.operators.resolve import distinct_entities
+
+    mentions = spark.createDataFrame(
+        [("g0", "Acme Corp"), ("g0", "ACME Corp"), ("g1", "Initech")],
+        "group_id string, name string",
+    )
+    plan = (
+        distinct_entities(mentions)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the distinct phase (below the min_by) must be a HashAggregate;
+    # the only SortAggregate allowed is the final min_by over the
+    # already-distinct rows — i.e. the plan's DEEPEST aggregate node
+    # must be hash-based.
+    last_hash = plan.rfind("HashAggregate")
+    last_sort = plan.rfind("SortAggregate")
+    assert last_hash != -1, plan[:1500]
+    assert last_sort == -1 or last_sort < last_hash, plan[:1500]
+
+
+def test_distinct_entities_min_by_semantics_preserved(spark):
+    """Two-phase distinct+min_by must equal the single-phase min_by:
+    representative = shortest, then lexicographically-first, surface
+    form per (group_id, lower(name)) — duplicates must not skew it."""
+    from graphiti_spark.operators.resolve import distinct_entities
+
+    mentions = spark.createDataFrame(
+        # 'aB' repeated many times must not beat the shorter-equal 'Ab'
+        [("g0", "aB")] * 5 + [("g0", "Ab")] + [("g0", "ab")] * 3,
+        "group_id string, name string",
+    )
+    rows = distinct_entities(mentions).collect()
+    assert len(rows) == 1
+    assert rows[0].name == "Ab"  # min by (length, name): 'Ab' < 'aB' < 'ab'
+
+
 def test_resolve_pointers_identical_across_join_strategies(spark):
     """VERDICT r2 #2 (broadcast safety): the pointer rewrite returns
     identical rows whether the uuid_map side is broadcast (small-graph
