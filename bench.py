@@ -26,6 +26,33 @@ import sys
 import time
 
 
+def wait_for_quiet_window() -> dict:
+    """Bounded wait for a quiet 1-minute loadavg before the TIMED window.
+
+    This sandbox shares CPU with other tenants (measured in
+    BENCH/BASELINE.md §0: 1-min load 4-12 with zero processes of ours
+    running). A single-shot bench fired into an external burst measures
+    the neighbors, not the engine — so before starting the timed
+    section we wait, BOUNDED, for the 1-minute load to fall below a
+    gate. Fully disclosed: the wait duration and the load at timed
+    start are reported in the output JSON (`quiet_waited_sec`,
+    `load_at_timed_start`); the untimed prep (input synthesis, python
+    worker warm-up) is unaffected. Tunables: BENCH_QUIET_GATE (default
+    2.0; 0 disables), BENCH_QUIET_MAX_WAIT seconds (default 300).
+    """
+    gate = float(os.environ.get("BENCH_QUIET_GATE", "2.0"))
+    max_wait = float(os.environ.get("BENCH_QUIET_MAX_WAIT", "300"))
+    t0 = time.monotonic()
+    load = os.getloadavg()[0]
+    while gate > 0 and load > gate and time.monotonic() - t0 < max_wait:
+        time.sleep(10)
+        load = os.getloadavg()[0]
+    return {
+        "quiet_waited_sec": round(time.monotonic() - t0, 1),
+        "load_at_timed_start": round(load, 2),
+    }
+
+
 def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     import shutil
     import tempfile
@@ -74,6 +101,8 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
             _df.unpersist()
         except Exception:
             pass
+
+    quiet = wait_for_quiet_window()
 
     queries: dict[str, float] = {}
     t_all = time.perf_counter()
@@ -213,6 +242,7 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         "triple_precision": triple_precision,
         "triple_recall": triple_recall,
         "incremental": inc_evidence,
+        **quiet,
     }
 
 
@@ -381,6 +411,7 @@ def run_cpu_scaling(n_rows: int) -> None:
     and the per-level minimum is the least-contended measurement."""
     trials = int(os.environ.get("CPU_PROBE_TRIALS", "3"))
     results: dict[int, dict] = {}
+    quiet = wait_for_quiet_window()
 
     def one(cpus: int) -> dict:
         env = dict(os.environ)
@@ -401,7 +432,7 @@ def run_cpu_scaling(n_rows: int) -> None:
     eff = (results[32]["rows_per_sec"] / results[8]["rows_per_sec"]) / 4
     print(json.dumps({"metric": "cpu_scaling_efficiency", "value": round(eff, 3),
                       "unit": "ratio", "trials": trials,
-                      "low": results[8], "high": results[32]}))
+                      "low": results[8], "high": results[32], **quiet}))
 
 
 if __name__ == "__main__":
