@@ -121,7 +121,9 @@ def compact_entity_bands(io) -> None:
     )
 
 
-def incremental_resolve(io, mentions_raw: DataFrame) -> dict:
+def incremental_resolve(
+    io, mentions_raw: DataFrame, driver_cap: int | None = None
+) -> dict:
     """Resolve one micro-batch against the existing graph, touching
     only the LSH-collided neighborhood.
 
@@ -129,6 +131,23 @@ def incremental_resolve(io, mentions_raw: DataFrame) -> dict:
     mention rows. Requires ``uuid_map`` (upart-partitioned) and
     ``entity_bands`` to exist (materialize_graph bootstraps them on the
     first incremental run).
+
+    Two physical strategies behind one semantics (the same adaptive
+    pattern as ``connected_components``):
+
+    - batch fits the driver caps (the common micro-batch case): the
+      whole restricted pipeline — banding, LSH pairs, scoring,
+      components, canonical pick, deltas — runs DRIVER-SIDE
+      (operators/incremental_local.py, bit-exact hash/kernel mirrors),
+      leaving only 3-4 bounded index/neighborhood lookups as Spark
+      jobs. This cuts the ~8 driver-synchronous jobs of scheduling
+      latency that dominated the micro-batch fixed cost.
+    - otherwise: the distributed path below, unchanged.
+
+    ``driver_cap``: max distinct batch surface forms for the driver
+    path (None → DRIVER_RESOLVE_NAMES_CAP; 0 forces the distributed
+    path). Byte-equality of the two paths is pinned by
+    tests/test_incremental_local.py.
 
     Returns a dict:
       uuid_map   — restricted mapping rows (every batch name + the
@@ -144,6 +163,166 @@ def incremental_resolve(io, mentions_raw: DataFrame) -> dict:
                    band rows must be appended to the index;
       metrics    — evidence counters for the O(batch) claim.
     """
+    from .incremental_local import DRIVER_RESOLVE_NAMES_CAP, FallbackToSpark
+
+    cap = DRIVER_RESOLVE_NAMES_CAP if driver_cap is None else driver_cap
+    if cap > 0:
+        batch_rows = (
+            mentions_raw.select("group_id", "name")
+            .dropDuplicates()
+            .limit(cap + 1)
+            .collect()
+        )
+        if len(batch_rows) <= cap:
+            try:
+                return _incremental_resolve_local(
+                    io, mentions_raw.sparkSession, batch_rows
+                )
+            except FallbackToSpark:
+                pass
+    return _incremental_resolve_spark(io, mentions_raw)
+
+
+def _incremental_resolve_local(io, spark, batch_rows: list) -> dict:
+    """Driver-side strategy: see ``incremental_resolve``. ``batch_rows``
+    are the collected distinct (group_id, name) batch surface forms."""
+    from . import incremental_local as L
+    from .resolve import COS_THRESHOLD, JW_THRESHOLD
+
+    memo = L._MinhashMemo()
+    batch_entities = L.local_distinct_entities(
+        [(r.group_id, r.name) for r in batch_rows]
+    )
+    batch_bands = [
+        (g, uuid, band, key, kp)
+        for g, uuid, name in batch_entities
+        for band, key, kp in L.band_rows_py(name, memo)
+    ]
+
+    # --- band-index lookup (Spark job 1): same kpart pruning + key
+    # InSet pushdown as the distributed path, with the batch side as a
+    # broadcast local relation instead of a recomputed column plan
+    kparts = sorted({kp for *_r, kp in batch_bands})
+    keys = sorted({key for _g, _u, _b, key, _kp in batch_bands})
+    stored_bands = io.read("entity_bands").where(F.col("kpart").isin(kparts))
+    if len(keys) <= KEY_PUSHDOWN_CAP:
+        stored_bands = stored_bands.where(F.col("key").isin(keys))
+    bk = spark.createDataFrame(
+        sorted({(g, b, k) for g, _u, b, k, _kp in batch_bands}),
+        "group_id string, band int, key bigint",
+    )
+    collided_rows = (
+        stored_bands.join(F.broadcast(bk), ["group_id", "band", "key"], "left_semi")
+        .select("uuid")
+        .dropDuplicates()
+        .limit(L.DRIVER_NEIGHBORHOOD_CAP + 1)
+        .collect()
+    )
+    if len(collided_rows) > L.DRIVER_NEIGHBORHOOD_CAP:
+        raise L.FallbackToSpark("collided set over cap")
+    collided = sorted({r.uuid for r in collided_rows})
+
+    # --- neighborhood pull (Spark jobs 2-3): collided rows' canonical
+    # seeds (upart-pruned), then the seeds' FULL stored components
+    neighborhood_rows: list = []
+    if collided:
+        stored_map = io.read("uuid_map")
+        uparts = sorted({L.upart_py(u) for u in collided})
+        cdf = F.broadcast(
+            spark.createDataFrame([(u,) for u in collided], "uuid string")
+        )
+        seeds = sorted(
+            {
+                r.canonical_uuid
+                for r in stored_map.where(F.col("upart").isin(uparts))
+                .join(cdf, "uuid", "left_semi")
+                .select("canonical_uuid")
+                .dropDuplicates()
+                .collect()
+            }
+        )
+        if seeds:
+            sdf = F.broadcast(
+                spark.createDataFrame(
+                    [(s,) for s in seeds], "canonical_uuid string"
+                )
+            )
+            neighborhood_rows = (
+                stored_map.join(sdf, "canonical_uuid", "left_semi")
+                .select(
+                    "group_id", "uuid", "name", "canonical_uuid", "canonical_name"
+                )
+                .limit(L.DRIVER_NEIGHBORHOOD_CAP + 1)
+                .collect()
+            )
+            if len(neighborhood_rows) > L.DRIVER_NEIGHBORHOOD_CAP:
+                raise L.FallbackToSpark("neighborhood over cap")
+
+    # --- restricted resolve, entirely driver-side
+    vertices = L.local_distinct_entities(
+        [(r.group_id, r.name) for r in batch_rows]
+        + [(r.group_id, r.name) for r in neighborhood_rows]
+    )
+    pairs = L.local_duplicate_pairs(vertices, memo, JW_THRESHOLD, COS_THRESHOLD)
+    seed_pairs = {
+        (min(r.uuid, r.canonical_uuid), max(r.uuid, r.canonical_uuid))
+        for r in neighborhood_rows
+        if r.uuid != r.canonical_uuid
+    }
+    all_pairs = sorted({(a, b) for _g, a, b in pairs} | seed_pairs)
+    comp = L.local_components([u for _g, u, _n in vertices], all_pairs)
+    new_map = L.local_build_uuid_map(vertices, comp)
+
+    # --- deltas vs the stored state (same predicates as the
+    # distributed path)
+    stored_by_uuid = {
+        r.uuid: (r.canonical_uuid, r.canonical_name) for r in neighborhood_rows
+    }
+    changed = [
+        (uuid, cu, cn)
+        for _g, uuid, _name, cu, cn in new_map
+        if uuid != cu and stored_by_uuid.get(uuid) != (cu, cn)
+    ]
+    stored_canon = {r.canonical_uuid for r in neighborhood_rows}
+    new_canon = {cu for _g, _u, _n, cu, _cn in new_map}
+    dead = sorted(stored_canon - new_canon)
+    collided_set = set(collided)
+    # (uuid, group_id, name) — the distributed path's anti-join on
+    # "uuid" surfaces the key first; keep the same column order
+    new_entities = [
+        (u, g, n) for g, u, n in batch_entities if u not in collided_set
+    ]
+
+    map_schema = (
+        "group_id string, uuid string, name string, "
+        "canonical_uuid string, canonical_name string"
+    )
+    ent_schema = "group_id string, uuid string, name string"
+    return {
+        "uuid_map": spark.createDataFrame(new_map, map_schema),
+        "entities": spark.createDataFrame(
+            [(g, u, n) for g, u, n in vertices], ent_schema
+        ),
+        "changed": spark.createDataFrame(
+            changed, "_old string, _new string, _new_name string"
+        ),
+        "dead_canonicals": spark.createDataFrame(
+            [(d,) for d in dead], "uuid string"
+        ),
+        "new_entities": spark.createDataFrame(
+            new_entities, "uuid string, group_id string, name string"
+        ),
+        "metrics": {
+            "n_batch_entities": len(batch_entities),
+            "n_collided": len(collided),
+            "n_neighborhood": len(neighborhood_rows),
+            "n_vertices_resolved": len(vertices),
+        },
+    }
+
+
+def _incremental_resolve_spark(io, mentions_raw: DataFrame) -> dict:
+    """Distributed strategy: see ``incremental_resolve``."""
     batch_entities = distinct_entities(
         mentions_raw.select("group_id", "name")
     ).localCheckpoint(eager=True)
