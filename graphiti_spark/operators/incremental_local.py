@@ -181,16 +181,25 @@ def local_duplicate_pairs(
     import pandas as pd
 
     names = [v[2] for v in vertices]
-    embs = _embed_batch(pd.Series(names), EMBED_DIM)
-    out = []
-    for a, b in cand:
-        na, nb = names[a], names[b]
-        if jaro_winkler(na.lower(), nb.lower()) < jw_threshold:
-            continue
-        if _dot_fold(embs[a], embs[b]) < cos_threshold:
-            continue
-        out.append((vertices[a][0], vertices[a][1], vertices[b][1]))
-    return out
+    # cheap JW gate first; embed ONLY the pair members that survive it
+    # (the same don't-carry-vectors-you-don't-need rule as the
+    # distributed hyperplane paths)
+    jw_pass = [
+        (a, b)
+        for a, b in cand
+        if jaro_winkler(names[a].lower(), names[b].lower()) >= jw_threshold
+    ]
+    if not jw_pass:
+        return []
+    need = sorted({i for ab in jw_pass for i in ab})
+    embs = dict(
+        zip(need, _embed_batch(pd.Series([names[i] for i in need]), EMBED_DIM))
+    )
+    return [
+        (vertices[a][0], vertices[a][1], vertices[b][1])
+        for a, b in jw_pass
+        if _dot_fold(embs[a], embs[b]) >= cos_threshold
+    ]
 
 
 def local_components(
