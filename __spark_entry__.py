@@ -546,13 +546,20 @@ def _q_communities(spark, sf_dir):
 
 
 def _q_ann_lsh(spark, sf_dir):
+    """LSH ANN with md5-derived ±1 planes (docops.md5_planes): the
+    plane generation is reproducible in plain SQL, so the whole
+    approximate path — bucketing, candidate join, exact verify — gets
+    a full DuckDB value oracle (oracle_ops.q_ann_lsh) instead of the
+    rows-only check it carried through round 3."""
     from graphiti_spark.operators.docops import lsh_bucketed_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return lsh_bucketed_topk(emb, queries_df, k=10)
+    return lsh_bucketed_topk(
+        emb, queries_df, k=10, n_planes=8, n_tables=4, plane_fn="md5"
+    )
 
 
 def _q_ann_ivf(spark, sf_dir):
@@ -748,7 +755,11 @@ def oracle_sql() -> dict[str, str]:
         # every bucket probed ⇒ IVF output ≡ exact cosine top-k, so the
         # exhaustive variant shares the brute-force oracle
         "ann_ivf_exhaustive": oo.q_cosine_topk(),
-        # ann_lsh / ann_ivf: intentionally no oracle (seeded-numpy
-        # hyperplane / k-means quantizer UDFs not SQL-expressible) →
-        # driver rows-only + recall pytests
+        # md5-derived planes make the full approximate LSH path
+        # SQL-reproducible end to end (round-4; was rows-only)
+        "ann_lsh": oo.q_ann_lsh(k=10, n_planes=8, n_tables=4),
+        # ann_ivf: intentionally no oracle (the seeded driver-side
+        # k-means quantizer is iterative, not SQL-expressible) →
+        # driver rows-only + recall pytest; its exhaustive sibling
+        # above carries the full machinery oracle
     }

@@ -460,6 +460,30 @@ def _hyperplane_tables(vc: Column, planes) -> Column:
     return pandas_udf(fn, "array<struct<t:int,bucket:int>>")(vc)
 
 
+def md5_planes(seed: int, n_tables: int, n_planes: int, dim: int):
+    """±1 (Rademacher) hyperplanes derived from md5(f"{seed}-{t}-{j}-{d}")
+    — bit-for-bit reproducible in ANY engine with an md5 function,
+    which is what makes the LSH ANN driver query independently
+    verifiable: the DuckDB oracle (oracle_ops.q_ann_lsh) regenerates
+    the identical planes in SQL and replays bucketing + candidate join
+    + exact scoring end to end. Sign-projection LSH needs only a
+    zero-mean sign-symmetric entry distribution, so Rademacher planes
+    follow the same collision-probability curve as Gaussian ones; the
+    plane matrix still rides the pandas-UDF closure (one matmul per
+    Arrow batch), nothing in the execution shape changes."""
+    import hashlib
+
+    import numpy as np
+
+    P = np.empty((n_tables, n_planes, dim), dtype=np.float64)
+    for t in range(n_tables):
+        for j in range(n_planes):
+            for d in range(dim):
+                h = hashlib.md5(f"{seed}-{t}-{j}-{d}".encode()).hexdigest()
+                P[t, j, d] = 1.0 if h[0] <= "7" else -1.0
+    return P
+
+
 def lsh_bucketed_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -468,6 +492,7 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_tables: int = 1,
+    plane_fn: str = "gaussian",
 ) -> DataFrame:
     """Approximate ANN: random-hyperplane LSH bucket join, then exact
     scoring inside the bucket. Planes derive from a fixed seed —
@@ -476,15 +501,21 @@ def lsh_bucketed_topk(
 
     ``n_tables`` > 1 enables OR-amplification (a candidate collides in
     ANY table): recall 1-(1-p^b)^T instead of p^b — the knob that keeps
-    recall up when the corpus grows 100× and buckets narrow. The
-    default 1 preserves the single-table behavior (and the driver
-    query's recorded output)."""
+    recall up when the corpus grows 100× and buckets narrow.
+
+    ``plane_fn="md5"`` swaps the seeded-Gaussian planes for
+    md5-derived ±1 planes (``md5_planes``): identical LSH semantics,
+    but every stage — plane generation included — is reproducible in
+    plain SQL, so the whole approximate path gets a full DuckDB value
+    oracle instead of a rows-only check."""
     import numpy as np
 
-    rng = np.random.RandomState(42)
     dim_row = embeddings.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
     dim = dim_row[0]["d"] if dim_row else 0
-    planes = rng.randn(n_tables, n_planes, dim)
+    if plane_fn == "md5":
+        planes = md5_planes(42, n_tables, n_planes, dim)
+    else:
+        planes = np.random.RandomState(42).randn(n_tables, n_planes, dim)
 
     # The corpus-side explode carries ONLY (id, t, bucket) — at
     # production dims × n_tables, carrying the vector through the

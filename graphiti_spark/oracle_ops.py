@@ -333,6 +333,62 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_ann_lsh(k: int = 10, n_planes: int = 12, n_tables: int = 1,
+              dim: int = 64, seed: int = 42) -> str:
+    """Full-value oracle for the LSH-bucketed ANN path (plane_fn="md5"):
+    regenerates the engine's ±1 hyperplanes from md5(f"{seed}-{t}-{j}-{d}")
+    (docops.md5_planes — a hex digit ≤ '7' means +1), replays the
+    per-table sign-bit bucketing, the bucket-collision candidate join,
+    and the exact cosine verify with the same round-6 / (score DESC,
+    id) ranking as the engine. This closes the round-3 gap where the
+    approximate ANN path was the one driver row without independent
+    verification: approximate ≠ unverifiable once the randomness is a
+    cross-engine-reproducible function."""
+    return f"""
+WITH pl AS (
+  SELECT t, j,
+         list(CASE WHEN substr(md5(concat('{seed}-', t, '-', j, '-', d)), 1, 1)
+                   <= '7' THEN 1.0 ELSE -1.0 END ORDER BY d) AS plane
+  FROM range({n_tables}) AS rt(t), range({n_planes}) AS rj(j),
+       range({dim}) AS rd(d)
+  GROUP BY t, j
+),
+emb AS (
+  -- cast to double BEFORE the dot product (same rationale as
+  -- q_cosine_topk: the engine computes in float64)
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+eb AS (
+  SELECT e.vec_id, p.t,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, p.plane) >= 0
+                       THEN (CAST(1 AS BIGINT) << p.j) ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM emb e CROSS JOIN pl p GROUP BY 1, 2
+),
+qb AS (SELECT vec_id AS query_id, t, bucket FROM eb WHERE vec_id < 4),
+cand AS (
+  SELECT DISTINCT q.query_id, e.vec_id AS id
+  FROM eb e JOIN qb q ON e.t = q.t AND e.bucket = q.bucket
+),
+scored AS (
+  SELECT c.query_id, c.id,
+    round(list_dot_product(e.v, q.v)
+      / (sqrt(list_dot_product(e.v, e.v))
+         * sqrt(list_dot_product(q.v, q.v))), 6) AS score
+  FROM cand c
+  JOIN emb e ON e.vec_id = c.id
+  JOIN emb q ON q.vec_id = c.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id)
+    AS rank
+  FROM scored
+)
+SELECT query_id, id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_rrf_docs() -> str:
     """RRF of two deterministic lanes over documents: lane1 = n_chars
     desc, lane2 = (doc_id*37) % 101 asc; top-20 each; fused score."""

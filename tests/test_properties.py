@@ -253,6 +253,43 @@ def test_lsh_topk_or_amplification_improves_recall(spark):
     assert h1 < 12   # the single table genuinely misses some
 
 
+def test_lsh_md5_planes_recall_and_reproducibility(spark):
+    """The md5-derived ±1 planes (plane_fn="md5" — the SQL-replayable
+    variant the ann_lsh driver oracle verifies) keep the same recall
+    property as the Gaussian planes: OR-amplified tables find planted
+    high-cosine neighbors. Also pins plane determinism: md5_planes is a
+    pure function of (seed, t, j, d) with a balanced sign distribution."""
+    import numpy as np
+
+    from graphiti_spark.operators.docops import lsh_bucketed_topk, md5_planes
+
+    P = md5_planes(42, 4, 8, 32)
+    assert P.shape == (4, 8, 32)
+    assert set(np.unique(P)) == {-1.0, 1.0}
+    assert np.array_equal(P, md5_planes(42, 4, 8, 32))
+    # md5 nibbles are uniform: the sign balance is near 50/50
+    assert 0.4 < (P > 0).mean() < 0.6
+
+    rng = np.random.RandomState(11)
+    base = [(i, rng.randn(32)) for i in range(60)]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in base],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [
+            (f"q{i}", [float(x) for x in v + 0.12 * rng.randn(32)])
+            for i, v in base[:12]
+        ],
+        "query_id string, query_vec array<float>",
+    )
+    got = lsh_bucketed_topk(
+        emb, queries, k=3, n_planes=8, n_tables=4, plane_fn="md5"
+    ).collect()
+    hits = sum(1 for r in got if r.query_id == f"q{r.id}" and r.rank == 1)
+    assert hits >= 10  # ≥ 10/12 planted neighbors found at rank 1
+
+
 def test_ivf_topk_probes_find_planted_neighbors(spark):
     """IVF ANN: a query probing its n_probe nearest centroid buckets
     finds its true near neighbor (a noisy copy lands in the same or an
