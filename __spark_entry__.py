@@ -261,6 +261,17 @@ def _q_dedup_keep_list(spark, sf_dir):
     return dedup_keep_list(_perturbed_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram-Jaccard similarity join (prefix filtering — recall
+    is exact by the PPJoin prefix lemma, vs near_duplicates' MinHash
+    blocking). Same perturbed corpus and brute-force all-pairs oracle
+    as near_duplicates: two independent blocking strategies, one
+    ground truth."""
+    from graphiti_spark.operators.docops import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_perturbed_docs(spark, sf_dir), threshold=0.5)
+
+
 def _q_simhash(spark, sf_dir):
     from graphiti_spark.operators.docops import simhash
 
@@ -563,17 +574,24 @@ def _q_ann_lsh(spark, sf_dir):
 
 
 def _q_ann_ivf(spark, sf_dir):
-    """IVF ANN, the approximate setting (n_probe < n_centroids):
-    rows-only driver check (the seeded driver-side k-means quantizer is
-    not SQL-expressible); recall ≥ 0.9 is pinned by
-    tests/test_properties.py."""
-    from graphiti_spark.operators.docops import ivf_topk
+    """IVF ANN, the approximate setting (n_probe < n_centroids), with
+    the md5-sample quantizer (docops.md5_sample_centroids): centroid
+    selection is reproducible in plain SQL, so the whole approximate
+    path — assignment, probe selection, bucket-join candidates, exact
+    verify — gets a full DuckDB value oracle (oracle_ops.q_ann_ivf)
+    instead of the rows-only check it carried through round 3. The
+    k-means quantizer stays the library default; its recall ≥ 0.9 is
+    pinned by tests/test_properties.py."""
+    from graphiti_spark.operators.docops import ivf_topk, md5_sample_centroids
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries_df = emb.where(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return ivf_topk(emb, queries_df, k=10, n_centroids=16, n_probe=4)
+    cents = md5_sample_centroids(emb, n_centroids=16)
+    return ivf_topk(
+        emb, queries_df, k=10, n_centroids=16, n_probe=4, centroids=cents
+    ).withColumn("rank", F.col("rank").cast("int"))
 
 
 def _q_ann_ivf_exhaustive(spark, sf_dir):
@@ -663,6 +681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # dedup
         "exact_duplicates": _q_exact_duplicates,
         "near_duplicates": _q_near_duplicates,
+        "ngram_jaccard": _q_ngram_jaccard,
         "dedup_keep_list": _q_dedup_keep_list,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
@@ -727,6 +746,10 @@ def oracle_sql() -> dict[str, str]:
         "funnel": oo.q_funnel(),
         "exact_duplicates": oo.q_exact_duplicates(),
         "near_duplicates": oo.q_near_duplicates(),
+        # prefix filtering is EXACT, so the output contract equals the
+        # brute-force all-pairs ground truth — the same oracle verifies
+        # a completely different blocking strategy
+        "ngram_jaccard": oo.q_near_duplicates(),
         "dedup_keep_list": oo.q_dedup_keep_list(),
         "simhash": oo.q_simhash(),
         "fingerprint": oo.q_fingerprint(),
@@ -758,8 +781,8 @@ def oracle_sql() -> dict[str, str]:
         # md5-derived planes make the full approximate LSH path
         # SQL-reproducible end to end (round-4; was rows-only)
         "ann_lsh": oo.q_ann_lsh(k=10, n_planes=8, n_tables=4),
-        # ann_ivf: intentionally no oracle (the seeded driver-side
-        # k-means quantizer is iterative, not SQL-expressible) →
-        # driver rows-only + recall pytest; its exhaustive sibling
-        # above carries the full machinery oracle
+        # md5-sample quantizer does the same for the approximate IVF
+        # path (round-4; was rows-only) — the k-means quantizer stays
+        # the library default, pinned by the recall pytest
+        "ann_ivf": oo.q_ann_ivf(k=10, n_centroids=16, n_probe=4),
     }

@@ -296,6 +296,66 @@ def near_duplicates(
     return out
 
 
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """EXACT n-gram Jaccard similarity join via prefix filtering (the
+    PPJoin-family lemma): under any global total order on grams, two
+    sets with J ≥ t must share a gram within each one's first
+    ``|sh| - ceil(t·|sh|) + 1`` grams, so each document joins ONLY on
+    that prefix — recall is exact by construction, unlike MinHash
+    blocking (:func:`near_duplicates`, probabilistic recall). Returns
+    the same (id_a, id_b, jaccard) contract.
+
+    Scale shape: the global order is (document frequency ASC, gram) —
+    prefixes are each doc's RAREST grams, so boilerplate grams (the
+    hot keys of any naive inverted-index join) are never join keys
+    unless a document is almost entirely boilerplate; candidate
+    generation is a low-df equi-join, never doc×doc, and the verify
+    stage re-joins full shingle arrays by id for candidates only
+    (vectors/payloads stay out of the exploded join, same rule as the
+    hyperplane paths). The df table is one map-side-combinable
+    aggregation over exploded distinct grams."""
+    sh = documents.select(
+        F.col("doc_id").cast("string").alias("id"),
+        word_shingles(F.col("text"), shingle_words).alias("sh"),
+    )
+    grams = sh.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("gram")
+    )
+    df_tab = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "gram")
+    # prefix sized at t−1e-6, not t: the verify accepts round(j,6) ≥ t,
+    # so a pair at j = t−ε must still be generated (≤1 extra gram/doc)
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold - 1e-6) * F.col("sz")) + 1
+    pref = (
+        grams.join(df_tab, "gram")
+        .withColumn("pos", F.row_number().over(w))
+        .where(F.col("pos") <= prefix_len)
+        .select("gram", "id")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "gram")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates()
+    )
+    return (
+        cand.join(
+            sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b"
+        )
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def dedup_keep_list(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
     """Near-dup clustering → keep decision: connected components over
     the near-duplicate pair graph (same D5 machinery as entity
@@ -632,6 +692,34 @@ def embedding_near_duplicates(
         )
     )
     return scored.where(F.col("score") >= threshold)
+
+
+def md5_sample_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic SAMPLE quantizer for IVF: the ``n_centroids``
+    corpus vectors with the smallest ``md5(id)`` become the centroids,
+    indexed in hash order. A uniform sample is a legitimate coarse
+    quantizer (k-means merely rebalances it), and md5 of the decimal id
+    string is reproducible in any engine — the same move
+    :func:`md5_planes` makes for hyperplane LSH — so the approximate
+    IVF path becomes fully value-oracled in DuckDB
+    (``oracle_ops.q_ann_ivf``). ``train_ivf_centroids`` below stays the
+    default library quantizer (better bucket balance); this one exists
+    for cross-engine verification and as the zero-training fallback.
+    Bounded driver pull: TakeOrdered of n_centroids rows, no full sort."""
+    rows = (
+        embeddings.select(
+            F.col(id_col).cast("string").alias("sid"), F.col(vec_col).alias("v")
+        )
+        .orderBy(F.md5(F.col("sid")), "sid")
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r["v"]] for r in rows]
 
 
 def train_ivf_centroids(

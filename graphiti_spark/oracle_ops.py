@@ -389,6 +389,64 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def q_ann_ivf(k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+              dim: int = 64) -> str:
+    """Full-value oracle for the APPROXIMATE IVF path (the md5-sample
+    quantizer, docops.md5_sample_centroids): centroids = the
+    n_centroids corpus vectors with the smallest md5(decimal id),
+    indexed in hash order; corpus rows bucket to their nearest centroid
+    (squared-L2 elementwise fold, ties by centroid index — the same
+    left-to-right double arithmetic as the engine's zip_with/aggregate);
+    each query probes its n_probe nearest centroids; candidates are
+    cosine-scored exactly with the engine's round-6 / (score DESC, id)
+    ranking. Together with q_ann_lsh this makes BOTH approximate ANN
+    paths independently verifiable — approximate ≠ unverifiable once
+    the randomness is a cross-engine-reproducible function."""
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT row_number() OVER (
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)
+         ) - 1 AS centroid, v AS cv
+  FROM emb
+  QUALIFY centroid < {n_centroids}
+),
+dists AS (
+  SELECT e.vec_id, c.centroid,
+         list_sum(list_transform(generate_series(1, {dim}),
+           d -> (e.v[d] - c.cv[d]) * (e.v[d] - c.cv[d]))) AS dist
+  FROM emb e CROSS JOIN cent c
+),
+eb AS (
+  SELECT vec_id, centroid AS bucket FROM dists
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid) <= 1
+),
+qb AS (
+  SELECT vec_id AS query_id, centroid AS bucket FROM dists WHERE vec_id < 4
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, centroid)
+    <= {n_probe}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id AS id,
+    round(list_dot_product(ev.v, qv.v)
+      / (sqrt(list_dot_product(ev.v, ev.v))
+         * sqrt(list_dot_product(qv.v, qv.v))), 6) AS score
+  FROM eb e JOIN qb q ON e.bucket = q.bucket
+  JOIN emb ev ON ev.vec_id = e.vec_id
+  JOIN emb qv ON qv.vec_id = q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id)
+    AS rank
+  FROM scored
+)
+SELECT query_id, id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def q_rrf_docs() -> str:
     """RRF of two deterministic lanes over documents: lane1 = n_chars
     desc, lane2 = (doc_id*37) % 101 asc; top-20 each; fused score."""

@@ -165,3 +165,54 @@ def test_mixture_sample_epoch_semantics(spark):
     # determinism across physical layout
     again = sorted(map(tuple, mixture_sample(docs.repartition(9), {"en": 2.5}).collect()))
     assert again == sorted(map(tuple, out))
+
+
+def test_ngram_jaccard_prefix_filter_is_exact(spark):
+    """The prefix-filtering lemma makes ngram_jaccard_pairs EXACT: on a
+    random-ish corpus its output must equal brute-force all-pairs
+    verification (same shingles, same round-6 threshold) — the property
+    that distinguishes it from MinHash blocking, whose recall is only
+    probabilistic."""
+    import random
+
+    from graphiti_spark.operators.docops import (
+        jaccard,
+        ngram_jaccard_pairs,
+        word_shingles,
+    )
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    base = [" ".join(rng.choice(vocab) for _ in range(20)) for _ in range(40)]
+    rows = [(i, t) for i, t in enumerate(base)]
+    # append mutated twins at several edit distances so pairs straddle
+    # the threshold from both sides
+    for i, t in enumerate(base[:20]):
+        words = t.split()
+        for _ in range(i % 4):
+            words[rng.randrange(len(words))] = rng.choice(vocab)
+        rows.append((1000 + i, " ".join(words)))
+    docs = _docs(spark, rows)
+
+    got = {
+        (r.id_a, r.id_b, r.jaccard)
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+
+    sh = docs.select(
+        F.col("doc_id").cast("string").alias("id"),
+        word_shingles(F.col("text"), 3).alias("sh"),
+    )
+    brute = (
+        sh.alias("a")
+        .join(sh.alias("b"), F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+    )
+    want = {(r.id_a, r.id_b, r.jaccard) for r in brute.collect()}
+    assert want, "fixture must produce at least one qualifying pair"
+    assert got == want
