@@ -332,6 +332,40 @@ def _q_bm25_many(spark, sf_dir):
     return scored.select("query_id", "id", F.round("score", 6).alias("score"))
 
 
+def _q_relevant_nodes(spark, sf_dir):
+    """J2 FULL parity: the reference's hybrid candidate generation
+    (get_relevant_nodes, search_utils.py:686-746) — per query node,
+    vector-cosine top-k above min_score UNION BM25 fulltext top-k,
+    group-scoped (lang as the group), vector lane winning dedup ties.
+    Corpus = documents ⋈ embeddings (doc_id = vec_id); queries = the
+    first 4 docs with short literal fulltext strings (the reference
+    feeds the node NAME as the fulltext query)."""
+    from graphiti_spark.operators.resolve import get_relevant_nodes
+    from graphiti_spark.oracle_ops import RELEVANT_NODE_QUERIES
+
+    docs = _docs(spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        F.col("doc_id").cast("string").alias("uuid"),
+        F.col("lang").alias("group_id"),
+        F.col("text").alias("name"),
+        F.col("embedding").alias("name_embedding"),
+    )
+    qtext = spark.createDataFrame(
+        RELEVANT_NODE_QUERIES, "query_id string, query_text string"
+    )
+    queries = (
+        corpus.where(F.col("uuid").isin([q for q, _ in RELEVANT_NODE_QUERIES]))
+        .select(
+            F.col("uuid").alias("query_id"),
+            "group_id",
+            F.col("name_embedding").alias("query_vec"),
+        )
+        .join(qtext, "query_id")
+    )
+    return get_relevant_nodes(corpus, queries, min_score=0.25, limit=10)
+
+
 def _q_cosine_topk(spark, sf_dir):
     from graphiti_spark.operators.docops import brute_force_topk
 
@@ -689,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # search / similarity
         "bm25_docs": _q_bm25_docs,
         "bm25_many": _q_bm25_many,
+        "relevant_nodes": _q_relevant_nodes,
         "cosine_topk": _q_cosine_topk,
         "rrf_docs": _q_rrf_docs,
         "bfs_globex": _q_bfs_globex,
@@ -756,6 +791,8 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": oo.q_embedding_near_dup(),
         "bm25_docs": oo.q_bm25_docs(),
         "bm25_many": oo.q_bm25_many(),
+        # J2 hybrid candidate gen: vector + fulltext lanes, full value oracle
+        "relevant_nodes": oo.q_relevant_nodes(min_score=0.25, limit=10),
         "cosine_topk": oo.q_cosine_topk(),
         "rrf_docs": oo.q_rrf_docs(),
         "bfs_globex": oo.q_bfs_globex(),

@@ -402,3 +402,101 @@ def merge_near_duplicate_facts(
         return pd.DataFrame(rows)
 
     return e.groupBy("group_id", "__pair").applyInPandas(fn, schema=out_schema)
+
+
+def get_relevant_nodes(
+    corpus: DataFrame,
+    queries: DataFrame,
+    min_score: float = 0.6,
+    limit: int = 10,
+    id_col: str = "uuid",
+    text_col: str = "name",
+    emb_col: str = "name_embedding",
+    group_col: str = "group_id",
+    postings: DataFrame | None = None,
+) -> DataFrame:
+    """J2 FULL parity: the reference's hybrid candidate generation for
+    entity resolution (``get_relevant_nodes``, search_utils.py:686-746)
+    — per query node, the union of
+
+    - **vector lane**: cosine over ``emb_col`` strictly above
+      ``min_score`` (search_utils.py:58, DEFAULT_MIN_SCORE 0.6), top
+      ``limit`` per query (RELEVANT_SCHEMA_LIMIT 10), ordered
+      (score DESC, id);
+    - **fulltext lane**: BM25 over ``text_col``, top ``limit`` per
+      query. Faithful to the reference, the fulltext index is
+      corpus-wide and the group filter applies AFTER scoring
+      (search_utils.py:718-721 queries the global Lucene index, then
+      ``WHERE m.group_id = $group_id``) — so idf/avgdl are corpus
+      stats, not group stats.
+
+    A candidate in both lanes surfaces once with lane='vector' (the
+    reference keeps vector hits and appends only unseen fulltext hits,
+    search_utils.py:724-728). Both lanes are scoped to the query's
+    group. Returns (query_id, id, lane, score), score rounded to 6.
+
+    ``queries``: a micro-batch DataFrame with (query_id, query_text,
+    query_vec, <group_col>) — the reference's input is literally a
+    driver-side ``list[EntityNode]`` (the batch being resolved), so the
+    one bounded collect of (query_id, query_text, group) for the BM25
+    term relation mirrors the input contract, not a scale compromise.
+
+    Scale shape: ONE corpus scan per lane. The vector lane broadcasts
+    the query batch and computes the dot JVM-side (zip_with/aggregate,
+    no Python); the fulltext lane is bm25_score_many's single postings
+    aggregation — pass a persisted SearchIndex ``postings`` frame and
+    the scan prunes to the query terms' partitions.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.similarity import cosine
+    from .search import bm25_score_many, build_postings
+
+    spark = corpus.sparkSession
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("id")
+    )
+
+    q = queries.select(
+        F.col("query_id").cast("string").alias("query_id"),
+        F.col(group_col).alias("_qg"),
+        F.col("query_vec"),
+    )
+    vec = (
+        corpus.join(F.broadcast(q), F.col(group_col) == F.col("_qg"))
+        .withColumn(
+            "score", F.round(cosine(F.col(emb_col), F.col("query_vec")), 6)
+        )
+        .where(F.col("score") > min_score)
+        .select("query_id", F.col(id_col).cast("string").alias("id"), "score")
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= limit)
+        .select("query_id", "id", F.lit("vector").alias("lane"), "score")
+    )
+
+    qrows = queries.select("query_id", "query_text", group_col).collect()
+    if postings is None:
+        postings = build_postings(corpus, id_col, text_col)
+    scored = bm25_score_many(
+        postings, [(str(r["query_id"]), r["query_text"]) for r in qrows]
+    )
+    qg = spark.createDataFrame(
+        [(str(r["query_id"]), r[group_col]) for r in qrows],
+        f"query_id string, _qg string",
+    )
+    cg = corpus.select(
+        F.col(id_col).cast("string").alias("id"), F.col(group_col).alias("_cg")
+    )
+    ft = (
+        scored.join(F.broadcast(qg), "query_id")
+        .join(cg, "id")
+        .where(F.col("_cg") == F.col("_qg"))
+        .select("query_id", "id", F.round("score", 6).alias("score"))
+        .withColumn("rank", F.row_number().over(rank_w))
+        .where(F.col("rank") <= limit)
+        .select("query_id", "id", F.lit("fulltext").alias("lane"), "score")
+    )
+    ft_only = ft.join(
+        vec.select("query_id", "id"), ["query_id", "id"], "left_anti"
+    )
+    return vec.unionByName(ft_only)

@@ -1085,3 +1085,106 @@ def q_funnel(steps: tuple = ("view", "click", "signup", "purchase")) -> str:
         for i, s in enumerate(steps)
     )
     return f"WITH {', '.join(ctes)} {selects}"
+
+
+# Query-node batch for the J2 hybrid candidate-gen driver query: the
+# query VECTOR is the document's own embedding (vec_id = query_id); the
+# fulltext query string is a short literal, like the reference's node
+# NAME (get_relevant_nodes feeds node.fulltext_query, a name string —
+# search_utils.py:718).
+RELEVANT_NODE_QUERIES = [
+    ("0", "spark join merge window"),
+    ("1", "batch data column order"),
+    ("2", "filter value table scan"),
+    ("3", "big join batch merge"),
+]
+
+
+def q_relevant_nodes(min_score: float = 0.25, limit: int = 10,
+                     k1: float = 1.2, b: float = 0.75) -> str:
+    """Full-value oracle for the J2 hybrid candidate generator
+    (resolve.get_relevant_nodes): per query, vector-lane cosine
+    top-limit strictly above min_score UNION fulltext-lane BM25
+    top-limit, both scoped to the query's group (lang), with BM25
+    idf/avgdl CORPUS-wide and the group filter applied after scoring —
+    the reference's semantics (global Lucene index, then
+    ``WHERE m.group_id = $group_id``). A candidate in both lanes
+    surfaces once, as lane='vector'."""
+    import re
+
+    vals = []
+    for qid, text in RELEVANT_NODE_QUERIES:
+        seen = []
+        for t in re.split(r"[^a-z0-9]+", text.lower()):
+            if t and t not in seen:
+                seen.append(t)
+        vals.extend(f"('{qid}', '{t}')" for t in seen)
+    values = ", ".join(vals)
+    qids = ", ".join(f"('{qid}')" for qid, _ in RELEVANT_NODE_QUERIES)
+    return f"""
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+corpus AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS id, d.lang, e.v
+  FROM documents d JOIN emb e ON e.vec_id = d.doc_id
+),
+qmeta(query_id) AS (VALUES {qids}),
+q AS (
+  SELECT m.query_id, c.lang AS qlang, c.v AS qv
+  FROM qmeta m JOIN corpus c ON c.id = m.query_id
+),
+vecscored AS (
+  SELECT q.query_id, c.id,
+    round(list_dot_product(c.v, q.qv)
+      / (sqrt(list_dot_product(c.v, c.v))
+         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+  FROM corpus c JOIN q ON c.lang = q.qlang
+),
+vec AS (
+  SELECT query_id, id, 'vector' AS lane, score FROM vecscored
+  WHERE score > {min_score}
+  QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id)
+    <= {limit}
+),
+toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS id, UNNEST({_toks('text')}) AS term
+  FROM documents
+),
+dl AS (SELECT id, COUNT(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+qterms(query_id, term) AS (VALUES {values}),
+matched AS (
+  SELECT tf.id, tf.term, tf.tf, dl.dl FROM tf JOIN dl USING (id)
+  WHERE tf.term IN (SELECT DISTINCT term FROM qterms)
+),
+dfreq AS (SELECT term, COUNT(DISTINCT id) AS df FROM matched GROUP BY 1),
+w AS (
+  SELECT m.id, m.term,
+    ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+      * (m.tf * ({k1} + 1))
+      / (m.tf + {k1} * (1 - {b} + {b} * m.dl / s.avgdl)) AS w
+  FROM matched m JOIN dfreq d USING (term) CROSS JOIN stats s
+),
+ftscored AS (
+  SELECT qt.query_id, w.id, round(SUM(w.w), 6) AS score
+  FROM w JOIN qterms qt USING (term)
+  GROUP BY 1, 2
+),
+ft AS (
+  SELECT f.query_id, f.id, 'fulltext' AS lane, f.score
+  FROM ftscored f
+  JOIN q ON q.query_id = f.query_id
+  JOIN corpus c ON c.id = f.id
+  WHERE c.lang = q.qlang
+  QUALIFY row_number() OVER (PARTITION BY f.query_id ORDER BY f.score DESC, f.id)
+    <= {limit}
+)
+SELECT * FROM vec
+UNION ALL
+SELECT f.* FROM ft f
+WHERE NOT EXISTS (
+  SELECT 1 FROM vec v WHERE v.query_id = f.query_id AND v.id = f.id
+)
+"""

@@ -322,3 +322,41 @@ def test_pipeline_near_dup_wiring_preserves_edges(spark):
         return sorted(tuple(str(v) for v in r) for r in df.select(*cols).collect())
 
     assert fp(base.edges) == fp(routed.edges)
+
+
+def test_get_relevant_nodes_hybrid_semantics(spark):
+    """J2 full parity (search_utils.py:686-746): vector lane = cosine
+    > min_score top-limit; fulltext lane = BM25 matches; group-scoped;
+    a candidate in both lanes surfaces once as lane='vector'."""
+    from graphiti_spark.operators.resolve import get_relevant_nodes
+
+    # 4-dim embeddings: c1 aligned with the query, c2 orthogonal,
+    # c3 mid-similarity, c4 aligned but in another group.
+    corpus = spark.createDataFrame(
+        [
+            ("c1", "g0", "acme corp offices", [1.0, 0.0, 0.0, 0.0]),
+            ("c2", "g0", "acme corp", [0.0, 1.0, 0.0, 0.0]),
+            ("c3", "g0", "globex", [0.7, 0.7, 0.0, 0.0]),
+            ("c4", "g1", "acme corp", [1.0, 0.0, 0.0, 0.0]),
+        ],
+        "uuid string, group_id string, name string, "
+        "name_embedding array<double>",
+    )
+    queries = spark.createDataFrame(
+        [("q0", "g0", "acme corp", [1.0, 0.0, 0.0, 0.0])],
+        "query_id string, group_id string, query_text string, "
+        "query_vec array<double>",
+    )
+    out = get_relevant_nodes(corpus, queries, min_score=0.6, limit=10)
+    rows = {(r.id, r.lane) for r in out.collect()}
+    # c1: cosine 1.0 > 0.6 AND shares the term 'acme'/'corp' → in both
+    # lanes, must surface exactly once, as vector (reference dedup order)
+    assert ("c1", "vector") in rows and ("c1", "fulltext") not in rows
+    # c2: cosine 0 (below min_score) but BM25 match on 'acme corp'
+    assert ("c2", "fulltext") in rows
+    # c3: cosine ~0.707 > 0.6, no shared term → vector only
+    assert ("c3", "vector") in rows
+    # c4: perfect on both lanes but WRONG group → excluded entirely
+    assert not any(i == "c4" for i, _ in rows)
+    # one row per (query, candidate)
+    assert out.count() == out.select("query_id", "id").distinct().count()
