@@ -272,6 +272,15 @@ def _q_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(_perturbed_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_line_dedup(spark, sf_dir):
+    """CCNet-style corpus-wide exact line dedup: every (8-token) line
+    keeps only its first occurrence across the corpus; per-doc survival
+    stats + rebuilt clean text."""
+    from graphiti_spark.operators.docops import line_dedup
+
+    return line_dedup(_docs(spark, sf_dir))
+
+
 def _q_simhash(spark, sf_dir):
     from graphiti_spark.operators.docops import simhash
 
@@ -716,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_duplicates": _q_exact_duplicates,
         "near_duplicates": _q_near_duplicates,
         "ngram_jaccard": _q_ngram_jaccard,
+        "line_dedup": _q_line_dedup,
         "dedup_keep_list": _q_dedup_keep_list,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
@@ -785,6 +795,7 @@ def oracle_sql() -> dict[str, str]:
         # brute-force all-pairs ground truth — the same oracle verifies
         # a completely different blocking strategy
         "ngram_jaccard": oo.q_near_duplicates(),
+        "line_dedup": oo.q_line_dedup(),
         "dedup_keep_list": oo.q_dedup_keep_list(),
         "simhash": oo.q_simhash(),
         "fingerprint": oo.q_fingerprint(),

@@ -1036,3 +1036,67 @@ def mixture_sample(
     return documents.select(
         "doc_id", "lang", F.explode(copies).alias("copy")
     )
+
+
+def line_dedup(documents: DataFrame, line_words: int = 8) -> DataFrame:
+    """CCNet-style corpus-wide exact LINE dedup: every line keeps only
+    its FIRST occurrence across the whole corpus (first = smallest
+    (doc_id, position)); later occurrences are dropped. Boilerplate
+    (headers, navigation, license blurbs) repeats across documents and
+    survives doc-level dedup — this is the standard complement (CCNet /
+    RefinedWeb dedup stage). The synthetic corpus has no newlines, so a
+    "line" is a fixed window of ``line_words`` tokens — real corpora
+    would split on newline instead; the keep/drop machinery is
+    identical. Returns per doc: (doc_id, n_lines, n_kept, text_clean)
+    with text_clean = surviving lines rejoined in document order.
+
+    Scale shape: one explode → one window over md5(line) (high-
+    cardinality key, uniformly distributed — no hot reducer) → one
+    per-doc aggregation. The line payload rides the dedup shuffle once,
+    bounded at ``line_words`` tokens; the per-doc rebuild aggregates
+    (pos, line) structs map-side."""
+    toks = tokenize(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / F.lit(line_words)).cast("int")
+    lines = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.struct(
+                i.cast("long").alias("pos"),
+                F.array_join(
+                    F.slice(toks, i * line_words + 1, line_words), " "
+                ).alias("line"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:long,line:string>>"))
+    exploded = documents.select(
+        F.col("doc_id").cast("long").alias("_did"), F.explode(lines).alias("l")
+    ).select("_did", F.col("l.pos").alias("pos"), F.col("l.line").alias("line"))
+    w = Window.partitionBy(F.md5("line")).orderBy("_did", "pos")
+    marked = exploded.withColumn(
+        "kept", F.row_number().over(w) == F.lit(1)
+    )
+    return (
+        marked.groupBy("_did")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("kept").cast("long")).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("kept"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                " ",
+            ).alias("text_clean"),
+        )
+        .select(
+            F.col("_did").cast("string").alias("doc_id"),
+            "n_lines",
+            "n_kept",
+            "text_clean",
+        )
+    )

@@ -1188,3 +1188,34 @@ WHERE NOT EXISTS (
   SELECT 1 FROM vec v WHERE v.query_id = f.query_id AND v.id = f.id
 )
 """
+
+
+def q_line_dedup(line_words: int = 8) -> str:
+    """Oracle for CCNet-style line dedup: identical fixed-window
+    chunking, first-occurrence keep rule (smallest (doc_id, pos) per
+    distinct line), per-doc rebuild in position order."""
+    w = line_words
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_toks('text')} AS tk FROM documents
+),
+lines AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+    array_to_string(tk[CAST(u.i * {w} + 1 AS BIGINT) : CAST(u.i * {w} + {w} AS BIGINT)], ' ') AS line
+  FROM toks,
+    UNNEST(generate_series(0,
+      CAST(ceil(CAST(len(tk) AS DOUBLE) / {w}) AS BIGINT) - 1)) AS u(i)
+  WHERE len(tk) > 0
+),
+marked AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) = 1 AS kept
+  FROM lines
+)
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+  COUNT(*) AS n_lines,
+  CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+  COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE kept), '')
+    AS text_clean
+FROM marked GROUP BY doc_id
+"""

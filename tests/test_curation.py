@@ -216,3 +216,38 @@ def test_ngram_jaccard_prefix_filter_is_exact(spark):
     want = {(r.id_a, r.id_b, r.jaccard) for r in brute.collect()}
     assert want, "fixture must produce at least one qualifying pair"
     assert got == want
+
+
+def test_line_dedup_first_occurrence_semantics(spark):
+    """CCNet keep rule: a repeated line survives ONLY at its smallest
+    (doc_id, pos); unique lines always survive; partial trailing chunks
+    dedup like any other line; clean text preserves document order."""
+    from graphiti_spark.operators.docops import line_dedup
+
+    boiler = "the quick brown fox jumps over the dog"  # exactly 8 tokens
+    docs = _docs(
+        spark,
+        [
+            # doc 0: boiler at pos 0 AND pos 1 (within-doc dup) + unique tail
+            (0, f"{boiler} {boiler} alpha beta"),
+            # doc 1: boiler again (cross-doc dup) + its own unique line
+            (1, f"{boiler} gamma delta"),
+            # doc 2: entirely unique, shorter than one window
+            (2, "epsilon zeta"),
+            # doc 3: duplicates doc 1's trailing partial chunk
+            (3, "gamma delta"),
+        ],
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, line_words=8).collect()}
+
+    # doc 0: 3 lines (boiler, boiler, 'alpha beta'); first boiler + tail kept
+    assert (out["0"].n_lines, out["0"].n_kept) == (3, 2)
+    assert out["0"].text_clean == f"{boiler} alpha beta"
+    # doc 1: boiler dropped (doc 0 owns it), 'gamma delta' kept (first)
+    assert (out["1"].n_lines, out["1"].n_kept) == (2, 1)
+    assert out["1"].text_clean == "gamma delta"
+    # doc 2: untouched
+    assert out["2"].text_clean == "epsilon zeta"
+    # doc 3: its only line is doc 1's partial chunk → everything dropped
+    assert (out["3"].n_lines, out["3"].n_kept) == (1, 0)
+    assert out["3"].text_clean == ""
