@@ -251,3 +251,27 @@ def test_line_dedup_first_occurrence_semantics(spark):
     # doc 3: its only line is doc 1's partial chunk → everything dropped
     assert (out["3"].n_lines, out["3"].n_kept) == (1, 0)
     assert out["3"].text_clean == ""
+
+
+def test_new_dedup_ops_plan_shapes(spark):
+    """Scale-shape pins: line_dedup is exactly two shuffles (the
+    md5(line) dedup window + the per-doc rebuild agg); ngram_jaccard's
+    candidate generation and verify are equi-joins only — a plan with a
+    cartesian or broadcast-nested-loop node would be doc×doc and die at
+    corpus scale."""
+    from graphiti_spark.operators.docops import line_dedup, ngram_jaccard_pairs
+
+    docs = _docs(spark, [(i, f"tok{i} alpha beta gamma") for i in range(30)])
+
+    p1 = line_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("Exchange") == 2
+    assert "CartesianProduct" not in p1
+
+    p2 = (
+        ngram_jaccard_pairs(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in p2
+    assert "BroadcastNestedLoopJoin" not in p2
