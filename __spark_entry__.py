@@ -168,6 +168,13 @@ def _q_language_id(spark, sf_dir):
 
 
 
+def _q_tfidf_topk(spark, sf_dir):
+    """Per-doc top-k TF-IDF keyword extraction (smooth idf)."""
+    from graphiti_spark.operators.docops import tfidf_topk_terms
+
+    return tfidf_topk_terms(_docs(spark, sf_dir))
+
+
 def _q_repetition_stats(spark, sf_dir):
     from graphiti_spark.operators.docops import repetition_stats
 
@@ -711,6 +718,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "quality": _q_quality,
         "language_id": _q_language_id,
+        "tfidf_topk": _q_tfidf_topk,
         "repetition_stats": _q_repetition_stats,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
         # corpus curation
@@ -780,6 +788,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oo.q_pagerank(),
         "triangle_count": oo.q_triangle_count(),
         "clustering_coefficient": oo.q_clustering_coefficient(),
+        "tfidf_topk": oo.q_tfidf_topk(),
         "repetition_stats": oo.q_repetition_stats(),
         "boilerplate_ngrams": oo.q_boilerplate_ngrams(),
         "decontaminate": oo.q_decontaminate(),

@@ -1100,3 +1100,46 @@ def line_dedup(documents: DataFrame, line_words: int = 8) -> DataFrame:
             "text_clean",
         )
     )
+
+
+def tfidf_topk_terms(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the classic keyword /
+    topic-signal extractor a curation pipeline uses for domain
+    clustering and mixture labeling. tf = in-doc count, idf =
+    ln((N+1)/(df+1)) + 1 (smooth; never zero, so single-corpus terms
+    still rank), score rounded to 6, ties broken by term asc. Returns
+    (doc_id, term, score, rank).
+
+    Scale shape: one (doc, term) tf aggregation (map-side combinable)
+    + one term-level df aggregation; the df table joins back on term
+    (AQE broadcasts it when vocab is small, shuffles when not — both
+    equi); the 1-row corpus count is a broadcast cross join; top-k is a
+    per-doc window, never a global sort."""
+    toks = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(tokenize(F.col("text"))).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(
+        F.countDistinct(F.col("doc_id")).alias("n_docs")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("n_docs") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "score", "rank")
+    )

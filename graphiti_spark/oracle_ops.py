@@ -1219,3 +1219,26 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
     AS text_clean
 FROM marked GROUP BY doc_id
 """
+
+
+def q_tfidf_topk(k: int = 5) -> str:
+    """Oracle for per-doc top-k TF-IDF: same smooth idf
+    (ln((N+1)/(df+1)) + 1), round-6 score, (score DESC, term) ties."""
+    return f"""
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, UNNEST({_toks('text')}) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents)
+SELECT doc_id, term,
+  round(tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) AS score,
+  CAST(row_number() OVER (
+    PARTITION BY doc_id
+    ORDER BY round(tf * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1.0), 6) DESC,
+             term
+  ) AS INT) AS rank
+FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+QUALIFY rank <= {k}
+"""
