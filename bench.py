@@ -258,6 +258,76 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         "node_parts_rewritten": m.get(("nodes_merge", "n_parts_rewritten")),
     }
 
+    # Curation-suite throughput (NOT in the headline total): the
+    # beyond-reference training-data ops over an amplified documents
+    # corpus — ×BENCH_CURATION_REPLICAS copies, even replicas exact
+    # duplicates and odd replicas lightly perturbed, so exact dedup,
+    # line dedup, and MinHash near-dup all do real work instead of
+    # scanning a dup-free corpus.
+    from graphiti_spark.operators.docops import (
+        decontaminate,
+        exact_duplicates,
+        line_dedup,
+        near_duplicates,
+        tfidf_topk_terms,
+    )
+
+    cur_r = int(os.environ.get("BENCH_CURATION_REPLICAS", "8"))
+    docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    amp = (
+        docs0.crossJoin(spark.range(cur_r).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") + F.col("rep") * 10_000_000).alias("doc_id"),
+            F.when(
+                F.col("rep") % 2 == 1,
+                F.concat(F.col("text"), F.lit(" rep"), F.col("rep")),
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .repartition(cpus)
+    )
+    amp.persist()
+    n_cur_docs = amp.count()  # materialize the input before timing
+    cur: dict[str, float] = {}
+    t_cur = time.perf_counter()
+    t = time.perf_counter()
+    n_exact = exact_duplicates(amp).count()
+    cur["exact_dedup_sec"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    n_kept = line_dedup(amp).agg(F.sum("n_kept")).collect()[0][0]
+    cur["line_dedup_sec"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    n_near = near_duplicates(amp, threshold=0.5).count()
+    cur["near_dup_sec"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    n_contam = (
+        decontaminate(
+            amp.where(F.col("doc_id") % 10 != 7),
+            amp.where(F.col("doc_id") % 10 == 7),
+            n=4,
+        )
+        .where(F.col("contaminated"))
+        .count()
+    )
+    cur["decontaminate_sec"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    n_tfidf = tfidf_topk_terms(amp).count()
+    cur["tfidf_sec"] = round(time.perf_counter() - t, 3)
+    cur_total = time.perf_counter() - t_cur
+    amp.unpersist()
+    assert n_exact > 0 and n_near > 0 and n_contam > 0 and n_tfidf > 0
+    curation = {
+        "n_docs": n_cur_docs,
+        **cur,
+        "total_sec": round(cur_total, 3),
+        "docs_per_sec": round(n_cur_docs * len(cur) / cur_total, 1),
+        "n_exact_dup_groups": n_exact,
+        "n_lines_kept": int(n_kept),
+        "n_near_dup_pairs": n_near,
+    }
+    queries.update({f"curation_{k}": v for k, v in cur.items()})
+
     spark.stop()
     shutil.rmtree(eps_dir, ignore_errors=True)
     shutil.rmtree(idx_dir, ignore_errors=True)
@@ -280,6 +350,7 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         "triple_precision": triple_precision,
         "triple_recall": triple_recall,
         "incremental": inc_evidence,
+        "curation": curation,
         "cpu_during_timed": cpu_timed,
         **quiet,
     }

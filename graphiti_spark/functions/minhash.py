@@ -95,18 +95,31 @@ def lsh_candidate_pairs(
     partition_cols: list[str] | None = None,
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
+    pre_shingled: bool = False,
+    include_texts: bool = True,
 ) -> DataFrame:
     """Self-join on LSH buckets → distinct unordered candidate pairs.
 
     ``partition_cols`` (e.g. ['group_id']) are included in the bucket
     key so pairs never cross graph partitions. Output columns:
     partition_cols + (id_a, id_b, text_a, text_b) with id_a < id_b.
+
+    ``pre_shingled``: ``text_col`` is already an array<string> shingle
+    set — minhash it directly. For DOCUMENT near-dup the caller's word
+    shingles are the right universe: hashing them costs one xxhash per
+    word shingle, versus ~20× that for character trigrams of the joined
+    string, and the banding probability is then calibrated against the
+    exact word-shingle Jaccard the verify stage computes.
+    ``include_texts``: skip the text re-join when the caller only needs
+    (id_a, id_b) — Catalyst cannot eliminate the joins on its own.
     """
     parts = partition_cols or []
     sh = df.select(
         *parts,
         F.col(id_col).alias("_id"),
-        shingles(F.col(text_col)).alias("_sh"),
+        (F.col(text_col) if pre_shingled else shingles(F.col(text_col))).alias(
+            "_sh"
+        ),
     )
     # id-only bucket rows: carrying the text through the band explode
     # would replicate every document's text n_bands times through the
@@ -142,6 +155,8 @@ def lsh_candidate_pairs(
         )
         .dropDuplicates(parts + ["id_a", "id_b"])
     )
+    if not include_texts:
+        return pairs
     texts = df.select(F.col(id_col).alias("_tid"), F.col(text_col).alias("_ttext"))
     return (
         pairs.join(texts.withColumnsRenamed({"_tid": "id_a", "_ttext": "text_a"}), "id_a")

@@ -273,13 +273,21 @@ def near_duplicates(
     Blocking bounds recall (documented: 24 bands of 2 catch J ≥ 0.5
     with probability > 0.999); the verify step makes precision exact.
     """
+    # minhash the word-shingle sets directly (pre_shingled): one xxhash
+    # per shingle instead of ~20x that for char trigrams of the joined
+    # string, and the banding probability is then calibrated against
+    # the EXACT word-shingle Jaccard the verify stage computes below
     shingled = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.array_join(word_shingles(F.col("text"), shingle_words), "").alias(
-            "_joined"
-        ),
+        word_shingles(F.col("text"), shingle_words).alias("_sh"),
     )
-    cand = lsh_candidate_pairs(shingled, id_col="doc_id", text_col="_joined")
+    cand = lsh_candidate_pairs(
+        shingled,
+        id_col="doc_id",
+        text_col="_sh",
+        pre_shingled=True,
+        include_texts=False,
+    )
     # re-derive shingle arrays on both sides, verify exactly
     sh = documents.select(
         F.col("doc_id").cast("string").alias("id"),
