@@ -288,6 +288,32 @@ def _q_line_dedup(spark, sf_dir):
     return line_dedup(_docs(spark, sf_dir))
 
 
+def _q_incremental_dedup(spark, sf_dir):
+    """O(batch) incremental corpus dedup against a persisted LSH band
+    index (operators/dedup_index.DedupIndex): batch 1 = the originals
+    (builds the index), batch 2 = the twins (deduped against batch 1's
+    KEEPERS only — the standard incremental contract). Returns both
+    batches' (doc_id, dup_of, is_kept, batch) decisions; the DuckDB
+    oracle replays both batches with min-label components unrolled as
+    chained CTEs."""
+    import tempfile
+
+    from graphiti_spark.io.tables import TableIO
+    from graphiti_spark.operators.dedup_index import DedupIndex
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    twins = d.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extra tail tokens")).alias("text"),
+    )
+    idx = DedupIndex(
+        TableIO(spark, tempfile.mkdtemp(prefix="drv_dedup_idx_")), threshold=0.5
+    )
+    d1 = idx.merge(d).withColumn("batch", F.lit(1))
+    d2 = idx.merge(twins).withColumn("batch", F.lit(2))
+    return d1.unionByName(d2)
+
+
 def _q_simhash(spark, sf_dir):
     from graphiti_spark.operators.docops import simhash
 
@@ -734,6 +760,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_duplicates": _q_near_duplicates,
         "ngram_jaccard": _q_ngram_jaccard,
         "line_dedup": _q_line_dedup,
+        "incremental_dedup": _q_incremental_dedup,
         "dedup_keep_list": _q_dedup_keep_list,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
@@ -805,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         # a completely different blocking strategy
         "ngram_jaccard": oo.q_near_duplicates(),
         "line_dedup": oo.q_line_dedup(),
+        "incremental_dedup": oo.q_incremental_dedup(),
         "dedup_keep_list": oo.q_dedup_keep_list(),
         "simhash": oo.q_simhash(),
         "fingerprint": oo.q_fingerprint(),

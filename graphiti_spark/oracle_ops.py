@@ -1242,3 +1242,111 @@ SELECT doc_id, term,
 FROM tf JOIN dfreq d USING (term) CROSS JOIN n
 QUALIFY rank <= {k}
 """
+
+
+def q_incremental_dedup(threshold: float = 0.5, rounds: int = 6) -> str:
+    """Oracle for the incremental corpus-dedup index driver query
+    (operators/dedup_index.DedupIndex over the perturbed corpus in two
+    batches: originals, then twins). Replays both batches in SQL:
+
+    - batch 1 (empty index): connected components over the brute-force
+      J>=t pair graph among originals — min-label propagation unrolled
+      ``rounds`` times as chained CTEs (exact while component diameter
+      <= rounds; the fixture's max component size is 4, and, as with
+      the communities oracle, post-convergence rounds are no-ops) —
+      keep = lexicographic min id per component.
+    - batch 2: twins match STORED KEEPERS only (dropped batch-1 docs
+      are not indexed), plus twin-twin pairs; anchored components where
+      any stored member makes every twin a dup of the lexicographic
+      min stored member, else the min twin is kept.
+    """
+
+    def unroll(prefix: str, vsrc: str, esrc: str) -> list[str]:
+        # MATERIALIZED is load-bearing (same note as the communities
+        # oracle): each round references the previous one twice, so
+        # plain CTE inlining would duplicate the whole subtree per
+        # round — 2^rounds parquet scans.
+        ctes = [f"{prefix}0 AS MATERIALIZED (SELECT id, id AS lbl FROM {vsrc})"]
+        for k in range(rounds):
+            ctes.append(
+                f"""{prefix}{k + 1} AS MATERIALIZED (
+  SELECT v.id, least(v.lbl, COALESCE(MIN(n.lbl), v.lbl)) AS lbl
+  FROM {prefix}{k} v
+  LEFT JOIN {esrc} e ON e.x = v.id
+  LEFT JOIN {prefix}{k} n ON n.id = e.y
+  GROUP BY v.id, v.lbl)"""
+            )
+        return ctes
+
+    head = f"""{_PERTURBED},
+t AS (SELECT id, {_toks('text')} AS toks FROM corpus),
+sh AS MATERIALIZED (SELECT id, {_shingle_sql('toks')} AS s FROM t),
+pairs AS MATERIALIZED (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(len(list_intersect(a.s, b.s))
+    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= {threshold}
+),
+b1 AS MATERIALIZED (SELECT id FROM corpus WHERE CAST(id AS BIGINT) < 1000000),
+b2 AS MATERIALIZED (SELECT id FROM corpus WHERE CAST(id AS BIGINT) >= 1000000),
+g1 AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN b1 x ON x.id = p.id_a JOIN b1 y ON y.id = p.id_b
+),
+e1 AS MATERIALIZED (
+  SELECT id_a AS x, id_b AS y FROM g1
+  UNION ALL SELECT id_b, id_a FROM g1
+),
+vx1 AS (SELECT DISTINCT x AS id FROM e1)"""
+    a_ctes = unroll("av", "vx1", "e1")
+    mid = f"""dec1 AS MATERIALIZED (
+  SELECT b1.id AS doc_id,
+    CASE WHEN l.lbl IS NOT NULL AND l.lbl <> b1.id THEN l.lbl END AS dup_of
+  FROM b1 LEFT JOIN av{rounds} l ON l.id = b1.id
+),
+keep1 AS MATERIALIZED (SELECT doc_id AS id FROM dec1 WHERE dup_of IS NULL),
+cross2 AS MATERIALIZED (
+  SELECT p.id_a AS id_new, p.id_b AS id_old FROM pairs p
+  JOIN b2 ON b2.id = p.id_a JOIN keep1 k ON k.id = p.id_b
+  UNION ALL
+  SELECT p.id_b, p.id_a FROM pairs p
+  JOIN b2 ON b2.id = p.id_b JOIN keep1 k ON k.id = p.id_a
+),
+g2 AS (
+  SELECT p.id_a, p.id_b FROM pairs p
+  JOIN b2 x ON x.id = p.id_a JOIN b2 y ON y.id = p.id_b
+  UNION ALL SELECT id_new, id_old FROM cross2
+),
+e2 AS MATERIALIZED (
+  SELECT id_a AS x, id_b AS y FROM g2
+  UNION ALL SELECT id_b, id_a FROM g2
+),
+vx2 AS (SELECT DISTINCT x AS id FROM e2)"""
+    b_ctes = unroll("bv", "vx2", "e2")
+    tail = f"""stored2 AS (SELECT DISTINCT id_old AS id FROM cross2),
+tgt AS (
+  SELECT l.lbl,
+    MIN(CASE WHEN s.id IS NOT NULL THEN l.id END) AS t_stored,
+    MIN(CASE WHEN s.id IS NULL THEN l.id END) AS t_new
+  FROM bv{rounds} l LEFT JOIN stored2 s ON s.id = l.id
+  GROUP BY l.lbl
+),
+dec2 AS (
+  SELECT b2.id AS doc_id,
+    CASE WHEN l.lbl IS NULL THEN NULL
+         WHEN t.t_stored IS NOT NULL THEN t.t_stored
+         WHEN t.t_new <> b2.id THEN t.t_new END AS dup_of
+  FROM b2
+  LEFT JOIN bv{rounds} l ON l.id = b2.id
+  LEFT JOIN tgt t ON t.lbl = l.lbl
+)
+SELECT doc_id, dup_of, dup_of IS NULL AS is_kept, CAST(1 AS INT) AS batch
+FROM dec1
+UNION ALL
+SELECT doc_id, dup_of, dup_of IS NULL, CAST(2 AS INT) FROM dec2"""
+    return (
+        "WITH "
+        + ",\n".join([head] + a_ctes + [mid] + b_ctes + [tail.split("\n", 0)[0]])
+        if False
+        else "WITH " + ",\n".join([head] + a_ctes + [mid] + b_ctes) + ",\n" + tail
+    )
