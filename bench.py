@@ -273,6 +273,19 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     )
 
     cur_r = int(os.environ.get("BENCH_CURATION_REPLICAS", "8"))
+    if cur_r <= 0:
+        # scaling mode skips the suite: the efficiency metric is the
+        # headline pipeline's, and each skipped run saves ~40 s/trial
+        curation: dict = {"skipped": True}
+        spark.stop()
+        shutil.rmtree(eps_dir, ignore_errors=True)
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        shutil.rmtree(root, ignore_errors=True)
+        return _result(
+            total, queries, sf_dir, cpus, replicas, n_spans, n_triples,
+            n_edges, n_inval, n_mentions, n_map, triple_precision,
+            triple_recall, inc_evidence, curation, cpu_timed, quiet,
+        )
     docs0 = spark.read.parquet(f"{sf_dir}/documents.parquet")
     amp = (
         docs0.crossJoin(spark.range(cur_r).select(F.col("id").alias("rep")))
@@ -332,6 +345,18 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     shutil.rmtree(eps_dir, ignore_errors=True)
     shutil.rmtree(idx_dir, ignore_errors=True)
     shutil.rmtree(root, ignore_errors=True)
+    return _result(
+        total, queries, sf_dir, cpus, replicas, n_spans, n_triples,
+        n_edges, n_inval, n_mentions, n_map, triple_precision,
+        triple_recall, inc_evidence, curation, cpu_timed, quiet,
+    )
+
+
+def _result(
+    total, queries, sf_dir, cpus, replicas, n_spans, n_triples, n_edges,
+    n_inval, n_mentions, n_map, triple_precision, triple_recall,
+    inc_evidence, curation, cpu_timed, quiet,
+) -> dict:
     return {
         "metric": "kg_pipeline_total_sec",
         "value": total,
@@ -412,6 +437,9 @@ def _subprocess_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_REPLICAS"] = str(replicas)
+    # scaling trials measure the headline pipeline; skip the curation
+    # suite (~40 s/trial that never feeds the efficiency ratio)
+    env.setdefault("BENCH_CURATION_REPLICAS", "0")
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     out = subprocess.run(
         [sys.executable, __file__],
