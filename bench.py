@@ -478,7 +478,9 @@ def run_scaling(sf_dir: str, replicas: int) -> None:
     }
     print(json.dumps(report))
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/BASELINE.md", "w") as f:
+    # write the raw report to its own file — BENCH/BASELINE.md is the
+    # curated evidence document and must not be clobbered by a re-run
+    with open("BENCH/SCALING_run.md", "w") as f:
         f.write(
             f"""# BENCH — measured baseline (this repo)
 
