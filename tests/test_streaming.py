@@ -193,3 +193,56 @@ def test_windowed_rates_drop_too_late_rows(spark, tmp_path_factory):
     # 2 is far older and must not create (or join) any window
     assert sum(r.n_episodes for r in rows) >= 3
     assert not [r for r in rows if r.window_start.year == 2015], rows
+
+
+def test_stream_dedup_matches_sequential_merges(spark, tmp_path_factory):
+    """streaming/dedup.py: a document stream drained in micro-batches
+    must produce the same decisions as calling DedupIndex.merge
+    sequentially — and cross-batch dups must point at stored keepers."""
+    import tempfile
+
+    from graphiti_spark.io.tables import TableIO
+    from graphiti_spark.operators.dedup_index import DedupIndex
+    from graphiti_spark.streaming.dedup import stream_dedup
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+    def t(i):
+        return f"{base} doc{i} unique{i} marker{i} extra{i} token{i} pad{i}"
+
+    rows1 = [(i, t(i)) for i in range(12)]
+    # arrival 2: near-twins of 0..3 + one unique
+    rows2 = [(100 + i, t(i).rsplit(" ", 1)[0] + " padX") for i in range(4)]
+    rows2 += [(50, "entirely different words nothing shared with the rest")]
+
+    in_dir = str(tmp_path_factory.mktemp("dedup_in"))
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    idx_dir = str(tmp_path_factory.mktemp("dedup_idx"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt"))
+    q = stream_dedup(
+        spark, in_dir, idx_dir, ckpt, available_now=True, max_files_per_trigger=1
+    )
+    q.awaitTermination(300)
+
+    got = {
+        r.doc_id: r.dup_of
+        for r in spark.read.parquet(f"{idx_dir}/decisions").collect()
+    }
+
+    # sequential reference: same batches through merge() directly
+    ref = DedupIndex(TableIO(spark, tempfile.mkdtemp(prefix="dedup_ref_")))
+    want = {}
+    for rows in (rows1, rows2):
+        b = spark.createDataFrame(rows, "doc_id long, text string")
+        want.update({r.doc_id: r.dup_of for r in ref.merge(b).collect()})
+
+    assert got == want
+    # cross-batch twins resolved against stored keepers
+    assert all(got[str(100 + i)] == str(i) for i in range(4))
+    assert got["50"] is None
