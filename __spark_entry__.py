@@ -204,6 +204,21 @@ def _q_split_summary(spark, sf_dir):
     return split_summary(_docs(spark, sf_dir))
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Overlapping token chunking (training/embedding corpus prep)."""
+    from graphiti_spark.operators.docops import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+def _q_leakage_safe_split(spark, sf_dir):
+    """hash_split with a leakage guard: near-dup components share one
+    split key, so clusters never straddle train/test."""
+    from graphiti_spark.operators.docops import leakage_safe_split
+
+    return leakage_safe_split(_perturbed_docs(spark, sf_dir), threshold=0.5)
+
+
 def _q_pack_documents(spark, sf_dir):
     from graphiti_spark.operators.docops import pack_documents
 
@@ -750,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus curation
         "decontaminate": _q_decontaminate,
         "split_summary": _q_split_summary,
+        "chunk_documents": _q_chunk_documents,
+        "leakage_safe_split": _q_leakage_safe_split,
         "pack_documents": _q_pack_documents,
         "pii_scrub": _q_pii_scrub,
         "mixture_sample": _q_mixture_sample,
@@ -820,6 +837,8 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": oo.q_boilerplate_ngrams(),
         "decontaminate": oo.q_decontaminate(),
         "split_summary": oo.q_split_summary(),
+        "chunk_documents": oo.q_chunk_documents(),
+        "leakage_safe_split": oo.q_leakage_safe_split(),
         "pack_documents": oo.q_pack_documents(),
         "pii_scrub": oo.q_pii_scrub(),
         "mixture_sample": oo.q_mixture_sample(),

@@ -896,19 +896,12 @@ def hash_split(
     exceeds it. Pure column expressions — no sampling state, stable
     under re-runs and across partitionings (the property a resumable
     100 TB pipeline needs; Spark's randomSplit is neither)."""
-    if not boundaries:
-        raise ValueError("boundaries must be non-empty")
-    bucket = _md5_u32(F.concat_ws("|", F.lit("split"), F.col("doc_id"))) % 100
-    expr = None
-    for name, hi in boundaries:
-        cond = bucket < hi
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
-            cond, F.lit(name)
-        )
     # buckets past the last boundary (custom boundaries summing < 100)
     # fall into the final split rather than silently becoming NULL
-    expr = expr.otherwise(F.lit(boundaries[-1][0]))
-    return documents.withColumn("split", expr)
+    # (_split_expr's otherwise), shared with leakage_safe_split
+    return documents.withColumn(
+        "split", _split_expr(F.col("doc_id"), boundaries)
+    )
 
 
 def split_summary(documents: DataFrame) -> DataFrame:
@@ -1151,3 +1144,88 @@ def tfidf_topk_terms(documents: DataFrame, k: int = 5) -> DataFrame:
         .where(F.col("rank") <= k)
         .select("doc_id", "term", "score", "rank")
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_tokens: int = 128, overlap: int = 16
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the standard
+    pre-training / embedding-corpus chunker. Chunk ``i`` starts at
+    ``i*(chunk_tokens-overlap)``; the last chunk may be short;
+    ``n_chunks = max(1, ceil((n-overlap)/stride))`` so a trailing
+    window fully contained in its predecessor is never emitted; empty
+    docs yield no chunks. Returns (doc_id, chunk_idx, n_tokens,
+    chunk_text). Pure column algebra, shuffle-free — the chunker a 100
+    TB corpus runs inside the scan stage."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokenize(F.col("text"))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(stride))
+    ).cast("int")
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("chunk_idx"),
+                F.slice(toks, i * stride + 1, chunk_tokens).alias("_t"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<chunk_idx:int,_t:array<string>>>"))
+    return documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(chunks).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.size("c._t").cast("long").alias("n_tokens"),
+        F.array_join("c._t", " ").alias("chunk_text"),
+    )
+
+
+def _split_expr(key: Column, boundaries: tuple) -> Column:
+    """Cumulative-percent split assignment over md5('split|'||key)%100
+    (shared by hash_split and leakage_safe_split)."""
+    if not boundaries:
+        raise ValueError("boundaries must be non-empty")
+    bucket = _md5_u32(F.concat_ws("|", F.lit("split"), key)) % 100
+    expr = None
+    for name, hi in boundaries:
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return expr.otherwise(F.lit(boundaries[-1][0]))
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    boundaries: tuple = (("train", 80), ("val", 90), ("test", 100)),
+) -> DataFrame:
+    """hash_split with a LEAKAGE GUARD: near-duplicate documents must
+    land in the same split — hashing raw doc_ids scatters a near-dup
+    cluster across train and test, and the eval leaks training content
+    (the classic contamination bug dedup alone does not fix when dups
+    are intentionally kept, e.g. for mixture upsampling). The split key
+    is the doc's near-dup component representative
+    (:func:`dedup_keep_list`); singleton docs key by their own id.
+    Returns (doc_id, split_key, split).
+
+    Scale shape: dedup_keep_list's blocking + components (the pair
+    graph is tiny relative to the corpus), one broadcast-ish left join
+    of the component map onto the corpus, then pure column split
+    assignment."""
+    keep = dedup_keep_list(documents, threshold=threshold).select(
+        "doc_id", "keep_doc_id"
+    )
+    keyed = (
+        documents.select(F.col("doc_id").cast("string").alias("doc_id"))
+        .join(keep, "doc_id", "left")
+        .withColumn("split_key", F.coalesce("keep_doc_id", "doc_id"))
+        .drop("keep_doc_id")
+    )
+    return keyed.withColumn("split", _split_expr(F.col("split_key"), boundaries))

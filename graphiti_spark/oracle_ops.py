@@ -1350,3 +1350,59 @@ SELECT doc_id, dup_of, dup_of IS NULL, CAST(2 AS INT) FROM dec2"""
         if False
         else "WITH " + ",\n".join([head] + a_ctes + [mid] + b_ctes) + ",\n" + tail
     )
+
+
+def q_chunk_documents(chunk_tokens: int = 32, overlap: int = 8) -> str:
+    """Oracle for overlapping token chunking: chunk i = tokens
+    [i*stride, i*stride+chunk); n_chunks = max(1, ceil((n-overlap)/stride))."""
+    stride = chunk_tokens - overlap
+    return f"""
+WITH t AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_toks('text')} AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, CAST(u.i AS INT) AS chunk_idx,
+    toks[CAST(u.i * {stride} + 1 AS BIGINT)
+         : CAST(u.i * {stride} + {chunk_tokens} AS BIGINT)] AS ct
+  FROM t, UNNEST(generate_series(0,
+    CAST(greatest(1, ceil((len(toks) - {overlap}) / {stride}.0)) AS BIGINT) - 1
+  )) AS u(i)
+  WHERE len(toks) > 0
+)
+SELECT doc_id, chunk_idx, CAST(len(ct) AS BIGINT) AS n_tokens,
+  array_to_string(ct, ' ') AS chunk_text
+FROM c
+"""
+
+
+def q_leakage_safe_split(threshold: float = 0.5) -> str:
+    """Oracle for the leakage-guarded split over the perturbed corpus:
+    split key = near-dup component representative (the one-hop min of
+    q_dedup_keep_list — exact on this fixture's star components), then
+    the same md5 cumulative-percent assignment as q_split_summary."""
+    bucket = _md5_u32_sql("'split|' || split_key") + " % 100"
+    return f"""
+WITH {_PERTURBED},
+t AS (SELECT id, {_toks('text')} AS toks FROM corpus),
+sh AS (SELECT id, {_shingle_sql('toks')} AS s FROM t),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(len(list_intersect(a.s, b.s))
+    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= {threshold}
+),
+members AS (
+  SELECT id_a AS doc_id, least(id_a, id_b) AS keep FROM pairs
+  UNION ALL SELECT id_b, least(id_a, id_b) FROM pairs
+),
+resolved AS (SELECT doc_id, MIN(keep) AS keep_doc_id FROM members GROUP BY 1),
+keyed AS (
+  SELECT c.id AS doc_id, COALESCE(r.keep_doc_id, c.id) AS split_key
+  FROM corpus c LEFT JOIN resolved r ON r.doc_id = c.id
+)
+SELECT doc_id, split_key,
+  CASE WHEN {bucket} < 80 THEN 'train'
+       WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
+FROM keyed
+"""

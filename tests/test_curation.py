@@ -275,3 +275,64 @@ def test_new_dedup_ops_plan_shapes(spark):
     )
     assert "CartesianProduct" not in p2
     assert "BroadcastNestedLoopJoin" not in p2
+
+
+def test_chunk_documents_overlap_and_edges(spark):
+    from graphiti_spark.operators.docops import chunk_documents
+
+    words = [f"w{i}" for i in range(50)]
+    docs = _docs(
+        spark,
+        [
+            (1, " ".join(words)),          # 50 tokens → 2 chunks at 32/8
+            (2, "only three tokens"),       # short → exactly one chunk
+            (3, ""),                        # empty → no chunks
+            (4, " ".join(words[:26])),      # 26 ≤ (n-overlap)/stride = 0.75 → 1 chunk
+        ],
+    )
+    out = chunk_documents(docs, chunk_tokens=32, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, {})[r.chunk_idx] = r
+
+    c1 = by_doc["1"]
+    assert sorted(c1) == [0, 1]
+    t0, t1 = c1[0].chunk_text.split(), c1[1].chunk_text.split()
+    assert t0 == words[:32]
+    assert t1 == words[24:50]  # starts at stride=24 → 8-token overlap
+    assert t0[-8:] == t1[:8]
+    assert by_doc["2"][0].chunk_text == "only three tokens"
+    assert len(by_doc["2"]) == 1
+    assert "3" not in by_doc
+    assert len(by_doc["4"]) == 1 and by_doc["4"][0].n_tokens == 26
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """The leakage guard: every near-duplicate pair must land in ONE
+    split — raw-id hashing scatters clusters across train/test."""
+    from graphiti_spark.operators.docops import (
+        hash_split,
+        leakage_safe_split,
+        near_duplicates,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{base} doc{i} unique{i} marker{i} extra{i} token{i} pad{i}")
+            for i in range(60)]
+    # twins with ids far from their originals (different raw hash bucket)
+    rows += [(7000 + i, rows[i][1].rsplit(" ", 1)[0] + " padX")
+             for i in range(30)]
+    docs = _docs(spark, rows)
+
+    split = {r.doc_id: r.split for r in leakage_safe_split(docs).collect()}
+    pairs = [
+        (r.id_a, r.id_b) for r in near_duplicates(docs, threshold=0.5).collect()
+    ]
+    assert pairs, "fixture must contain near-dup pairs"
+    assert all(split[a] == split[b] for a, b in pairs)
+
+    # the guard is not vacuous: raw-id hashing DOES scatter some pair
+    raw = {r.doc_id: r.split for r in hash_split(
+        docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+    ).collect()}
+    assert any(raw[a] != raw[b] for a, b in pairs)
