@@ -204,6 +204,15 @@ def _q_split_summary(spark, sf_dir):
     return split_summary(_docs(spark, sf_dir))
 
 
+def _q_curate(spark, sf_dir):
+    """End-to-end curation facade: language filter -> quality filter ->
+    exact dedup -> near-dup dedup, one declarative plan, reason-coded
+    decisions (docops.curate)."""
+    from graphiti_spark.operators.docops import curate
+
+    return curate(_perturbed_docs(spark, sf_dir))
+
+
 def _q_chunk_documents(spark, sf_dir):
     """Overlapping token chunking (training/embedding corpus prep)."""
     from graphiti_spark.operators.docops import chunk_documents
@@ -765,6 +774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus curation
         "decontaminate": _q_decontaminate,
         "split_summary": _q_split_summary,
+        "curate": _q_curate,
         "chunk_documents": _q_chunk_documents,
         "leakage_safe_split": _q_leakage_safe_split,
         "pack_documents": _q_pack_documents,
@@ -837,6 +847,7 @@ def oracle_sql() -> dict[str, str]:
         "boilerplate_ngrams": oo.q_boilerplate_ngrams(),
         "decontaminate": oo.q_decontaminate(),
         "split_summary": oo.q_split_summary(),
+        "curate": oo.q_curate(),
         "chunk_documents": oo.q_chunk_documents(),
         "leakage_safe_split": oo.q_leakage_safe_split(),
         "pack_documents": oo.q_pack_documents(),

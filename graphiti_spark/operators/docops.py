@@ -1229,3 +1229,73 @@ def leakage_safe_split(
         .drop("keep_doc_id")
     )
     return keyed.withColumn("split", _split_expr(F.col("split_key"), boundaries))
+
+
+def curate(
+    documents: DataFrame,
+    langs: tuple = ("en",),
+    min_quality_micro: int = 500_000,
+    dedup_threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end curation decision — raw crawl docs → keep/drop with a
+    reason, as ONE declarative plan (the facade a pipeline user calls;
+    every stage is the already-oracle-checked operator):
+
+    1. ``language``: predicted language (:func:`language_id`) not in
+       ``langs``;
+    2. ``quality``: quality_micro (:func:`quality_score`) below the
+       threshold;
+    3. ``exact_dup``: among filter survivors, not the (lexicographic
+       min) keeper of its content-hash group;
+    4. ``near_dup``: among exact-kept survivors, not the keeper of its
+       near-dup component (:func:`dedup_keep_list`).
+
+    Filter → dedup order is the standard pipeline shape: dedup keepers
+    are chosen among docs that already passed the cheap filters, so a
+    cluster's keeper is never a doc the filters would drop. Returns
+    (doc_id, lang_pred, quality_micro, reject_reason, kept); the reason
+    reports the FIRST failing stage.
+    """
+    li = language_id(documents).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "lang_pred"
+    )
+    qm = quality_score(documents).select(
+        F.col("doc_id").cast("string").alias("doc_id"), "quality_micro"
+    )
+    base = (
+        documents.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
+        .join(li, "doc_id")
+        .join(qm, "doc_id")
+        .withColumn("_lang_ok", F.col("lang_pred").isin(list(langs)))
+        .withColumn("_q_ok", F.col("quality_micro") >= min_quality_micro)
+    )
+    flt = base.where(F.col("_lang_ok") & F.col("_q_ok"))
+    eh = flt.select("doc_id", F.md5("text").alias("_h"))
+    ek = eh.groupBy("_h").agg(F.min("doc_id").alias("_ek"))
+    exact = eh.join(ek, "_h").select(
+        "doc_id", (F.col("doc_id") != F.col("_ek")).alias("_exact_dup")
+    )
+    ekept = flt.join(
+        exact.where(~F.col("_exact_dup")).select("doc_id"), "doc_id", "left_semi"
+    )
+    near = dedup_keep_list(ekept, threshold=dedup_threshold).select(
+        "doc_id", (~F.col("is_kept")).alias("_near_dup")
+    )
+    out = (
+        base.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .withColumn(
+            "reject_reason",
+            F.when(~F.col("_lang_ok"), F.lit("language"))
+            .when(~F.col("_q_ok"), F.lit("quality"))
+            .when(F.coalesce(F.col("_exact_dup"), F.lit(False)), F.lit("exact_dup"))
+            .when(F.coalesce(F.col("_near_dup"), F.lit(False)), F.lit("near_dup")),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        "quality_micro",
+        "reject_reason",
+        F.col("reject_reason").isNull().alias("kept"),
+    )

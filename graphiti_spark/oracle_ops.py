@@ -1244,6 +1244,26 @@ QUALIFY rank <= {k}
 """
 
 
+def _unroll_min_label(prefix: str, vsrc: str, esrc: str, rounds: int) -> list:
+    """Connected components as min-label propagation unrolled into
+    chained CTEs — exact while component diameter <= rounds (the same
+    argument as the communities oracle: post-convergence rounds are
+    no-ops). MATERIALIZED is load-bearing: each round references the
+    previous one twice, so plain CTE inlining would duplicate the whole
+    subtree per round — 2^rounds parquet scans."""
+    ctes = [f"{prefix}0 AS MATERIALIZED (SELECT id, id AS lbl FROM {vsrc})"]
+    for k in range(rounds):
+        ctes.append(
+            f"""{prefix}{k + 1} AS MATERIALIZED (
+  SELECT v.id, least(v.lbl, COALESCE(MIN(n.lbl), v.lbl)) AS lbl
+  FROM {prefix}{k} v
+  LEFT JOIN {esrc} e ON e.x = v.id
+  LEFT JOIN {prefix}{k} n ON n.id = e.y
+  GROUP BY v.id, v.lbl)"""
+        )
+    return ctes
+
+
 def q_incremental_dedup(threshold: float = 0.5, rounds: int = 6) -> str:
     """Oracle for the incremental corpus-dedup index driver query
     (operators/dedup_index.DedupIndex over the perturbed corpus in two
@@ -1261,22 +1281,8 @@ def q_incremental_dedup(threshold: float = 0.5, rounds: int = 6) -> str:
       min stored member, else the min twin is kept.
     """
 
-    def unroll(prefix: str, vsrc: str, esrc: str) -> list[str]:
-        # MATERIALIZED is load-bearing (same note as the communities
-        # oracle): each round references the previous one twice, so
-        # plain CTE inlining would duplicate the whole subtree per
-        # round — 2^rounds parquet scans.
-        ctes = [f"{prefix}0 AS MATERIALIZED (SELECT id, id AS lbl FROM {vsrc})"]
-        for k in range(rounds):
-            ctes.append(
-                f"""{prefix}{k + 1} AS MATERIALIZED (
-  SELECT v.id, least(v.lbl, COALESCE(MIN(n.lbl), v.lbl)) AS lbl
-  FROM {prefix}{k} v
-  LEFT JOIN {esrc} e ON e.x = v.id
-  LEFT JOIN {prefix}{k} n ON n.id = e.y
-  GROUP BY v.id, v.lbl)"""
-            )
-        return ctes
+    def unroll(prefix: str, vsrc: str, esrc: str) -> list:
+        return _unroll_min_label(prefix, vsrc, esrc, rounds)
 
     head = f"""{_PERTURBED},
 t AS (SELECT id, {_toks('text')} AS toks FROM corpus),
@@ -1405,4 +1411,84 @@ SELECT doc_id, split_key,
   CASE WHEN {bucket} < 80 THEN 'train'
        WHEN {bucket} < 90 THEN 'val' ELSE 'test' END AS split
 FROM keyed
+"""
+
+
+def q_curate(min_quality_micro: int = 500_000, threshold: float = 0.5,
+             rounds: int = 6) -> str:
+    """Oracle for the curate() facade over the perturbed corpus: the
+    same four stages composed in SQL — language argmax (q_language_id's
+    expressions), quality micro-score (q_quality's), exact content-hash
+    dedup among filter survivors, near-dup components among exact-kept
+    survivors (min-label unroll, exact at fixture diameters). Reason =
+    first failing stage; kept = no reason."""
+    langs = sorted(STOPWORDS)
+    score_exprs = ",\n    ".join(
+        f"len(list_filter(toks, t -> list_contains({_sql_strlist(STOPWORDS[l])}, t)))"
+        f" / greatest(len(toks), 1) AS score_{l}"
+        for l in langs
+    )
+    greatest = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    pred = "CASE " + " ".join(
+        f"WHEN score_{l} = {greatest} THEN '{l}'" for l in langs
+    ) + " END"
+    en = _sql_strlist(STOPWORDS["en"])
+    comp = _unroll_min_label("cv", "vx", "e2", rounds)
+    return f"""
+WITH {_PERTURBED},
+t AS MATERIALIZED (SELECT id, text, {_toks('text')} AS toks FROM corpus),
+lp AS (
+  SELECT id, {pred} AS lang_pred FROM (SELECT id, {score_exprs} FROM t)
+),
+qm AS (
+  SELECT id,
+    CAST(floor((0.5 * (len(list_distinct(toks)) / greatest(len(toks), 1))
+      + 0.3 * least((len(list_filter(toks, t -> list_contains({en}, t)))
+          / greatest(len(toks), 1)) * 5, 1.0)
+      + 0.2 * (CASE WHEN len(toks) BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+    ) * 1000000 + 0.5) AS BIGINT) AS quality_micro
+  FROM t
+),
+base AS MATERIALIZED (
+  SELECT t.id, t.text, lp.lang_pred, qm.quality_micro,
+    lp.lang_pred IN ('en') AS lang_ok,
+    qm.quality_micro >= {min_quality_micro} AS q_ok
+  FROM t JOIN lp USING (id) JOIN qm USING (id)
+),
+flt AS (SELECT * FROM base WHERE lang_ok AND q_ok),
+eh AS (SELECT id, md5(text) AS h FROM flt),
+ek AS (SELECT h, MIN(id) AS ek FROM eh GROUP BY 1),
+ex AS MATERIALIZED (
+  SELECT eh.id, eh.id <> ek.ek AS exact_dup FROM eh JOIN ek USING (h)
+),
+shk AS MATERIALIZED (
+  SELECT t.id, {_shingle_sql('toks')} AS s
+  FROM t JOIN (SELECT id FROM ex WHERE NOT exact_dup) k USING (id)
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM shk a JOIN shk b ON a.id < b.id
+  WHERE round(len(list_intersect(a.s, b.s))
+    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= {threshold}
+),
+e2 AS MATERIALIZED (
+  SELECT id_a AS x, id_b AS y FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+vx AS (SELECT DISTINCT x AS id FROM e2),
+{",".join(comp)},
+dec AS (
+  SELECT b.id AS doc_id, b.lang_pred, b.quality_micro,
+    CASE WHEN NOT b.lang_ok THEN 'language'
+         WHEN NOT b.q_ok THEN 'quality'
+         WHEN COALESCE(ex.exact_dup, FALSE) THEN 'exact_dup'
+         WHEN n.lbl IS NOT NULL AND n.lbl <> b.id THEN 'near_dup'
+    END AS reject_reason
+  FROM base b
+  LEFT JOIN ex ON ex.id = b.id
+  LEFT JOIN cv{rounds} n ON n.id = b.id
+)
+SELECT doc_id, lang_pred, quality_micro, reject_reason,
+  reject_reason IS NULL AS kept
+FROM dec
 """

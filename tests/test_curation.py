@@ -336,3 +336,37 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
         docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     ).collect()}
     assert any(raw[a] != raw[b] for a, b in pairs)
+
+
+def test_curate_reason_precedence_and_filter_then_dedup_order(spark):
+    """curate(): reasons report the FIRST failing stage, and dedup
+    keepers are chosen AMONG filter survivors — a cluster whose best
+    member fails the language filter keeps the best SURVIVING member."""
+    from graphiti_spark.operators.docops import curate
+
+    en_pad = "the a and of to " * 4  # strong en signal + quality stopwords
+    body = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(
+        spark,
+        [
+            (1, f"{en_pad}{body} one"),
+            # exact copy of 1 → exact_dup (keeper = '1')
+            (2, f"{en_pad}{body} one"),
+            # near-twin of 1 → near_dup
+            (3, f"{en_pad}{body} two"),
+            # German near-twin: fails language FIRST even though it is
+            # also a near-dup of 1
+            (4, f"der die das und ist {body} one"),
+            # low quality: repeated token (distinct ratio ~0); one 'the'
+            # keeps the language English so quality is the first failure
+            (5, "the " + "spam " * 40),
+            (6, f"{en_pad}completely different surviving content here"),
+        ],
+    )
+    out = {r.doc_id: r for r in curate(docs, min_quality_micro=400_000).collect()}
+    assert out["1"].kept and out["1"].reject_reason is None
+    assert out["2"].reject_reason == "exact_dup"
+    assert out["3"].reject_reason == "near_dup"
+    assert out["4"].reject_reason == "language"
+    assert out["5"].reject_reason == "quality"
+    assert out["6"].kept
