@@ -370,3 +370,41 @@ def test_curate_reason_precedence_and_filter_then_dedup_order(spark):
     assert out["4"].reject_reason == "language"
     assert out["5"].reject_reason == "quality"
     assert out["6"].kept
+
+
+def test_chunk_and_line_dedup_conservation_invariants(spark):
+    """Global invariants: with overlap=0 the chunks concatenate back to
+    the exact token stream (no token lost or duplicated), and line
+    dedup keeps exactly one copy of every distinct line corpus-wide."""
+    import random
+
+    from graphiti_spark.operators.docops import chunk_documents, line_dedup
+
+    rng = random.Random(11)
+    vocab = [f"v{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 70))))
+        for i in range(50)
+    ]
+    rows.append((99, ""))  # empty doc
+    docs = _docs(spark, rows)
+
+    chunks = chunk_documents(docs, chunk_tokens=16, overlap=0).collect()
+    rebuilt: dict[str, list] = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_idx)):
+        rebuilt.setdefault(r.doc_id, []).extend(r.chunk_text.split())
+    for i, text in rows:
+        toks = text.split()
+        if toks:
+            assert rebuilt[str(i)] == toks
+        else:
+            assert str(i) not in rebuilt
+
+    out = line_dedup(docs, line_words=8)
+    total_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+    distinct_lines = set()
+    for _, text in rows:
+        toks = text.split()
+        for s in range(0, len(toks), 8):
+            distinct_lines.add(" ".join(toks[s : s + 8]))
+    assert total_kept == len(distinct_lines)
