@@ -320,6 +320,7 @@ def _q_incremental_dedup(spark, sf_dir):
     batches' (doc_id, dup_of, is_kept, batch) decisions; the DuckDB
     oracle replays both batches with min-label components unrolled as
     chained CTEs."""
+    import shutil
     import tempfile
 
     from graphiti_spark.io.tables import TableIO
@@ -330,12 +331,17 @@ def _q_incremental_dedup(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" extra tail tokens")).alias("text"),
     )
-    idx = DedupIndex(
-        TableIO(spark, tempfile.mkdtemp(prefix="drv_dedup_idx_")), threshold=0.5
-    )
-    d1 = idx.merge(d).withColumn("batch", F.lit(1))
-    d2 = idx.merge(twins).withColumn("batch", F.lit(2))
-    return d1.unionByName(d2)
+    root = tempfile.mkdtemp(prefix="drv_dedup_idx_")
+    try:
+        idx = DedupIndex(TableIO(spark, root), threshold=0.5)
+        d1 = idx.merge(d).withColumn("batch", F.lit(1))
+        d2 = idx.merge(twins).withColumn("batch", F.lit(2))
+        # merge() eager-localCheckpoints its decisions, so the returned
+        # frames no longer read the on-disk index and the scratch dir
+        # can be removed before the caller collects
+        return d1.unionByName(d2)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _q_simhash(spark, sf_dir):

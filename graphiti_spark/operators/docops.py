@@ -70,9 +70,19 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(documents: DataFrame) -> DataFrame:
-    """Deterministic quality heuristics: repetition ratio (distinct/total
-    tokens), length band, stopword presence. score in [0,1]."""
+def _micro(c: Column) -> Column:
+    """floor(x*1e6 + 0.5) instead of round(x, 6): the ratios are exact
+    small rationals that can land exactly on a .5 rounding boundary,
+    where Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree; floor of
+    the identical IEEE double is engine-independent."""
+    return F.floor(c * 1000000 + 0.5).cast("long")
+
+
+def _quality_exprs() -> dict[str, Column]:
+    """Quality heuristics as pure column expressions over ``text`` —
+    shared by :func:`quality_score` and :func:`curate` so the facade
+    computes them inline on its one corpus scan instead of re-scanning
+    and re-joining."""
     toks = tokenize(F.col("text"))
     n = F.size(toks)
     distinct_ratio = F.size(F.array_distinct(toks)) / F.greatest(n, F.lit(1))
@@ -86,26 +96,28 @@ def quality_score(documents: DataFrame) -> DataFrame:
         + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
         + 0.2 * length_ok.cast("double")
     )
+    return {
+        "distinct_ratio_micro": _micro(distinct_ratio),
+        "stopword_ratio_micro": _micro(stop_ratio),
+        "length_ok": length_ok,
+        "quality_micro": _micro(score),
+    }
 
-    # floor(x*1e6 + 0.5) instead of round(x, 6): the ratios are exact
-    # small rationals that can land exactly on a .5 rounding boundary,
-    # where Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree; floor of
-    # the identical IEEE double is engine-independent.
-    def _micro(c):
-        return F.floor(c * 1000000 + 0.5).cast("long")
 
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Deterministic quality heuristics: repetition ratio (distinct/total
+    tokens), length band, stopword presence. score in [0,1]."""
+    q = _quality_exprs()
     return documents.select(
-        "doc_id",
-        _micro(distinct_ratio).alias("distinct_ratio_micro"),
-        _micro(stop_ratio).alias("stopword_ratio_micro"),
-        length_ok.alias("length_ok"),
-        _micro(score).alias("quality_micro"),
+        "doc_id", *[expr.alias(name) for name, expr in q.items()]
     )
 
 
-def language_id(documents: DataFrame) -> DataFrame:
-    """Heuristic language id: per-language stopword hit rate, argmax
-    (ties → lexicographically first language)."""
+def _lang_pred_columns() -> tuple[list[Column], Column]:
+    """(per-language raw-score columns named ``score_<lang>``, argmax
+    expression over those columns) — pure expressions over ``text``,
+    shared by :func:`language_id` and :func:`curate`. Ties go to the
+    lexicographically first language."""
     toks = tokenize(F.col("text"))
     n = F.greatest(F.size(toks), F.lit(1))
     scores = []
@@ -116,14 +128,21 @@ def language_id(documents: DataFrame) -> DataFrame:
                 f"score_{lang}"
             )
         )
-    df = documents.select("doc_id", *scores)
     langs = sorted(STOPWORDS)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pred = None
     for l in langs:  # first lang reaching the max wins (ties → asc name)
         cond = F.col(f"score_{l}") == best
         pred = F.when(cond, F.lit(l)) if pred is None else pred.when(cond, F.lit(l))
-    return df.select(
+    return scores, pred
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language id: per-language stopword hit rate, argmax
+    (ties → lexicographically first language)."""
+    scores, pred = _lang_pred_columns()
+    langs = sorted(STOPWORDS)
+    return documents.select("doc_id", *scores).select(
         "doc_id",
         *[F.round(F.col(f"score_{l}"), 6).alias(f"score_{l}") for l in langs],
         pred.alias("lang_pred"),
@@ -1071,9 +1090,18 @@ def line_dedup(documents: DataFrame, line_words: int = 8) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<struct<pos:long,line:string>>"))
     exploded = documents.select(
-        F.col("doc_id").cast("long").alias("_did"), F.explode(lines).alias("l")
+        F.col("doc_id").alias("_did"), F.explode(lines).alias("l")
     ).select("_did", F.col("l.pos").alias("pos"), F.col("l.line").alias("line"))
-    w = Window.partitionBy(F.md5("line")).orderBy("_did", "pos")
+    # "first occurrence" orders numerically when ids parse as integers
+    # (matching the oracle on the integer-id test corpus) and falls back
+    # to lexicographic order for string ids — grouping stays on the
+    # ORIGINAL id either way, so a string-id corpus is never collapsed
+    # into one NULL group by a failed cast.
+    w = Window.partitionBy(F.md5("line")).orderBy(
+        F.col("_did").cast("string").try_cast("long").asc_nulls_last(),
+        F.col("_did").cast("string"),
+        "pos",
+    )
     marked = exploded.withColumn(
         "kept", F.row_number().over(w) == F.lit(1)
     )
@@ -1256,16 +1284,20 @@ def curate(
     (doc_id, lang_pred, quality_micro, reject_reason, kept); the reason
     reports the FIRST failing stage.
     """
-    li = language_id(documents).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "lang_pred"
-    )
-    qm = quality_score(documents).select(
-        F.col("doc_id").cast("string").alias("doc_id"), "quality_micro"
-    )
+    # language + quality are pure per-row expressions over the same
+    # text, so compute them INLINE on the facade's one corpus scan —
+    # no per-stage re-scan, no doc_id re-join shuffles (the dedup
+    # stages below are the only operators that inherently shuffle)
+    lang_scores, lang_pred = _lang_pred_columns()
     base = (
-        documents.select(F.col("doc_id").cast("string").alias("doc_id"), "text")
-        .join(li, "doc_id")
-        .join(qm, "doc_id")
+        documents.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "text",
+            _quality_exprs()["quality_micro"].alias("quality_micro"),
+            *lang_scores,
+        )
+        .withColumn("lang_pred", lang_pred)
+        .drop(*[f"score_{l}" for l in sorted(STOPWORDS)])
         .withColumn("_lang_ok", F.col("lang_pred").isin(list(langs)))
         .withColumn("_q_ok", F.col("quality_micro") >= min_quality_micro)
     )

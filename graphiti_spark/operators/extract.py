@@ -369,8 +369,18 @@ class ClientBackedExtractor:
         episodes = pdf[
             ["doc_id", "group_id", "offset", "text", "episode_valid_at"]
         ].to_dict("records")
+        results = self.client(episodes)
+        if len(results) != len(episodes):
+            # zip would silently truncate (dropping the tail episodes'
+            # triples) or, worse, misattribute triples to the wrong
+            # episode — fail loudly with the count instead
+            raise ValueError(
+                "client returned "
+                f"{len(results)} result lists for {len(episodes)} episodes; "
+                "the contract is one list per input episode, in order"
+            )
         out_rows: list[dict] = []
-        for ep, triples in zip(episodes, self.client(episodes)):
+        for ep, triples in zip(episodes, results):
             for t in triples or []:
                 out_rows.append(
                     {
@@ -388,7 +398,12 @@ class ClientBackedExtractor:
                 )
         out = pd.DataFrame(out_rows, columns=self._COLS)
         out["offset"] = out["offset"].astype("int32")
-        out["valid_at"] = pd.to_datetime(out["valid_at"], utc=True)
+        # coerce, don't raise: a malformed or out-of-ns-range date from
+        # the client (e.g. a '9999-01-01' sentinel) becomes NULL — the
+        # documented date-parse failure path (the reference swallows
+        # parse errors to None, edge_operations.py:207-221) — instead
+        # of killing the whole Spark stage
+        out["valid_at"] = pd.to_datetime(out["valid_at"], utc=True, errors="coerce")
         out["episode_valid_at"] = pd.to_datetime(out["episode_valid_at"], utc=True)
         keep = (
             out["subj_name"].fillna("").str.strip().ne("")

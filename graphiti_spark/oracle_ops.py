@@ -1350,12 +1350,7 @@ SELECT doc_id, dup_of, dup_of IS NULL AS is_kept, CAST(1 AS INT) AS batch
 FROM dec1
 UNION ALL
 SELECT doc_id, dup_of, dup_of IS NULL, CAST(2 AS INT) FROM dec2"""
-    return (
-        "WITH "
-        + ",\n".join([head] + a_ctes + [mid] + b_ctes + [tail.split("\n", 0)[0]])
-        if False
-        else "WITH " + ",\n".join([head] + a_ctes + [mid] + b_ctes) + ",\n" + tail
-    )
+    return "WITH " + ",\n".join([head] + a_ctes + [mid] + b_ctes) + ",\n" + tail
 
 
 def q_chunk_documents(chunk_tokens: int = 32, overlap: int = 8) -> str:

@@ -12,8 +12,14 @@ gives at-least-once foreachBatch delivery; ``DedupIndex.merge`` is
 idempotent on re-submitted doc_ids (same-id docs collide with their own
 stored copy and are not re-indexed; pinned by
 tests/test_dedup_index.py::test_merge_is_idempotent_on_resubmission),
-and the decisions table is overwritten per (batch_id) partition —
-together: effectively-once.
+and the decisions table is merged on doc_id with hash-of-doc_id
+partition scoping — a replayed batch rewrites only the buckets its own
+docs live in, with byte-identical content (merge decisions are
+deterministic) — together: effectively-once. Keying the merge on
+doc_id (not batch_id) also means a doc re-emitted in a LATER batch
+(crawlers do) updates its one decision row instead of accumulating a
+second: consumers can join/count decisions by doc_id without
+deduplicating first.
 """
 
 from __future__ import annotations
@@ -45,11 +51,13 @@ def stream_dedup(
 ) -> StreamingQuery:
     """File-source stream of document parquet → per-micro-batch
     incremental dedup. Decisions accumulate in the index root's
-    ``decisions`` table as (doc_id, dup_of, is_kept, batch_id),
-    partitioned by batch_id (a replayed batch overwrites its own
-    partition, never another's)."""
+    ``decisions`` table as (doc_id, dup_of, is_kept, batch_id), merged
+    on doc_id and partitioned by a hash bucket of doc_id so the merge
+    only rewrites the buckets the batch touches (O(batch), and one row
+    per doc_id even when a doc is re-emitted in a later batch)."""
     io = TableIO(spark, index_dir)
     idx = DedupIndex(io, threshold=threshold)
+    n_buckets = 64
 
     reader = spark.readStream.schema(DOCS_SCHEMA)
     if max_files_per_trigger is not None:
@@ -57,12 +65,14 @@ def stream_dedup(
     stream = reader.parquet(input_dir)
 
     def process_batch(batch_df, batch_id: int) -> None:
-        decisions = idx.merge(batch_df).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
+        decisions = (
+            idx.merge(batch_df)
+            .withColumn("batch_id", F.lit(batch_id).cast("long"))
+            .withColumn("bpart", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)))
         )
         io.merge_upsert(
             "decisions", decisions, key_cols=["doc_id"],
-            partition_col="batch_id",
+            partition_col="bpart",
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

@@ -138,3 +138,70 @@ def test_client_extractor_filters_and_empty_batches(spark):
     empty = extract_triples(eps, extractor=ClientBackedExtractor(silent_client))
     assert empty.count() == 0
     assert [f.name for f in empty.schema.fields] == ClientBackedExtractor._COLS
+
+
+def test_client_extractor_malformed_dates_fall_back_to_null(spark):
+    """A malformed or out-of-ns-range valid_at from the client becomes
+    NULL (the documented date-parse failure path, reference
+    edge_operations.py:207-221) — never a stage-killing exception."""
+    rows = [
+        ("d0", "g0", [{"kind": "text", "text": "whatever", "media_ref": None,
+                       "offset": 0}], datetime(2025, 1, 1, tzinfo=timezone.utc)),
+    ]
+    eps = spark.createDataFrame(
+        rows,
+        "doc_id string, group_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+        "valid_at timestamp",
+    )
+
+    def bad_date_client(episodes):
+        return [
+            [
+                {"speaker": "s", "subj_name": "a", "predicate": "P",
+                 "obj_name": "b", "fact": "f", "valid_at": "9999-01-01"},
+                {"speaker": "s", "subj_name": "c", "predicate": "P",
+                 "obj_name": "d", "fact": "f", "valid_at": "not-a-date"},
+                {"speaker": "s", "subj_name": "e", "predicate": "P",
+                 "obj_name": "g", "fact": "f",
+                 "valid_at": "2020-06-01T00:00:00Z"},
+            ]
+            for _ in episodes
+        ]
+
+    got = extract_triples(
+        eps, extractor=ClientBackedExtractor(bad_date_client)
+    ).collect()
+    by_subj = {r.subj_name: r.valid_at for r in got}
+    assert by_subj["a"] is None          # out-of-ns-range sentinel
+    assert by_subj["c"] is None          # unparseable
+    assert by_subj["e"].year == 2020     # well-formed survives
+
+
+def test_client_extractor_rejects_result_count_mismatch(spark):
+    """A client returning the wrong number of result lists must fail
+    loudly — zip truncation would silently drop or misattribute
+    triples."""
+    import pytest
+
+    rows = [
+        ("d0", "g0", [{"kind": "text", "text": "t0", "media_ref": None,
+                       "offset": 0}], datetime(2025, 1, 1, tzinfo=timezone.utc)),
+        ("d1", "g0", [{"kind": "text", "text": "t1", "media_ref": None,
+                       "offset": 0}], datetime(2025, 1, 1, tzinfo=timezone.utc)),
+    ]
+    eps = spark.createDataFrame(
+        rows,
+        "doc_id string, group_id string, "
+        "spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+        "valid_at timestamp",
+    )
+
+    def short_client(episodes):
+        return [[] for _ in episodes][:-1]   # one list too few
+
+    df = extract_triples(
+        eps, extractor=ClientBackedExtractor(short_client)
+    ).coalesce(1)  # both episodes in one arrow batch so the check fires
+    with pytest.raises(Exception, match="result lists for"):
+        df.collect()

@@ -408,3 +408,26 @@ def test_chunk_and_line_dedup_conservation_invariants(spark):
         for s in range(0, len(toks), 8):
             distinct_lines.add(" ".join(toks[s : s + 8]))
     assert total_kept == len(distinct_lines)
+
+
+def test_line_dedup_string_doc_ids_stay_per_doc(spark):
+    """Regression: string doc_ids (the KG side's shape) must not be
+    collapsed into one NULL group by a failed cast-to-long — grouping
+    stays on the original id, and the keep rule falls back to
+    lexicographic first-occurrence."""
+    from graphiti_spark.operators.docops import line_dedup
+
+    boiler = "the quick brown fox jumps over the dog"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            ("doc-b", f"{boiler} gamma delta"),
+            ("doc-a", f"{boiler} alpha beta"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup(docs, line_words=8).collect()}
+    assert set(out) == {"doc-a", "doc-b"}          # one row PER doc
+    # lexicographic first occurrence: doc-a owns the shared boiler line
+    assert out["doc-a"].text_clean == f"{boiler} alpha beta"
+    assert (out["doc-b"].n_lines, out["doc-b"].n_kept) == (2, 1)
+    assert out["doc-b"].text_clean == "gamma delta"

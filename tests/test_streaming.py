@@ -246,3 +246,41 @@ def test_stream_dedup_matches_sequential_merges(spark, tmp_path_factory):
     # cross-batch twins resolved against stored keepers
     assert all(got[str(100 + i)] == str(i) for i in range(4))
     assert got["50"] is None
+
+
+def test_stream_dedup_reemitted_doc_keeps_one_decision_row(
+    spark, tmp_path_factory
+):
+    """Regression: a doc_id re-emitted in a LATER batch (crawlers do)
+    must update its single decisions row, not accumulate a second —
+    the merge keys on doc_id with hash-of-doc_id partition scoping."""
+    from graphiti_spark.streaming.dedup import stream_dedup
+
+    rows1 = [(1, "alpha beta gamma delta epsilon zeta eta theta")]
+    rows2 = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),  # re-emit
+        (2, "entirely different words nothing shared here at all"),
+    ]
+    in_dir = str(tmp_path_factory.mktemp("dedup_in2"))
+    spark.createDataFrame(rows1, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(rows2, "doc_id long, text string").coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+
+    idx_dir = str(tmp_path_factory.mktemp("dedup_idx2"))
+    ckpt = str(tmp_path_factory.mktemp("dedup_ckpt2"))
+    q = stream_dedup(
+        spark, in_dir, idx_dir, ckpt, available_now=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    rows = spark.read.parquet(f"{idx_dir}/decisions").collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, []).append(r)
+    assert all(len(v) == 1 for v in per_doc.values()), per_doc
+    assert per_doc["1"][0].is_kept          # re-emit collides with own copy
+    assert per_doc["2"][0].is_kept
