@@ -141,6 +141,15 @@ def _q_clustering_coefficient(spark, sf_dir):
     out = _graph(spark, sf_dir)
     return clustering_coefficient(out.nodes, out.edges)
 
+
+def _q_kcore(spark, sf_dir):
+    """k-core membership over the canonical entity graph (iterative
+    peeling, fixed unroll — centrality.kcore)."""
+    from graphiti_spark.operators.centrality import kcore
+
+    out = _graph(spark, sf_dir)
+    return kcore(out.nodes, out.edges)
+
 # ---------------------------------------------------------------------------
 # docops / search / maintenance queries
 # ---------------------------------------------------------------------------
@@ -310,6 +319,23 @@ def _q_line_dedup(spark, sf_dir):
     from graphiti_spark.operators.docops import line_dedup
 
     return line_dedup(_docs(spark, sf_dir))
+
+
+def _q_duplicate_spans(spark, sf_dir):
+    """Exact duplicated-substring spans (Lee et al. 2022 style): k-gram
+    md5 anchors with >1 corpus occurrence, merged per doc into maximal
+    spans."""
+    from graphiti_spark.operators.docops import duplicate_spans
+
+    return duplicate_spans(_docs(spark, sf_dir))
+
+
+def _q_source_cap(spark, sf_dir):
+    """Per-source (domain) document cap: deterministic md5-ranked
+    top-cap per source via a salted two-phase rank."""
+    from graphiti_spark.operators.docops import source_cap
+
+    return source_cap(_docs(spark, sf_dir))
 
 
 def _q_incremental_dedup(spark, sf_dir):
@@ -770,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "triangle_count": _q_triangle_count,
         "clustering_coefficient": _q_clustering_coefficient,
+        "kcore": _q_kcore,
         # text analysis
         "token_stats": _q_token_stats,
         "quality": _q_quality,
@@ -793,6 +820,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_duplicates": _q_near_duplicates,
         "ngram_jaccard": _q_ngram_jaccard,
         "line_dedup": _q_line_dedup,
+        "duplicate_spans": _q_duplicate_spans,
+        "source_cap": _q_source_cap,
         "incremental_dedup": _q_incremental_dedup,
         "dedup_keep_list": _q_dedup_keep_list,
         "simhash": _q_simhash,
@@ -848,6 +877,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oo.q_pagerank(),
         "triangle_count": oo.q_triangle_count(),
         "clustering_coefficient": oo.q_clustering_coefficient(),
+        "kcore": oo.q_kcore(),
         "tfidf_topk": oo.q_tfidf_topk(),
         "repetition_stats": oo.q_repetition_stats(),
         "boilerplate_ngrams": oo.q_boilerplate_ngrams(),
@@ -868,6 +898,8 @@ def oracle_sql() -> dict[str, str]:
         # a completely different blocking strategy
         "ngram_jaccard": oo.q_near_duplicates(),
         "line_dedup": oo.q_line_dedup(),
+        "duplicate_spans": oo.q_duplicate_spans(),
+        "source_cap": oo.q_source_cap(),
         "incremental_dedup": oo.q_incremental_dedup(),
         "dedup_keep_list": oo.q_dedup_keep_list(),
         "simhash": oo.q_simhash(),

@@ -219,3 +219,69 @@ def clustering_coefficient(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             .alias("cc_micro"),
         )
     )
+
+
+def kcore(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 6,
+) -> DataFrame:
+    """(group_id, name, core_deg, in_kcore) — k-core membership over
+    the undirected canonical entity graph: iteratively peel nodes of
+    degree < ``k`` (with their edges) until fixpoint, the standard
+    dense-subgraph / noise-pruning primitive (Matula & Beck 1983; the
+    usual "strip leaf entities before community detection" pass for a
+    corpus-scale KG). ``core_deg`` is the node's degree inside the
+    surviving subgraph, 0 for peeled / isolated nodes.
+
+    Determinism across engines: peeling is run a FIXED ``rounds``
+    iterations in both Spark and the DuckDB oracle (the LPA /
+    pagerank unroll pattern) — peeling is monotone (the active edge
+    set only shrinks), so once converged extra rounds are identity;
+    tests pin that the fixture converges well inside the default.
+
+    Scale shape: each round is one degree groupBy (map-side partial
+    agg — hub entities are an agg skew, not a join skew) plus two
+    left-semi hash joins filtering the edge list against surviving
+    nodes; lineage is cut with localCheckpoint every 2 rounds. No
+    windows, no Python, no driver-side data.
+    """
+    und, _ = _undirected_degrees(edges)
+    active = und.localCheckpoint(eager=True)
+    for r in range(rounds):
+        deg = (
+            active.select("group_id", F.col("a").alias("name"))
+            .unionByName(active.select("group_id", F.col("b").alias("name")))
+            .groupBy("group_id", "name")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("group_id", "name")
+        active = active.join(
+            keep.select("group_id", F.col("name").alias("a")),
+            ["group_id", "a"],
+            "left_semi",
+        ).join(
+            keep.select("group_id", F.col("name").alias("b")),
+            ["group_id", "b"],
+            "left_semi",
+        )
+        if (r + 1) % 2 == 0 and r + 1 < rounds:
+            active = active.localCheckpoint(eager=True)
+    core_deg = (
+        active.select("group_id", F.col("a").alias("name"))
+        .unionByName(active.select("group_id", F.col("b").alias("name")))
+        .groupBy("group_id", "name")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+    return (
+        nodes.select("group_id", "name")
+        .dropDuplicates()
+        .join(core_deg, ["group_id", "name"], "left")
+        .select(
+            "group_id",
+            "name",
+            F.coalesce("core_deg", F.lit(0)).cast("long").alias("core_deg"),
+            (F.coalesce("core_deg", F.lit(0)) >= k).alias("in_kcore"),
+        )
+    )

@@ -1331,3 +1331,125 @@ def curate(
         "reject_reason",
         F.col("reject_reason").isNull().alias("kept"),
     )
+
+
+def duplicate_spans(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Exact duplicated-SUBSTRING detection (the suffix-array dedup
+    stage of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499) re-expressed as gram
+    anchoring: a token k-gram that occurs >= 2 times anywhere in the
+    corpus anchors a duplicated region, and overlapping/adjacent
+    anchored regions per document merge (gaps-and-islands) into MAXIMAL
+    duplicated spans. Catches partially-copied passages (license
+    blurbs, quoted paragraphs, template prose) that doc-level dedup
+    (exact_duplicates / near_duplicates) and fixed-window line_dedup
+    both miss; every emitted span is exactly duplicated at >= k-token
+    granularity — no false positives, and false negatives only below k
+    tokens. Returns (doc_id, span_start, span_end, n_tokens), token
+    positions 1-based inclusive.
+
+    Scale shape: gram text never shuffles — each k-gram is reduced to
+    md5 in the scan stage, so the dup-count groupBy keys on a uniform
+    128-bit hash (no hot reducer, map-side partial agg) and the
+    left-semi join back carries only (doc_id, pos, hash). The island
+    merge is one window per doc_id — bounded by document length, the
+    same per-doc key every other docop uses. At 100 TB the explode is
+    ~|tokens| rows of fixed width; nothing is O(N^2) and nothing is
+    corpus-global except the hash-keyed count."""
+    toks = tokenize(F.col("text"))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+        lambda i: F.struct(
+            i.cast("long").alias("pos"),
+            F.md5(F.array_join(F.slice(toks, i, k), " ")).alias("h"),
+        ),
+    )
+    positions = (
+        documents.where(F.size(tokenize(F.col("text"))) >= k)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    dup = (
+        positions.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 1)
+        .select("h")
+    )
+    hits = positions.join(dup, "h", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = hits.withColumn(
+        "_brk",
+        F.when(F.col("pos") > F.coalesce(prev_end, F.lit(-(10 ** 9))) + 1, 1).otherwise(0),
+    ).withColumn(
+        "_island",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        marked.groupBy("doc_id", "_island")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            F.max("end").cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("n_tokens"),
+        )
+    )
+
+
+def source_cap(documents: DataFrame, cap: int = 10, n_salts: int = 16) -> DataFrame:
+    """Per-source document cap (the URL/domain-cap stage of RefinedWeb /
+    Dolma-style curation): keep at most ``cap`` documents per
+    ``source``, chosen deterministically by md5(doc_id) ascending — a
+    uniform, replay-stable sample, never rand(). Returns one row per
+    document: (doc_id, source, src_rank, kept); ``src_rank`` is the
+    doc's global rank within its source for kept docs, NULL otherwise.
+
+    Scale shape — exact top-k per key WITHOUT a per-source global
+    window: a single window over a hot domain (hundreds of millions of
+    docs behind one key at 100 TB) would serialize on one reducer, so
+    the rank runs two-phase. Phase 1 ranks within (source, salt) —
+    ``n_salts`` bounded partitions per source — and keeps each salt's
+    local top-``cap``; the global top-``cap`` is provably a subset of
+    that union (a doc outside its salt's top-cap has >= cap smaller
+    hashes in its own salt alone). Phase 2 ranks the <= cap*n_salts
+    survivors per source — a bounded set, safe for a plain window.
+    The salt is engine-internal (xxhash64); it cannot change the
+    result, only the partitioning, so the DuckDB oracle replays the
+    single-window form."""
+    base = documents.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "source",
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    salted = base.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("doc_id")), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy("source", "_salt").orderBy("_h", "doc_id")
+    cand = (
+        salted.withColumn("_lr", F.row_number().over(w1))
+        .where(F.col("_lr") <= cap)
+        .drop("_lr", "_salt")
+    )
+    w2 = Window.partitionBy("source").orderBy("_h", "doc_id")
+    kept = (
+        cand.withColumn("src_rank", F.row_number().over(w2).cast("long"))
+        .where(F.col("src_rank") <= cap)
+        .select("doc_id", "src_rank")
+    )
+    return (
+        base.join(kept, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            "src_rank",
+            F.col("src_rank").isNotNull().alias("kept"),
+        )
+    )

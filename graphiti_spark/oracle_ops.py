@@ -1487,3 +1487,100 @@ SELECT doc_id, lang_pred, quality_micro, reject_reason,
   reject_reason IS NULL AS kept
 FROM dec
 """
+
+
+def q_duplicate_spans(k: int = 8) -> str:
+    """SQL twin of docops.duplicate_spans: identical k-gram md5
+    anchoring, >1-occurrence dup rule, and gaps-and-islands merge of
+    overlapping/adjacent anchored regions into maximal spans."""
+    return f"""
+WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, {_toks('text')} AS tk
+           FROM documents),
+grams AS (
+  SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+    md5(array_to_string(
+      tk[CAST(u.i AS BIGINT) : CAST(u.i + {k} - 1 AS BIGINT)], ' ')) AS h
+  FROM t, UNNEST(generate_series(1, len(tk) - {k} + 1)) AS u(i)
+  WHERE len(tk) >= {k}
+),
+dup AS (SELECT h FROM grams GROUP BY h HAVING COUNT(*) > 1),
+hits AS (
+  SELECT g.doc_id, g.pos, g.pos + {k} - 1 AS e
+  FROM grams g SEMI JOIN dup d ON g.h = d.h),
+isl AS (
+  SELECT doc_id, pos, e,
+    CASE WHEN pos > COALESCE(MAX(e) OVER (
+        PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      -1000000000) + 1 THEN 1 ELSE 0 END AS brk
+  FROM hits),
+isl2 AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM isl)
+SELECT doc_id,
+  CAST(MIN(pos) AS BIGINT) AS span_start,
+  CAST(MAX(e) AS BIGINT) AS span_end,
+  CAST(MAX(e) - MIN(pos) + 1 AS BIGINT) AS n_tokens
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
+def q_source_cap(cap: int = 10) -> str:
+    """SQL twin of docops.source_cap — the single-window form; the
+    Spark side's two-phase salted rank is provably equivalent (the
+    global top-cap per source is a subset of the per-salt top-caps)."""
+    return f"""
+WITH b AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, source,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+  FROM b)
+SELECT doc_id, source,
+  CASE WHEN rn <= {cap} THEN CAST(rn AS BIGINT) END AS src_rank,
+  rn <= {cap} AS kept
+FROM r
+"""
+
+
+def q_kcore(k: int = 2, rounds: int = 6) -> str:
+    """SQL twin of centrality.kcore — peeling unrolled to the same
+    fixed round count (the pagerank/LPA unroll pattern): per round,
+    degree over the surviving undirected edge set, keep nodes with
+    deg >= k, filter edges to kept-x-kept."""
+    steps = []
+    for r in range(rounds):
+        # MATERIALIZED is load-bearing: every round references the
+        # previous round's edge set multiple times; inlined CTEs would
+        # re-expand the whole chain exponentially (the LPA-unroll
+        # lesson, q_communities)
+        steps.append(f"""d{r} AS MATERIALIZED (
+  SELECT group_id, name, COUNT(*) AS deg FROM (
+    SELECT group_id, a AS name FROM e{r}
+    UNION ALL SELECT group_id, b FROM e{r})
+  GROUP BY 1, 2),
+k{r} AS MATERIALIZED (SELECT group_id, name FROM d{r} WHERE deg >= {k}),
+e{r + 1} AS MATERIALIZED (
+  SELECT e.* FROM e{r} e
+  SEMI JOIN k{r} ka ON ka.group_id = e.group_id AND ka.name = e.a
+  SEMI JOIN k{r} kb ON kb.group_id = e.group_id AND kb.name = e.b)""")
+    return f"""
+WITH {EDGES_CTE},
+tnodes AS (SELECT DISTINCT group_id, canonical_name AS name FROM canon_map),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT group_id, least(subj_name, obj_name) AS a,
+         greatest(subj_name, obj_name) AS b
+  FROM dedup WHERE subj_name <> obj_name),
+{",".join(steps)},
+cd AS (
+  SELECT group_id, name, CAST(COUNT(*) AS BIGINT) AS core_deg FROM (
+    SELECT group_id, a AS name FROM e{rounds}
+    UNION ALL SELECT group_id, b FROM e{rounds})
+  GROUP BY 1, 2)
+SELECT n.group_id, n.name,
+  CAST(COALESCE(cd.core_deg, 0) AS BIGINT) AS core_deg,
+  COALESCE(cd.core_deg, 0) >= {k} AS in_kcore
+FROM tnodes n LEFT JOIN cd USING (group_id, name)
+"""

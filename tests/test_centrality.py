@@ -42,3 +42,46 @@ def test_triangle_k4_and_direction_collapse(spark):
     assert out == {"a": 3, "b": 3, "c": 3, "d": 3}
     # global count = sum / 3
     assert sum(out.values()) // 3 == 4
+
+
+def test_kcore_peeling_cascade(spark):
+    # triangle a-b-c (the 2-core) + chain c-d-e: d has degree 2 before
+    # peeling but falls out once e (degree 1) is removed — the cascade
+    # a single-pass degree filter would miss
+    from graphiti_spark.operators.centrality import kcore
+
+    nodes, edges = _graph(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")],
+    )
+    out = {r.name: (r.core_deg, r.in_kcore) for r in kcore(nodes, edges, k=2).collect()}
+    assert out == {
+        "a": (2, True), "b": (2, True), "c": (2, True),
+        "d": (0, False), "e": (0, False),
+    }
+
+
+def test_kcore_fixpoint_extra_rounds_identity(spark):
+    # peeling is monotone: once converged, extra unrolled rounds are
+    # identity — the property the fixed-round oracle unroll relies on
+    from graphiti_spark.operators.centrality import kcore
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+             ("e", "f"), ("f", "d"), ("a", "x"), ("x", "y")]
+    nodes, edges = _graph(spark, pairs)
+    r4 = sorted(map(tuple, kcore(nodes, edges, k=2, rounds=4).collect()))
+    r7 = sorted(map(tuple, kcore(nodes, edges, k=2, rounds=7).collect()))
+    assert r4 == r7
+    kept = {t[1] for t in r4 if t[3]}
+    assert kept == {"a", "b", "c", "d", "e", "f"}
+
+
+def test_kcore_k3_dissolves_sparse_graph(spark):
+    # k=3 on a graph whose densest block is a triangle: everything peels
+    from graphiti_spark.operators.centrality import kcore
+
+    nodes, edges = _graph(
+        spark, [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    )
+    out = kcore(nodes, edges, k=3).collect()
+    assert all(not r.in_kcore and r.core_deg == 0 for r in out)

@@ -431,3 +431,97 @@ def test_line_dedup_string_doc_ids_stay_per_doc(spark):
     assert out["doc-a"].text_clean == f"{boiler} alpha beta"
     assert (out["doc-b"].n_lines, out["doc-b"].n_kept) == (2, 1)
     assert out["doc-b"].text_clean == "gamma delta"
+
+
+# ---------------------------------------------------------------------------
+# duplicate_spans (exact duplicated substrings)
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_spans_shared_passage(spark):
+    from graphiti_spark.operators.docops import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = _docs(spark, [
+        (1, "unique one two three " + shared + " tail1 only here"),
+        (2, shared + " completely different continuation words four"),
+        (3, "no overlap with anything else at all whatsoever"),
+    ])
+    out = {r.doc_id: (r.span_start, r.span_end, r.n_tokens)
+           for r in duplicate_spans(docs, k=8).collect()}
+    # doc 1: shared passage occupies token positions 5..12
+    assert out["1"] == (5, 12, 8)
+    # doc 2: positions 1..8; doc 3: no duplicated k-gram
+    assert out["2"] == (1, 8, 8)
+    assert "3" not in out
+
+
+def test_duplicate_spans_merges_overlapping_anchors(spark):
+    from graphiti_spark.operators.docops import duplicate_spans
+
+    # 12 shared tokens → 5 overlapping 8-gram anchors in each doc, all
+    # merging into ONE maximal span of 12 tokens
+    shared = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"
+    docs = _docs(spark, [
+        (1, shared + " x1 x2 x3"),
+        (2, "y1 y2 " + shared),
+    ])
+    rows = duplicate_spans(docs, k=8).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    assert len(rows) == 2
+    assert (by_doc["1"].span_start, by_doc["1"].span_end) == (1, 12)
+    assert (by_doc["2"].span_start, by_doc["2"].span_end) == (3, 14)
+    assert by_doc["1"].n_tokens == 12
+
+
+def test_duplicate_spans_within_doc_repetition_and_short_docs(spark):
+    from graphiti_spark.operators.docops import duplicate_spans
+
+    rep = "r1 r2 r3 r4 r5 r6 r7 r8"
+    docs = _docs(spark, [
+        (1, rep + " mid1 mid2 " + rep),  # same 8-gram twice in ONE doc
+        (2, "too short to gram"),         # < k tokens: no output
+    ])
+    rows = sorted(
+        duplicate_spans(docs, k=8).collect(), key=lambda r: r.span_start
+    )
+    assert [r.doc_id for r in rows] == ["1", "1"]
+    assert (rows[0].span_start, rows[0].span_end) == (1, 8)
+    assert (rows[1].span_start, rows[1].span_end) == (11, 18)
+
+
+# ---------------------------------------------------------------------------
+# source_cap (per-domain cap)
+# ---------------------------------------------------------------------------
+
+
+def _src_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string")
+
+
+def test_source_cap_respects_cap_and_small_sources(spark):
+    from graphiti_spark.operators.docops import source_cap
+
+    rows = [(i, "big") for i in range(40)] + [(100 + i, "small") for i in range(3)]
+    out = source_cap(_src_docs(spark, rows), cap=10).collect()
+    kept = [r for r in out if r.kept]
+    assert len(out) == 43  # one row per input doc
+    assert sum(1 for r in kept if r.source == "big") == 10
+    assert sum(1 for r in kept if r.source == "small") == 3  # under cap: all kept
+    ranks = sorted(r.src_rank for r in kept if r.source == "big")
+    assert ranks == list(range(1, 11))
+    assert all(r.src_rank is None for r in out if not r.kept)
+
+
+def test_source_cap_salt_count_invariance(spark):
+    # the two-phase salted rank must select the SAME top-cap set as a
+    # single global rank regardless of salt count (the equivalence the
+    # single-window DuckDB oracle relies on)
+    from graphiti_spark.operators.docops import source_cap
+
+    rows = [(i, f"s{i % 3}") for i in range(90)]
+    base = _src_docs(spark, rows)
+    ref = sorted(map(tuple, source_cap(base, cap=7, n_salts=1).collect()))
+    for n_salts in (2, 16, 64):
+        got = sorted(map(tuple, source_cap(base, cap=7, n_salts=n_salts).collect()))
+        assert got == ref, f"n_salts={n_salts} diverged"
