@@ -266,9 +266,11 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     # scanning a dup-free corpus.
     from graphiti_spark.operators.docops import (
         decontaminate,
+        duplicate_spans,
         exact_duplicates,
         line_dedup,
         near_duplicates,
+        source_cap,
         tfidf_topk_terms,
     )
 
@@ -327,9 +329,28 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     t = time.perf_counter()
     n_tfidf = tfidf_topk_terms(amp).count()
     cur["tfidf_sec"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    n_dup_spans = duplicate_spans(amp).count()
+    cur["dup_spans_sec"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    n_capped = (
+        source_cap(
+            amp.withColumn(
+                "source",
+                F.concat(F.lit("src"), (F.col("doc_id") % 50).cast("string")),
+            ),
+            cap=200,
+        )
+        .where(F.col("kept"))
+        .count()
+    )
+    cur["source_cap_sec"] = round(time.perf_counter() - t, 3)
     cur_total = time.perf_counter() - t_cur
     amp.unpersist()
-    assert n_exact > 0 and n_near > 0 and n_contam > 0 and n_tfidf > 0
+    assert (
+        n_exact > 0 and n_near > 0 and n_contam > 0 and n_tfidf > 0
+        and n_dup_spans > 0 and n_capped > 0
+    )
     curation = {
         "n_docs": n_cur_docs,
         **cur,
@@ -338,6 +359,8 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         "n_exact_dup_groups": n_exact,
         "n_lines_kept": int(n_kept),
         "n_near_dup_pairs": n_near,
+        "n_dup_spans": n_dup_spans,
+        "n_source_capped_kept": n_capped,
     }
     queries.update({f"curation_{k}": v for k, v in cur.items()})
 
