@@ -43,13 +43,37 @@ def wait_for_quiet_window() -> dict:
     gate = float(os.environ.get("BENCH_QUIET_GATE", "2.0"))
     max_wait = float(os.environ.get("BENCH_QUIET_MAX_WAIT", "300"))
     t0 = time.monotonic()
-    load = os.getloadavg()[0]
-    while gate > 0 and load > gate and time.monotonic() - t0 < max_wait:
+
+    def _busy_now() -> tuple[float, float]:
+        """(1-min loadavg, non-idle cores over a 3 s /proc/stat delta).
+
+        Loadavg alone misses tenants burning SYSTEM time (measured on
+        this instance: loadavg 0.02 while /proc/stat showed ~12 system
+        cores busy) — so the gate also samples actual CPU occupancy.
+        """
+        a = _cpu_sample()
+        time.sleep(3)
+        b = _cpu_sample()
+        d = cpu_delta_cores(a, b)
+        busy = (
+            d.get("user_cores", 0.0)
+            + d.get("system_cores", 0.0)
+            + d.get("steal_cores", 0.0)
+        )
+        return os.getloadavg()[0], busy
+
+    load, busy = _busy_now()
+    while (
+        gate > 0
+        and (load > gate or busy > gate)
+        and time.monotonic() - t0 < max_wait
+    ):
         time.sleep(10)
-        load = os.getloadavg()[0]
+        load, busy = _busy_now()
     return {
         "quiet_waited_sec": round(time.monotonic() - t0, 1),
         "load_at_timed_start": round(load, 2),
+        "busy_cores_at_timed_start": round(busy, 2),
     }
 
 
