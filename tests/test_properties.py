@@ -450,3 +450,67 @@ def test_curation_randomized_invariants(spark):
     m1 = sorted(map(tuple, mixture_sample(docs.withColumn("lang", F.lit("en")), {"en": 1.5}).collect()))
     m2 = sorted(map(tuple, mixture_sample(docs.withColumn("lang", F.lit("en")), {"en": 1.5}).collect()))
     assert m1 == m2 and len(m1) >= 300
+
+
+def test_duplicate_spans_randomized_vs_bruteforce(spark):
+    """One seeded random corpus (small vocab so k-gram collisions are
+    common) checked against a plain-python brute-force reference:
+    k-gram multiset count >= 2 -> anchor, merge overlapping/adjacent
+    anchors into maximal spans."""
+    from collections import Counter
+
+    from graphiti_spark.operators.docops import duplicate_spans
+
+    rng = random.Random(41)
+    K = 4
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 25))))
+        for i in range(60)
+    ]
+
+    # brute-force reference
+    grams: Counter = Counter()
+    toks = {i: t.split() if t else [] for i, t in docs}
+    for i, tk in toks.items():
+        for p in range(len(tk) - K + 1):
+            grams[tuple(tk[p:p + K])] += 1
+    expected = set()
+    for i, tk in toks.items():
+        anchors = [
+            p for p in range(len(tk) - K + 1)
+            if grams[tuple(tk[p:p + K])] >= 2
+        ]
+        spans = []
+        for p in anchors:  # positions ascending
+            s, e = p + 1, p + K  # 1-based inclusive
+            if spans and s <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], e)
+            else:
+                spans.append([s, e])
+        for s, e in spans:
+            expected.add((str(i), s, e, e - s + 1))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+        for r in duplicate_spans(df, k=K).collect()
+    }
+    assert got == expected
+    assert expected, "seed produced no duplicated grams — weak test"
+
+
+def test_source_cap_partition_invariance_and_determinism(spark):
+    """The kept set must be a pure function of (doc_id, source, cap):
+    invariant under repartitioning and across repeated runs."""
+    from graphiti_spark.operators.docops import source_cap
+
+    rng = random.Random(7)
+    rows = [(i, f"d{rng.randint(0, 4)}") for i in range(200)]
+    base = spark.createDataFrame(rows, "doc_id long, source string")
+    ref = sorted(map(tuple, source_cap(base, cap=9).collect()))
+    for n_parts in (1, 7, 32):
+        got = sorted(
+            map(tuple, source_cap(base.repartition(n_parts), cap=9).collect())
+        )
+        assert got == ref, f"repartition({n_parts}) changed the kept set"
