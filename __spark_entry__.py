@@ -476,6 +476,16 @@ def _q_cosine_topk(spark, sf_dir):
     )
 
 
+def _q_quantized_topk(spark, sf_dir):
+    from graphiti_spark.operators.docops import quantized_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return quantized_topk(emb, queries_df, k=10)
+
+
 def _q_rrf_docs(spark, sf_dir):
     from graphiti_spark.operators.search import rrf
 
@@ -832,6 +842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_many": _q_bm25_many,
         "relevant_nodes": _q_relevant_nodes,
         "cosine_topk": _q_cosine_topk,
+        "quantized_topk": _q_quantized_topk,
         "rrf_docs": _q_rrf_docs,
         "bfs_globex": _q_bfs_globex,
         # maintenance
@@ -910,6 +921,9 @@ def oracle_sql() -> dict[str, str]:
         # J2 hybrid candidate gen: vector + fulltext lanes, full value oracle
         "relevant_nodes": oo.q_relevant_nodes(min_score=0.25, limit=10),
         "cosine_topk": oo.q_cosine_topk(),
+        # int8 symmetric quantization: scales cancel in cosine, so the
+        # lossy-compression path is exactly value-hashable cross-engine
+        "quantized_topk": oo.q_quantized_topk(),
         "rrf_docs": oo.q_rrf_docs(),
         "bfs_globex": oo.q_bfs_globex(),
         "point_in_time": oo.q_point_in_time("2024-01-01 08:00:00"),

@@ -1463,3 +1463,77 @@ def source_cap(documents: DataFrame, cap: int = 10, n_salts: int = 16) -> DataFr
             F.col("src_rank").isNotNull().alias("kept"),
         )
     )
+
+
+def quantize_embeddings(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization:
+    q_i = floor(127 * x_i / max|x| + 0.5) (round-half-up — floor is
+    engine-portable where banker's/HALF_UP rounding is not), scale =
+    max|x| / 127 for dequantization. Returns (vec_id, qvec, scale).
+
+    This is the standard embedding-compression step before
+    corpus-scale similarity work: int8 vectors are 4x smaller than
+    fp32 through every shuffle/broadcast/index, and SYMMETRIC
+    quantization makes the per-vector scales cancel in cosine — so
+    quantized cosine is pure integer arithmetic (exact in doubles up
+    to 2^53, hence no float-summation-order ambiguity at all; the
+    DuckDB oracle reproduces it bit-for-bit). qvec is int here for
+    oracle transparency; a production sink would store tinyint."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    qv = F.when(
+        max_abs > 0,
+        F.transform(
+            v, lambda x: F.floor(x * 127.0 / max_abs + 0.5).cast("int")
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        qv.alias("qvec"),
+        F.round(
+            F.when(max_abs > 0, max_abs / F.lit(127.0)).otherwise(F.lit(0.0)), 9
+        ).alias("scale"),
+    )
+
+
+def quantized_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k over int8-quantized vectors — the
+    quality/cost trade every 100 TB similarity pipeline makes: the
+    corpus rides shuffles at 1/4 the bytes, and because symmetric
+    per-vector scales cancel, the quantized cosine is an integer dot
+    over integer norms (bit-deterministic in doubles). Same output
+    shape as brute_force_topk; recall vs the fp32 baseline is pinned
+    by pytest."""
+    qe = quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col)
+    qq = quantize_embeddings(
+        queries, id_col=query_id_col, vec_col=query_vec_col
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qvec")
+    )
+    scored = qe.crossJoin(F.broadcast(qq)).select(
+        "query_id",
+        F.col("vec_id").alias("id"),
+        F.round(
+            dot(F.col("qvec"), F.col("q_qvec"))
+            / (l2_norm(F.col("qvec")) * l2_norm(F.col("q_qvec"))),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "score", "rank")
+    )

@@ -1584,3 +1584,47 @@ SELECT n.group_id, n.name,
   COALESCE(cd.core_deg, 0) >= {k} AS in_kcore
 FROM tnodes n LEFT JOIN cd USING (group_id, name)
 """
+
+
+def q_quantized_topk(k: int = 10) -> str:
+    """SQL twin of docops.quantized_topk: per-vector symmetric int8
+    scalar quantization (q_i = floor(127 * x_i / max|x| + 0.5) —
+    round-half-up via floor, which both engines compute identically)
+    followed by exact cosine over the QUANTIZED vectors. Symmetric
+    scales cancel in cosine, so both engines evaluate an integer dot
+    over integer norms: |q| <= 127 and dim = 64 keep every partial sum
+    far below 2^53, making the arithmetic exact in doubles with no
+    float-summation-order ambiguity — which is what lets a lossy
+    compression path be value-hashed cross-engine at all."""
+    return f"""
+WITH emb AS (
+  -- cast to double BEFORE any arithmetic (same rationale as
+  -- q_cosine_topk: the engine quantizes from float64)
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+mx AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM emb
+),
+q AS (
+  SELECT vec_id,
+    CASE WHEN m > 0
+      THEN list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS DOUBLE))
+      ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS qv
+  FROM mx
+),
+qq AS (SELECT vec_id AS query_id, qv AS qqv FROM q WHERE vec_id < 4),
+scored AS (
+  SELECT qq.query_id, e.vec_id AS id,
+    round(list_dot_product(e.qv, qq.qqv)
+      / (sqrt(list_dot_product(e.qv, e.qv))
+         * sqrt(list_dot_product(qq.qqv, qq.qqv))), 6) AS score
+  FROM q e CROSS JOIN qq
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id)
+    AS rank
+  FROM scored
+)
+SELECT query_id, id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

@@ -514,3 +514,70 @@ def test_source_cap_partition_invariance_and_determinism(spark):
             map(tuple, source_cap(base.repartition(n_parts), cap=9).collect())
         )
         assert got == ref, f"repartition({n_parts}) changed the kept set"
+
+
+def test_quantized_topk_recall_vs_fp32(spark):
+    """int8 symmetric scalar quantization (quantize_embeddings /
+    quantized_topk): top-k over quantized vectors must agree with the
+    fp32 brute-force baseline almost everywhere — the 4x byte saving
+    is only a win if ranking survives. On random gaussians int8 cosine
+    error is ~1e-3, so top-10 recall should be near-perfect."""
+    import numpy as np
+
+    from graphiti_spark.operators.docops import (
+        brute_force_topk,
+        quantized_topk,
+    )
+
+    rng = np.random.RandomState(11)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(32)]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = {
+        (r.query_id, r.id)
+        for r in brute_force_topk(emb, queries, k=10).collect()
+    }
+    quant = {
+        (r.query_id, r.id)
+        for r in quantized_topk(emb, queries, k=10).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"int8 top-10 recall {recall:.2f}"
+
+
+def test_quantize_embeddings_properties(spark):
+    """Per-vector invariants of the int8 quantizer: (a) components lie
+    in [-127, 127] and the max-|x| component maps to ±127 exactly;
+    (b) dequantization error is bounded by half a quantization step
+    (scale/2); (c) the all-zero vector quantizes to zeros with scale 0
+    instead of dividing by zero."""
+    import numpy as np
+
+    from graphiti_spark.operators.docops import quantize_embeddings
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(16) * (i + 1)]) for i in range(30)]
+    rows.append((99, [0.0] * 16))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in quantize_embeddings(emb).collect()}
+    orig = dict(rows)
+
+    zero = got[99]
+    assert zero.qvec == [0] * 16 and zero.scale == 0.0
+
+    for vid, r in got.items():
+        if vid == 99:
+            continue
+        x = np.asarray(orig[vid])
+        q = np.asarray(r.qvec)
+        assert int(np.abs(q).max()) == 127
+        assert np.abs(q).max() <= 127
+        # scale is rounded to 9 decimals for oracle parity; allow that
+        # rounding plus the half-step bound
+        step = np.abs(x).max() / 127.0
+        assert np.abs(x - q * step).max() <= step / 2 + 1e-9
