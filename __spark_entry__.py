@@ -150,6 +150,19 @@ def _q_kcore(spark, sf_dir):
     out = _graph(spark, sf_dir)
     return kcore(out.nodes, out.edges)
 
+
+PPR_SEEDS = [("g0", "Globex"), ("g0", "J. Smith"), ("g1", "Globex")]
+
+
+def _q_personalized_pagerank(spark, sf_dir):
+    """Random walk with restart from query entities (the principled
+    form of the reference's node-distance rerank) — integer-exact,
+    unrolled in the oracle like pagerank."""
+    from graphiti_spark.operators.centrality import personalized_pagerank
+
+    out = _graph(spark, sf_dir)
+    return personalized_pagerank(out.nodes, out.edges, PPR_SEEDS)
+
 # ---------------------------------------------------------------------------
 # docops / search / maintenance queries
 # ---------------------------------------------------------------------------
@@ -804,6 +817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mentions": _q_mentions,
         "episode_edges": _q_episode_edges,
         "pagerank": _q_pagerank,
+        "personalized_pagerank": _q_personalized_pagerank,
         "triangle_count": _q_triangle_count,
         "clustering_coefficient": _q_clustering_coefficient,
         "kcore": _q_kcore,
@@ -886,6 +900,7 @@ def oracle_sql() -> dict[str, str]:
         "quality": oo.q_quality(),
         "language_id": oo.q_language_id(),
         "pagerank": oo.q_pagerank(),
+        "personalized_pagerank": oo.q_personalized_pagerank(PPR_SEEDS),
         "triangle_count": oo.q_triangle_count(),
         "clustering_coefficient": oo.q_clustering_coefficient(),
         "kcore": oo.q_kcore(),

@@ -1628,3 +1628,51 @@ ranked AS (
 SELECT query_id, id, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def q_personalized_pagerank(
+    seeds: list[tuple[str, str]], n_iter: int = 10, scale: int = 10**9
+) -> str:
+    """Unrolled integer personalized PageRank — SQL twin of
+    operators/centrality.py::personalized_pagerank (teleport mass goes
+    only to the seed entities; same micro-unit floor-division
+    arithmetic as q_pagerank, one CTE per iteration)."""
+    seed_rows = ", ".join(f"('{g}', '{n}')" for g, n in seeds)
+    iters = []
+    for k in range(n_iter):
+        iters.append(
+            f"""r{k + 1} AS (
+  SELECT b.group_id, b.name,
+    b.is_seed * ((3 * CAST({scale} AS BIGINT)) // (20 * b.s))
+      + COALESCE(s.c, 0) AS r
+  FROM base b LEFT JOIN (
+    SELECT ed.group_id, ed.dst AS name, SUM((17 * r.r) // (20 * ed.outdeg)) AS c
+    FROM r{k} r JOIN e_deg ed ON ed.group_id = r.group_id AND ed.src = r.name
+    GROUP BY 1, 2
+  ) s ON s.group_id = b.group_id AND s.name = b.name
+)"""
+        )
+    return f"""
+WITH {EDGES_CTE},
+pr_nodes AS (SELECT DISTINCT group_id, canonical_name AS name FROM canon_map),
+seeds(group_id, name) AS (VALUES {seed_rows}),
+sg AS (SELECT group_id, COUNT(*) AS s FROM seeds GROUP BY 1),
+e AS (SELECT DISTINCT group_id, subj_name AS src, obj_name AS dst FROM dedup),
+outdeg AS (SELECT group_id, src, COUNT(*) AS outdeg FROM e GROUP BY 1, 2),
+e_deg AS (SELECT e.*, o.outdeg FROM e JOIN outdeg o USING (group_id, src)),
+base AS (
+  SELECT n.group_id, n.name,
+    CASE WHEN sd.name IS NULL THEN 0 ELSE 1 END AS is_seed,
+    COALESCE(sg.s, 1) AS s
+  FROM pr_nodes n
+  LEFT JOIN seeds sd ON sd.group_id = n.group_id AND sd.name = n.name
+  LEFT JOIN sg ON sg.group_id = n.group_id
+),
+r0 AS (
+  SELECT group_id, name,
+    is_seed * (CAST({scale} AS BIGINT) // s) AS r
+  FROM base
+),
+{",".join(iters)}
+SELECT group_id, name, CAST(r AS BIGINT) AS ppr_scaled FROM r{n_iter}
+"""

@@ -85,3 +85,64 @@ def test_kcore_k3_dissolves_sparse_graph(spark):
     )
     out = kcore(nodes, edges, k=3).collect()
     assert all(not r.in_kcore and r.core_deg == 0 for r in out)
+
+
+def test_ppr_locality_and_unreachable_zero(spark):
+    # two components in one group: triangle a-b-c (seeded at a) and
+    # pair x-y. Restart mass stays in the seed's component — x, y
+    # must score exactly 0, the seed must dominate its neighbors.
+    from graphiti_spark.operators.centrality import personalized_pagerank
+
+    nodes, edges = _graph(
+        spark,
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+         ("c", "a"), ("a", "c"), ("x", "y"), ("y", "x")],
+    )
+    out = {
+        r.name: r.ppr_scaled
+        for r in personalized_pagerank(nodes, edges, [("g", "a")]).collect()
+    }
+    assert out["x"] == 0 and out["y"] == 0
+    assert out["a"] > out["b"] > 0
+    assert out["c"] > 0
+
+
+def test_ppr_group_isolation(spark):
+    # seeds in g0 only: every g1 rank is exactly 0 even though g1 has
+    # the same edge structure
+    from graphiti_spark.operators.centrality import personalized_pagerank
+
+    edges = spark.createDataFrame(
+        [(g, "a", "b") for g in ("g0", "g1")] + [(g, "b", "a") for g in ("g0", "g1")],
+        "group_id string, subj_name string, obj_name string",
+    )
+    nodes = spark.createDataFrame(
+        [(g, n) for g in ("g0", "g1") for n in ("a", "b")],
+        "group_id string, name string",
+    )
+    out = {
+        (r.group_id, r.name): r.ppr_scaled
+        for r in personalized_pagerank(nodes, edges, [("g0", "a")]).collect()
+    }
+    assert out[("g1", "a")] == 0 and out[("g1", "b")] == 0
+    assert out[("g0", "a")] > 0 and out[("g0", "b")] > 0
+
+
+def test_ppr_all_seeds_equals_pagerank(spark):
+    # seeding EVERY node makes the teleport term uniform — the
+    # arithmetic degenerates bit-for-bit to global pagerank (both use
+    # the same micro-unit floor divisions), pinning the two
+    # implementations against each other.
+    from graphiti_spark.operators.centrality import pagerank, personalized_pagerank
+
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"), ("b", "d")]
+    nodes, edges = _graph(spark, pairs)
+    names = sorted({n for p in pairs for n in p})
+    pr = {r.name: r.pr_scaled for r in pagerank(nodes, edges).collect()}
+    ppr = {
+        r.name: r.ppr_scaled
+        for r in personalized_pagerank(
+            nodes, edges, [("g", n) for n in names]
+        ).collect()
+    }
+    assert pr == ppr
