@@ -154,6 +154,15 @@ def _q_kcore(spark, sf_dir):
 PPR_SEEDS = [("g0", "Globex"), ("g0", "J. Smith"), ("g1", "Globex")]
 
 
+def _q_link_prediction(spark, sf_dir):
+    """Resource-allocation link prediction: top-20 unconnected entity
+    pairs per group most likely to be missing facts (integer-exact)."""
+    from graphiti_spark.operators.centrality import link_prediction_ra
+
+    out = _graph(spark, sf_dir)
+    return link_prediction_ra(out.nodes, out.edges, k=20)
+
+
 def _q_personalized_pagerank(spark, sf_dir):
     """Random walk with restart from query entities (the principled
     form of the reference's node-distance rerank) — integer-exact,
@@ -818,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "episode_edges": _q_episode_edges,
         "pagerank": _q_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
+        "link_prediction": _q_link_prediction,
         "triangle_count": _q_triangle_count,
         "clustering_coefficient": _q_clustering_coefficient,
         "kcore": _q_kcore,
@@ -901,6 +911,7 @@ def oracle_sql() -> dict[str, str]:
         "language_id": oo.q_language_id(),
         "pagerank": oo.q_pagerank(),
         "personalized_pagerank": oo.q_personalized_pagerank(PPR_SEEDS),
+        "link_prediction": oo.q_link_prediction_ra(k=20),
         "triangle_count": oo.q_triangle_count(),
         "clustering_coefficient": oo.q_clustering_coefficient(),
         "kcore": oo.q_kcore(),

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_ITER = 10
 SCALE = 10**9
@@ -377,3 +378,65 @@ def personalized_pagerank(
         if (k + 1) % 4 == 0 and k + 1 < n_iter:
             r = r.localCheckpoint(eager=True)
     return r.select("group_id", "name", F.col("r").cast("long").alias("ppr_scaled"))
+
+
+def link_prediction_ra(
+    nodes: DataFrame,
+    edges: DataFrame,
+    k: int = 20,
+    max_deg: int | None = None,
+    scale: int = 10**6,
+) -> DataFrame:
+    """(group_id, a, b, n_common, ra_micro, rank) — top-k missing-edge
+    candidates per group by the resource-allocation index
+    RA(a,b) = Σ_{z ∈ N(a)∩N(b)} 1/deg(z) (Zhou/Lü/Zhang 2009), the
+    link-prediction primitive a KG uses to propose facts the extractor
+    missed. Kept in integer micro-units via floor division
+    (``scale // deg(z)``) so the DuckDB oracle reproduces bit-identical
+    longs — same determinism convention as pagerank/cc_micro.
+
+    Only UNCONNECTED pairs (a < b, no existing undirected edge) are
+    scored; ties break (ra_micro DESC, n_common DESC, a, b).
+
+    Scale shape: wedges are enumerated by self-joining the adjacency
+    list on the common neighbor z — Σ deg(z)² pairs, the classic hub
+    blowup. ``max_deg`` is the standard mitigation: drop wedges
+    through z with deg(z) > max_deg before the join (a hub's RA
+    contribution is ≤ scale/deg — vanishing exactly when the wedge
+    count explodes, so the cap trades negligible score mass for a
+    bounded join). With a cap the join is O(m · max_deg); the top-k is
+    a TakeOrdered per group, no global sort.
+    """
+    und, deg = _undirected_degrees(edges)
+    adj = (
+        und.select("group_id", F.col("a").alias("z"), F.col("b").alias("n"))
+        .unionByName(
+            und.select("group_id", F.col("b").alias("z"), F.col("a").alias("n"))
+        )
+        .join(
+            deg.select("group_id", F.col("name").alias("z"), "deg"),
+            ["group_id", "z"],
+        )
+    )
+    if max_deg is not None:
+        adj = adj.where(F.col("deg") <= max_deg)
+    l = adj.select("group_id", "z", "deg", F.col("n").alias("a"))
+    r = adj.select("group_id", "z", F.col("n").alias("b"))
+    pairs = (
+        l.join(r, ["group_id", "z"])
+        .where(F.col("a") < F.col("b"))
+        .groupBy("group_id", "a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(F.expr(f"CAST({scale} AS BIGINT) DIV deg")).alias("ra_micro"),
+        )
+        .join(und, ["group_id", "a", "b"], "left_anti")
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.desc("ra_micro"), F.desc("n_common"), "a", "b"
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("group_id", "a", "b", "n_common", "ra_micro", "rank")
+    )

@@ -1676,3 +1676,60 @@ r0 AS (
 {",".join(iters)}
 SELECT group_id, name, CAST(r AS BIGINT) AS ppr_scaled FROM r{n_iter}
 """
+
+
+def q_link_prediction_ra(
+    k: int = 20, max_deg: int | None = None, scale: int = 10**6
+) -> str:
+    """SQL twin of operators/centrality.py::link_prediction_ra —
+    resource-allocation link prediction in integer micro-units
+    (floor-division determinism, CAST the summed micro-score back to
+    BIGINT: DuckDB SUM(BIGINT) surfaces HUGEINT — the pagerank
+    round-3 lesson)."""
+    cap = f"WHERE deg <= {max_deg}" if max_deg is not None else ""
+    return f"""
+WITH {EDGES_CTE},
+und AS (
+  SELECT DISTINCT group_id,
+    LEAST(subj_name, obj_name) AS a,
+    GREATEST(subj_name, obj_name) AS b
+  FROM dedup WHERE subj_name <> obj_name
+),
+deg AS (
+  SELECT group_id, name, COUNT(*) AS deg FROM (
+    SELECT group_id, a AS name FROM und
+    UNION ALL SELECT group_id, b FROM und
+  ) GROUP BY 1, 2
+),
+adj AS (
+  SELECT * FROM (
+    SELECT u.group_id, u.a AS z, u.b AS n, d.deg
+    FROM und u JOIN deg d ON d.group_id = u.group_id AND d.name = u.a
+    UNION ALL
+    SELECT u.group_id, u.b, u.a, d.deg
+    FROM und u JOIN deg d ON d.group_id = u.group_id AND d.name = u.b
+  ) {cap}
+),
+pairs AS (
+  SELECT l.group_id, l.n AS a, r.n AS b,
+    COUNT(*) AS n_common,
+    SUM(CAST({scale} AS BIGINT) // l.deg) AS ra_micro
+  FROM adj l JOIN adj r ON r.group_id = l.group_id AND r.z = l.z
+  WHERE l.n < r.n
+  GROUP BY 1, 2, 3
+),
+missing AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN und u ON u.group_id = p.group_id AND u.a = p.a AND u.b = p.b
+  WHERE u.a IS NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY group_id
+    ORDER BY ra_micro DESC, n_common DESC, a, b
+  ) AS rank FROM missing
+)
+SELECT group_id, a, b, CAST(n_common AS BIGINT) AS n_common,
+  CAST(ra_micro AS BIGINT) AS ra_micro, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

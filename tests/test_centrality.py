@@ -146,3 +146,56 @@ def test_ppr_all_seeds_equals_pagerank(spark):
         ).collect()
     }
     assert pr == ppr
+
+
+def test_link_prediction_ra_crafted(spark):
+    # path a-z-b plus z's third neighbor c, and connected pair a-c:
+    #   candidates through z: (a,b), (a,c), (b,c) — but (a,c) is an
+    #   existing edge, so only (a,b) and (b,c) survive; deg(z) = 3
+    #   gives RA = 10^6 // 3 = 333333. c-z-b wedge also yields (b,c).
+    from graphiti_spark.operators.centrality import link_prediction_ra
+
+    nodes, edges = _graph(
+        spark,
+        [("a", "z"), ("z", "b"), ("z", "c"), ("a", "c")],
+    )
+    rows = {
+        (r.a, r.b): (r.n_common, r.ra_micro)
+        for r in link_prediction_ra(nodes, edges, k=10).collect()
+    }
+    assert ("a", "c") not in rows          # existing edge excluded
+    assert rows[("a", "b")] == (1, 333333)
+    assert rows[("b", "c")] == (1, 333333)
+    # a-z-b via two common neighbors scores additively: add hub h
+    edges2 = spark.createDataFrame(
+        [("g", x, y) for x, y in
+         [("a", "z"), ("z", "b"), ("z", "c"), ("a", "c"),
+          ("a", "h"), ("h", "b")]],
+        "group_id string, subj_name string, obj_name string",
+    )
+    rows2 = {
+        (r.a, r.b): (r.n_common, r.ra_micro)
+        for r in link_prediction_ra(nodes, edges2, k=10).collect()
+    }
+    # common neighbors of (a,b): z (deg 3) and h (deg 2)
+    assert rows2[("a", "b")] == (2, 333333 + 500000)
+
+
+def test_link_prediction_max_deg_cap(spark):
+    # star hub s with leaves l0..l5 plus a quiet wedge a-q-b: capping
+    # max_deg below the hub's degree removes all hub-mediated pairs
+    # but keeps the quiet wedge
+    from graphiti_spark.operators.centrality import link_prediction_ra
+
+    pairs = [("s", f"l{i}") for i in range(6)] + [("a", "q"), ("q", "b")]
+    nodes, edges = _graph(spark, pairs)
+    capped = {
+        (r.a, r.b): r.ra_micro
+        for r in link_prediction_ra(nodes, edges, k=100, max_deg=3).collect()
+    }
+    assert capped == {("a", "b"): 500000}
+    uncapped = {
+        (r.a, r.b)
+        for r in link_prediction_ra(nodes, edges, k=100).collect()
+    }
+    assert (("l0", "l1") in uncapped) and (("a", "b") in uncapped)
