@@ -154,6 +154,24 @@ def _q_kcore(spark, sf_dir):
 PPR_SEEDS = [("g0", "Globex"), ("g0", "J. Smith"), ("g1", "Globex")]
 
 
+def _q_graph_stats(spark, sf_dir):
+    """Per-group structural summary (sizes, reciprocity, hub degree,
+    micro-unit mean degree) — the per-tenant KG health sheet."""
+    from graphiti_spark.operators.centrality import graph_stats
+
+    out = _graph(spark, sf_dir)
+    return graph_stats(out.nodes, out.edges)
+
+
+def _q_fact_churn(spark, sf_dir):
+    """Monthly started/invalidated/expired lifecycle counts over the
+    bi-temporal edge ledger."""
+    from graphiti_spark.operators.temporal import fact_churn
+
+    out = _graph(spark, sf_dir)
+    return fact_churn(out.edges)
+
+
 def _q_link_prediction(spark, sf_dir):
     """Resource-allocation link prediction: top-20 unconnected entity
     pairs per group most likely to be missing facts (integer-exact)."""
@@ -828,6 +846,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": _q_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
         "link_prediction": _q_link_prediction,
+        "graph_stats": _q_graph_stats,
+        "fact_churn": _q_fact_churn,
         "triangle_count": _q_triangle_count,
         "clustering_coefficient": _q_clustering_coefficient,
         "kcore": _q_kcore,
@@ -912,6 +932,8 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": oo.q_pagerank(),
         "personalized_pagerank": oo.q_personalized_pagerank(PPR_SEEDS),
         "link_prediction": oo.q_link_prediction_ra(k=20),
+        "graph_stats": oo.q_graph_stats(),
+        "fact_churn": oo.q_fact_churn(),
         "triangle_count": oo.q_triangle_count(),
         "clustering_coefficient": oo.q_clustering_coefficient(),
         "kcore": oo.q_kcore(),

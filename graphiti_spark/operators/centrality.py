@@ -440,3 +440,79 @@ def link_prediction_ra(
         .where(F.col("rank") <= k)
         .select("group_id", "a", "b", "n_common", "ra_micro", "rank")
     )
+
+
+def graph_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(group_id, n_nodes, n_edges, n_und_pairs, n_reciprocal,
+    max_out_deg, max_deg, avg_deg_micro) — per-group structural
+    summary of the canonical entity graph: the one-row-per-tenant
+    health sheet (size, density, reciprocity, hub weight) a KG
+    operator dashboards. avg_deg_micro is floor(1e6 · Σdeg / n_nodes)
+    — integer micro-units like cc_micro, engine-exact.
+
+    Scale shape: three partial-aggregated groupBys over the distinct
+    edge set joined on group_id (each group's row is one key — a
+    broadcastable per-tenant relation); no windows, no Python.
+    """
+    e = edges.select(
+        "group_id",
+        F.col("subj_name").alias("src"),
+        F.col("obj_name").alias("dst"),
+    ).dropDuplicates()
+    und, deg = _undirected_degrees(edges)
+    n_nodes = (
+        nodes.select("group_id", "name")
+        .dropDuplicates()
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    e_stats = e.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges")
+    )
+    # reciprocal pairs: both directions present <=> a directed edge
+    # joins its reverse; count distinct unordered pairs
+    rec = (
+        e.alias("x")
+        .join(
+            e.select(
+                "group_id",
+                F.col("dst").alias("src"),
+                F.col("src").alias("dst"),
+            ).alias("y"),
+            ["group_id", "src", "dst"],
+            "left_semi",
+        )
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("group_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    )
+    outdeg = e.groupBy("group_id", "src").agg(F.count(F.lit(1)).alias("od"))
+    out_stats = outdeg.groupBy("group_id").agg(
+        F.max("od").cast("long").alias("max_out_deg")
+    )
+    und_stats = und.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_und_pairs")
+    )
+    deg_stats = deg.groupBy("group_id").agg(
+        F.max("deg").cast("long").alias("max_deg"),
+        F.sum("deg").cast("long").alias("sum_deg"),
+    )
+    return (
+        n_nodes.join(e_stats, "group_id", "left")
+        .join(und_stats, "group_id", "left")
+        .join(rec, "group_id", "left")
+        .join(out_stats, "group_id", "left")
+        .join(deg_stats, "group_id", "left")
+        .select(
+            "group_id",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.coalesce("n_und_pairs", F.lit(0)).alias("n_und_pairs"),
+            F.coalesce("n_reciprocal", F.lit(0)).alias("n_reciprocal"),
+            F.coalesce("max_out_deg", F.lit(0)).alias("max_out_deg"),
+            F.coalesce("max_deg", F.lit(0)).alias("max_deg"),
+            F.expr(
+                "CAST(coalesce(sum_deg, 0) * 1000000 DIV n_nodes AS BIGINT)"
+            ).alias("avg_deg_micro"),
+        )
+    )

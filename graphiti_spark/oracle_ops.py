@@ -1733,3 +1733,87 @@ SELECT group_id, a, b, CAST(n_common AS BIGINT) AS n_common,
   CAST(ra_micro AS BIGINT) AS ra_micro, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def q_graph_stats() -> str:
+    """SQL twin of operators/centrality.py::graph_stats — per-group
+    structural summary (sizes, reciprocity, hub degree, micro-unit
+    mean degree). Summed/counted BIGINTs are cast back in the final
+    projection (DuckDB SUM/COUNT -> HUGEINT/BIGINT drift guard)."""
+    return f"""
+WITH {EDGES_CTE},
+gnodes AS (SELECT DISTINCT group_id, canonical_name AS name FROM canon_map),
+e AS (SELECT DISTINCT group_id, subj_name AS src, obj_name AS dst FROM dedup),
+und AS (
+  SELECT DISTINCT group_id,
+    LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst
+),
+deg AS (
+  SELECT group_id, name, COUNT(*) AS deg FROM (
+    SELECT group_id, a AS name FROM und
+    UNION ALL SELECT group_id, b FROM und
+  ) GROUP BY 1, 2
+),
+nn AS (SELECT group_id, COUNT(*) AS n_nodes FROM gnodes GROUP BY 1),
+ne AS (SELECT group_id, COUNT(*) AS n_edges FROM e GROUP BY 1),
+nu AS (SELECT group_id, COUNT(*) AS n_und_pairs FROM und GROUP BY 1),
+rec AS (
+  SELECT x.group_id, COUNT(*) AS n_reciprocal
+  FROM e x JOIN e y
+    ON y.group_id = x.group_id AND y.src = x.dst AND y.dst = x.src
+  WHERE x.src < x.dst
+  GROUP BY 1
+),
+od AS (
+  SELECT group_id, MAX(c) AS max_out_deg FROM (
+    SELECT group_id, src, COUNT(*) AS c FROM e GROUP BY 1, 2
+  ) GROUP BY 1
+),
+dd AS (
+  SELECT group_id, MAX(deg) AS max_deg, SUM(deg) AS sum_deg
+  FROM deg GROUP BY 1
+)
+SELECT nn.group_id,
+  CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+  CAST(COALESCE(ne.n_edges, 0) AS BIGINT) AS n_edges,
+  CAST(COALESCE(nu.n_und_pairs, 0) AS BIGINT) AS n_und_pairs,
+  CAST(COALESCE(rec.n_reciprocal, 0) AS BIGINT) AS n_reciprocal,
+  CAST(COALESCE(od.max_out_deg, 0) AS BIGINT) AS max_out_deg,
+  CAST(COALESCE(dd.max_deg, 0) AS BIGINT) AS max_deg,
+  CAST(COALESCE(dd.sum_deg, 0) * 1000000 // nn.n_nodes AS BIGINT)
+    AS avg_deg_micro
+FROM nn
+LEFT JOIN ne USING (group_id)
+LEFT JOIN nu USING (group_id)
+LEFT JOIN rec USING (group_id)
+LEFT JOIN od USING (group_id)
+LEFT JOIN dd USING (group_id)
+"""
+
+
+def q_fact_churn() -> str:
+    """SQL twin of operators/temporal.py::fact_churn — monthly
+    started/invalidated/expired lifecycle counts over the bi-temporal
+    edge ledger ('yyyy-MM' keys on UTC timestamps)."""
+    return f"""
+WITH {EDGES_CTE},
+ev AS (
+  SELECT group_id, strftime(valid_at, '%Y-%m') AS month, 'started' AS kind
+  FROM edges WHERE valid_at IS NOT NULL
+  UNION ALL
+  SELECT group_id, strftime(invalid_at, '%Y-%m'), 'invalidated'
+  FROM edges WHERE invalid_at IS NOT NULL
+  UNION ALL
+  SELECT group_id, strftime(expired_at, '%Y-%m'), 'expired'
+  FROM edges WHERE expired_at IS NOT NULL
+)
+SELECT group_id, month,
+  CAST(SUM(CASE WHEN kind = 'started' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_started,
+  CAST(SUM(CASE WHEN kind = 'invalidated' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_invalidated,
+  CAST(SUM(CASE WHEN kind = 'expired' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_expired
+FROM ev GROUP BY 1, 2
+"""

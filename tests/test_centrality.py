@@ -199,3 +199,21 @@ def test_link_prediction_max_deg_cap(spark):
         for r in link_prediction_ra(nodes, edges, k=100).collect()
     }
     assert (("l0", "l1") in uncapped) and (("a", "b") in uncapped)
+
+
+def test_graph_stats_crafted(spark):
+    # a->b and b->a (reciprocal), a->c one-way, isolated node d
+    from graphiti_spark.operators.centrality import graph_stats
+
+    nodes, edges = _graph(
+        spark, [("a", "b"), ("b", "a"), ("a", "c")], names=["a", "b", "c", "d"]
+    )
+    r = graph_stats(nodes, edges).collect()[0]
+    assert r.n_nodes == 4
+    assert r.n_edges == 3            # distinct directed
+    assert r.n_und_pairs == 2        # {a,b}, {a,c}
+    assert r.n_reciprocal == 1       # a<->b
+    assert r.max_out_deg == 2        # a
+    assert r.max_deg == 2            # a (undirected)
+    # sum_deg = 2+1+1 = 4 over 4 nodes -> exactly 1.0 in micro-units
+    assert r.avg_deg_micro == 1000000
