@@ -456,6 +456,22 @@ def _q_embedding_near_dup(spark, sf_dir):
     )
 
 
+def _q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style keep decision: connected components over the
+    embedding near-dup pair graph of _q_embedding_near_dup's planted
+    corpus, keep = min vec_id per component."""
+    from graphiti_spark.operators.docops import semantic_dedup_keep_list
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    planted = emb.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.07)).alias("embedding"),
+    )
+    return semantic_dedup_keep_list(emb.unionByName(planted), threshold=0.9)
+
+
 def _q_bm25_many(spark, sf_dir):
     """Batched BM25: one postings pass scores all queries
     (operators/search.bm25_score_many) — the multi-query read-path
@@ -848,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": _q_link_prediction,
         "graph_stats": _q_graph_stats,
         "fact_churn": _q_fact_churn,
+        "semantic_dedup": _q_semantic_dedup,
         "triangle_count": _q_triangle_count,
         "clustering_coefficient": _q_clustering_coefficient,
         "kcore": _q_kcore,
@@ -934,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": oo.q_link_prediction_ra(k=20),
         "graph_stats": oo.q_graph_stats(),
         "fact_churn": oo.q_fact_churn(),
+        "semantic_dedup": oo.q_semantic_dedup_keep_list(),
         "triangle_count": oo.q_triangle_count(),
         "clustering_coefficient": oo.q_clustering_coefficient(),
         "kcore": oo.q_kcore(),

@@ -1537,3 +1537,43 @@ def quantized_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "id", "score", "rank")
     )
+
+
+def semantic_dedup_keep_list(
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic dedup decision (Abbas et al. 2023,
+    arXiv:2303.09540): connected components over the embedding-cosine
+    near-duplicate pair graph, keep = min vec_id per component. The
+    embedding-modality twin of :func:`dedup_keep_list` (which clusters
+    MinHash-Jaccard pairs) — returns (vec_id, keep_vec_id, is_kept)
+    for every vector that participates in a near-dup cluster.
+
+    Scale shape: pair generation is the multi-table hyperplane
+    blocking of :func:`embedding_near_duplicates` (candidates linear
+    in the corpus, exact verify on candidates only); clustering is the
+    same D5 connected-components machinery entity canonicalization
+    uses (driver fast path on tiny graphs, distributed LPA fallback).
+    """
+    from .resolve import connected_components
+
+    # component labels are MIN over STRING uuids — zero-pad the numeric
+    # ids so lexicographic min == numeric min, then cast back
+    pad = lambda c: F.lpad(c.cast("string"), 9, "0")
+    pairs = embedding_near_duplicates(
+        embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
+    ).select(pad(F.col("id_a")).alias("id_a"), pad(F.col("id_b")).alias("id_b"))
+    vertices = (
+        pairs.select(F.col("id_a").alias("uuid"))
+        .union(pairs.select("id_b"))
+        .dropDuplicates()
+    )
+    comps = connected_components(vertices, pairs)
+    return comps.select(
+        F.col("uuid").cast("long").alias("vec_id"),
+        F.col("component").cast("long").alias("keep_vec_id"),
+        (F.col("uuid") == F.col("component")).alias("is_kept"),
+    )

@@ -1817,3 +1817,56 @@ SELECT group_id, month,
     AS n_expired
 FROM ev GROUP BY 1, 2
 """
+
+
+def q_semantic_dedup_keep_list(
+    threshold: float = 0.9, every: int = 50, rounds: int = 4
+) -> str:
+    """SQL twin of docops.semantic_dedup_keep_list on the planted
+    corpus of q_embedding_near_dup: pairs come from an INDEPENDENT
+    exact all-pairs cosine (stronger than mirroring the hyperplane
+    blocking), components from min-label propagation unrolled a fixed
+    ``rounds`` iterations (covers any component of diameter ≤ rounds;
+    the planted clusters are twin pairs, diameter 1 — pinned by the
+    n-distinct check in pytest). Keep = numeric-min vec_id."""
+    iters = []
+    for k in range(rounds):
+        iters.append(
+            f"""m{k + 1} AS (
+  SELECT m.id, LEAST(m.lbl, COALESCE(MIN(n.lbl), m.lbl)) AS lbl
+  FROM m{k} m
+  LEFT JOIN adj a ON a.u = m.id
+  LEFT JOIN m{k} n ON n.id = a.v
+  GROUP BY m.id, m.lbl
+)"""
+        )
+    return f"""
+WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+planted AS (
+  SELECT vec_id + 100000 AS vec_id,
+    list_transform(v, x -> x * 1.07) AS v
+  FROM base WHERE vec_id % {every} = 0
+),
+allv AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+  WHERE round(
+    list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+    6) >= {threshold}
+),
+adj AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+verts AS (SELECT DISTINCT u AS id FROM adj),
+m0 AS (SELECT id, id AS lbl FROM verts),
+{",".join(iters)}
+SELECT CAST(id AS BIGINT) AS vec_id,
+  CAST(lbl AS BIGINT) AS keep_vec_id,
+  id = lbl AS is_kept
+FROM m{rounds}
+"""

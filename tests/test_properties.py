@@ -581,3 +581,61 @@ def test_quantize_embeddings_properties(spark):
         # rounding plus the half-step bound
         step = np.abs(x).max() / 127.0
         assert np.abs(x - q * step).max() <= step / 2 + 1e-9
+
+
+def test_semantic_dedup_keep_list_matches_bruteforce(spark):
+    """semantic_dedup_keep_list (SemDeDup-style: components over the
+    embedding near-dup pair graph, keep = min vec_id) agrees with a
+    brute-force union-find over the exact all-pairs cosine graph on
+    planted collinear clusters, and every component keeps exactly one
+    representative."""
+    import numpy as np
+
+    from graphiti_spark.operators.docops import semantic_dedup_keep_list
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(30):
+        v = rng.randn(24)
+        rows.append((i, [float(x) for x in v]))
+        if i < 6:  # collinear twins -> cosine exactly 1.0
+            rows.append((500 + i, [1.3 * float(x) for x in v]))
+            rows.append((900 + i, [0.7 * float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.keep_vec_id, r.is_kept)
+        for r in semantic_dedup_keep_list(emb, threshold=0.95).collect()
+    }
+
+    # brute-force exact components
+    import itertools
+
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for (ia, va), (ib, vb) in itertools.combinations(rows, 2):
+        a, b = np.asarray(va), np.asarray(vb)
+        c = round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+        if c >= 0.95:
+            ra, rb = find(ia), find(ib)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    exact = {}
+    for i, _ in rows:
+        root = find(i)
+        members = [j for j, _ in rows if find(j) == root]
+        if len(members) > 1:
+            exact[i] = (min(members), i == min(members))
+
+    assert got == exact
+    # exactly one keeper per component
+    comps = {}
+    for vid, (keep, kept) in got.items():
+        comps.setdefault(keep, []).append(kept)
+    for keep, flags in comps.items():
+        assert sum(flags) == 1 and got[keep][0] == keep
