@@ -472,6 +472,18 @@ def _q_semantic_dedup(spark, sf_dir):
     return semantic_dedup_keep_list(emb.unionByName(planted), threshold=0.9)
 
 
+def _q_lm_perplexity(spark, sf_dir):
+    """CCNet-style bigram-LM perplexity scoring + head/middle/tail
+    terciles, self-trained on the documents corpus
+    (operators/docops.lm_perplexity)."""
+    from graphiti_spark.operators.docops import lm_perplexity
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return lm_perplexity(docs)
+
+
 def _q_bm25_many(spark, sf_dir):
     """Batched BM25: one postings pass scores all queries
     (operators/search.bm25_score_many) — the multi-query read-path
@@ -865,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "fact_churn": _q_fact_churn,
         "semantic_dedup": _q_semantic_dedup,
+        "lm_perplexity": _q_lm_perplexity,
         "triangle_count": _q_triangle_count,
         "clustering_coefficient": _q_clustering_coefficient,
         "kcore": _q_kcore,
@@ -952,6 +965,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_stats": oo.q_graph_stats(),
         "fact_churn": oo.q_fact_churn(),
         "semantic_dedup": oo.q_semantic_dedup_keep_list(),
+        "lm_perplexity": oo.q_lm_perplexity(),
         "triangle_count": oo.q_triangle_count(),
         "clustering_coefficient": oo.q_clustering_coefficient(),
         "kcore": oo.q_kcore(),

@@ -1577,3 +1577,123 @@ def semantic_dedup_keep_list(
         F.col("component").cast("long").alias("keep_vec_id"),
         (F.col("uuid") == F.col("component")).alias("is_kept"),
     )
+
+
+def lm_perplexity(
+    documents: DataFrame,
+    reference: DataFrame | None = None,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style LM-perplexity quality signal (Wenzek et al. 2020,
+    arXiv:1911.00359): train an add-alpha-smoothed bigram language
+    model on ``reference`` (default: the scored corpus itself — the
+    self-scoring configuration), score each document's total and
+    per-bigram negative log-likelihood, and bucket the corpus into
+    CCNet's head/middle/tail perplexity terciles. Returns
+    (doc_id, n_bigrams, nll_micro, ce_micro, ppl_bucket).
+
+    Engine-parity discipline (shared with quality_score/_micro): the
+    only transcendental is ln(p) computed ONCE per distinct LM bigram
+    and immediately floored to integer micro-nats; per-doc scores are
+    then pure BIGINT sums (order-independent), ce_micro is a floored
+    integer-ratio, and the tercile cut is the all-integer comparison
+    3*row_number <= k*count over a (ce_micro, doc_id) ordering — no
+    float ever crosses an aggregation boundary.
+
+    Scale shape: two token-explode aggs (map-side combinable) build the
+    LM; the corpus joins the LM by bigram/context key (both shuffles on
+    high-cardinality keys, skew-safe); V and the corpus count ride
+    broadcast 1-row aggregates. No all-pairs, no window over the raw
+    token stream — the one global window (tercile ranking) is over one
+    row per document. Training on a curated reference (e.g. wiki) and
+    scoring a 100-TB crawl is the intended deployment: the LM tables
+    are reference-sized, broadcastable when small.
+    """
+    ref = documents if reference is None else reference
+
+    def _doc_bigrams(df: DataFrame) -> DataFrame:
+        toks = tokenize(F.col(text_col))
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode_outer(_word_ngrams(toks, 2)).alias("bigram"),
+            )
+            .groupBy("doc_id", "bigram")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        )
+
+    # --- LM training counts over the reference corpus ---
+    ref_bg = _doc_bigrams(ref).where(F.col("bigram").isNotNull())
+    c2 = ref_bg.groupBy("bigram").agg(F.sum("cnt").alias("c2"))
+    c1 = (
+        c2.withColumn("prev", F.split(F.col("bigram"), " ")[0])
+        .groupBy("prev")
+        .agg(F.sum("c2").alias("c1"))
+    )
+    vocab = (
+        ref.select(F.explode(tokenize(F.col(text_col))).alias("tok"))
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+
+    # --- per-distinct-bigram logprob in integer micro-nats ---
+    doc_bg = _doc_bigrams(documents)
+    scored_bg = (
+        doc_bg.where(F.col("bigram").isNotNull())
+        .select("doc_id", "bigram", "cnt",
+                F.split(F.col("bigram"), " ")[0].alias("prev"))
+        .join(c2, "bigram", "left")
+        .join(c1, "prev", "left")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "lp_micro",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.col("c1"), F.lit(0))
+                       + F.lit(alpha) * F.col("v"))
+                ) * 1000000
+                + 0.5
+            ).cast("long"),
+        )
+    )
+    per_doc = scored_bg.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        (-F.sum(F.col("cnt") * F.col("lp_micro"))).cast("long").alias("nll_micro"),
+    )
+    # docs with < 2 tokens have no bigrams: emit them with NULL score
+    empties = (
+        doc_bg.groupBy("doc_id")
+        .agg(F.max("bigram").alias("any_bg"))
+        .where(F.col("any_bg").isNull())
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_bigrams"),
+            F.lit(None).cast("long").alias("nll_micro"),
+        )
+    )
+    both = per_doc.unionByName(empties).withColumn(
+        "ce_micro",
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.floor(F.col("nll_micro") / F.col("n_bigrams")).cast("long"),
+        ),
+    )
+
+    # --- CCNet terciles over scored docs (all-integer cut) ---
+    flag = F.col("n_bigrams") > 0
+    w = Window.partitionBy(flag).orderBy("ce_micro", "doc_id")
+    wc = Window.partitionBy(flag)
+    return (
+        both.withColumn("rn", F.row_number().over(w))
+        .withColumn("nd", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "ppl_bucket",
+            F.when(~flag, F.lit(None).cast("string"))
+            .when(F.col("rn") * 3 <= F.col("nd"), F.lit("head"))
+            .when(F.col("rn") * 3 <= F.col("nd") * 2, F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .select("doc_id", "n_bigrams", "nll_micro", "ce_micro", "ppl_bucket")
+    )

