@@ -484,6 +484,19 @@ def _q_lm_perplexity(spark, sf_dir):
     return lm_perplexity(docs)
 
 
+def _q_kmeans(spark, sf_dir):
+    """Deterministic integer k-means over int8-quantized embeddings —
+    the SemDeDup/cluster-balanced-sampling clustering stage
+    (operators/docops.kmeans_clusters); bit-identical Lloyd's
+    trajectory in both engines."""
+    from graphiti_spark.operators.docops import kmeans_clusters
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    return kmeans_clusters(emb, k=8, iters=4)
+
+
 def _q_bm25_many(spark, sf_dir):
     """Batched BM25: one postings pass scores all queries
     (operators/search.bm25_score_many) — the multi-query read-path
@@ -878,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_churn": _q_fact_churn,
         "semantic_dedup": _q_semantic_dedup,
         "lm_perplexity": _q_lm_perplexity,
+        "kmeans": _q_kmeans,
         "triangle_count": _q_triangle_count,
         "clustering_coefficient": _q_clustering_coefficient,
         "kcore": _q_kcore,
@@ -966,6 +980,7 @@ def oracle_sql() -> dict[str, str]:
         "fact_churn": oo.q_fact_churn(),
         "semantic_dedup": oo.q_semantic_dedup_keep_list(),
         "lm_perplexity": oo.q_lm_perplexity(),
+        "kmeans": oo.q_kmeans_clusters(k=8, iters=4),
         "triangle_count": oo.q_triangle_count(),
         "clustering_coefficient": oo.q_clustering_coefficient(),
         "kcore": oo.q_kcore(),

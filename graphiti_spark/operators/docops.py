@@ -1697,3 +1697,128 @@ def lm_perplexity(
         )
         .select("doc_id", "n_bigrams", "nll_micro", "ce_micro", "ppl_bucket")
     )
+
+
+def kmeans_clusters(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over int8-QUANTIZED embeddings —
+    the corpus-clustering stage SemDeDup (Abbas et al. 2023) and
+    cluster-balanced mixture pipelines run before per-cluster dedup or
+    sampling. Returns the final assignment (vec_id, cluster, dist).
+
+    Exactness contract (what makes a float-free k-means hash-matchable
+    cross-engine): vectors are symmetric-int8 quantized first
+    (:func:`quantize_embeddings`), so every distance is an INTEGER sum
+    of squares (|q| <= 127 keeps it far below 2^53) and every centroid
+    update is floor(integer sum / count) — no float ever crosses an
+    aggregation boundary, so iteration trajectories are bit-identical
+    in any engine. Seeding is deterministic MAXIMIN (farthest-point,
+    the k-means++ limit): seed 0 = lowest md5(vec_id), each next seed
+    maximizes its distance to the nearest chosen seed (ties -> lowest
+    vec_id) — on separated data this places one seed per natural
+    cluster, avoiding the split-one-merge-two local optima random
+    seeding falls into. Ties in assignment break to the lowest
+    centroid id; a cluster that empties keeps its previous centroid.
+
+    Scale shape: classic Spark Lloyd's — centroids are a k-row table
+    collected to the driver each iteration (bounded: k x dim ints) and
+    re-broadcast, so each iteration is ONE corpus pass (broadcast
+    nested-loop against k rows + a posexplode partial-agg groupBy);
+    the quantized corpus is localCheckpointed once and reused across
+    iterations. Maximin seeding costs k-1 additional bounded passes —
+    at 100 TB, run it (or k-means||) over a deterministic hash-bounded
+    sample as train_ivf_centroids does, then Lloyd's over the corpus.
+    Linear in n, no all-pairs anywhere.
+    """
+    qe = (
+        quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col)
+        .select(
+            "vec_id",
+            F.transform("qvec", lambda x: x.cast("long")).alias("qvec"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    spark = embeddings.sparkSession
+
+    def _cent_df(c):
+        return F.broadcast(
+            spark.createDataFrame(
+                [(cid, vec) for cid, vec in sorted(c.items())],
+                "cid int, cvec array<long>",
+            )
+        )
+
+    dist = F.aggregate(
+        F.zip_with("qvec", "cvec", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    # maximin seeding: one bounded pass per seed
+    first = (
+        qe.select(
+            "vec_id", "qvec", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(1)
+        .collect()[0]
+    )
+    cents = {0: list(first.qvec)}
+    for j in range(1, k):
+        far = (
+            qe.crossJoin(_cent_df(cents))
+            .select("vec_id", "qvec", "cid", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(
+                F.min("dist").alias("mind"),
+                F.min(F.struct("dist", "cid", "qvec")).alias("m"),
+            )
+            .orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        cents[j] = list(far.m.qvec)
+
+    for _ in range(iters):
+        best = (
+            qe.crossJoin(_cent_df(cents))
+            .select("vec_id", "qvec", "cid", dist.alias("dist"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("dist", "cid", "qvec")).alias("m"))
+            .select(F.col("m.cid").alias("cid"), F.col("m.qvec").alias("qvec"))
+        )
+        sums = (
+            best.select("cid", F.posexplode("qvec").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("c"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pos", F.floor(F.col("s") / F.col("c")).alias("cv")))
+                    ),
+                    lambda st: st.getField("cv"),
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        for r in sums:  # clusters that emptied keep their old centroid
+            cents[r.cid] = list(r.cvec)
+
+    return (
+        qe.crossJoin(_cent_df(cents))
+        .select("vec_id", "cid", dist.alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+        .select(
+            "vec_id",
+            F.col("m.cid").alias("cluster"),
+            F.col("m.dist").alias("dist"),
+        )
+    )

@@ -1932,3 +1932,101 @@ UNION ALL
 SELECT CAST(doc_id AS BIGINT), CAST(0 AS BIGINT), NULL, NULL, NULL
 FROM empties
 """
+
+
+def q_kmeans_clusters(k: int = 8, iters: int = 4) -> str:
+    """SQL twin of docops.kmeans_clusters: symmetric-int8 quantization
+    (the q_quantized_topk CTE), deterministic MAXIMIN seeding (seed 0 =
+    lowest md5(vec_id); each next seed maximizes min-distance to the
+    chosen set, ties -> lowest vec_id) unrolled per seed, and ``iters``
+    unrolled Lloyd's iterations. All arithmetic is integer (distances =
+    integer sums of squares, centroid dims = floor(sum/count)), so the
+    trajectory is bit-identical to Spark's. Empty clusters keep their
+    previous centroid (LEFT JOIN + COALESCE)."""
+    seed_steps = []
+    for j in range(1, k):
+        seed_steps.append(
+            f"""d{j} AS MATERIALIZED (
+  SELECT q.vec_id,
+    MIN(list_sum(list_transform(range(1, len(q.qv) + 1),
+      i -> (q.qv[i] - g.cvec[i]) * (q.qv[i] - g.cvec[i])))) AS mind
+  FROM q CROSS JOIN g{j} g GROUP BY q.vec_id
+),
+s{j} AS MATERIALIZED (
+  SELECT {j} AS cid, q.qv AS cvec
+  FROM q JOIN (
+    SELECT vec_id FROM d{j} ORDER BY mind DESC, vec_id LIMIT 1
+  ) t USING (vec_id)
+),
+g{j + 1} AS MATERIALIZED (SELECT * FROM g{j} UNION ALL SELECT * FROM s{j})"""
+        )
+    steps = []
+    for t in range(iters):
+        steps.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, qv, cid,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM (
+    SELECT q.vec_id, q.qv, c.cid,
+      list_sum(list_transform(range(1, len(q.qv) + 1),
+        i -> (q.qv[i] - c.cvec[i]) * (q.qv[i] - c.cvec[i]))) AS dist
+    FROM q CROSS JOIN c{t} c
+  )
+),
+e{t} AS MATERIALIZED (
+  SELECT cid,
+    unnest(list_transform(range(1, len(qv) + 1),
+      i -> {{'pos': i, 'val': qv[i]}})) AS u
+  FROM a{t} WHERE rn = 1
+),
+n{t} AS MATERIALIZED (
+  SELECT cid, list(cv ORDER BY pos) AS cvec
+  FROM (
+    SELECT cid, u.pos AS pos,
+      floor(SUM(u.val) * 1.0 / COUNT(*)) AS cv
+    FROM e{t} GROUP BY 1, 2
+  ) GROUP BY cid
+),
+c{t + 1} AS MATERIALIZED (
+  SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
+  FROM c{t} p LEFT JOIN n{t} n USING (cid)
+)"""
+        )
+    return f"""
+WITH emb AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+mx AS MATERIALIZED (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS m FROM emb
+),
+q AS MATERIALIZED (
+  SELECT vec_id,
+    CASE WHEN m > 0
+      THEN list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS DOUBLE))
+      ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS qv
+  FROM mx
+),
+g1 AS MATERIALIZED (
+  SELECT 0 AS cid, qv AS cvec
+  FROM q
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 1
+),
+{",".join(seed_steps)},
+c0 AS MATERIALIZED (SELECT CAST(cid AS INT) AS cid, cvec FROM g{k}),
+{",".join(steps)},
+final AS MATERIALIZED (
+  SELECT q.vec_id, c.cid,
+    list_sum(list_transform(range(1, len(q.qv) + 1),
+      i -> (q.qv[i] - c.cvec[i]) * (q.qv[i] - c.cvec[i]))) AS dist
+  FROM q CROSS JOIN c{iters} c
+),
+best AS MATERIALIZED (
+  SELECT vec_id, cid, dist,
+    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+  FROM final
+)
+SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS INT) AS cluster,
+  CAST(dist AS BIGINT) AS dist
+FROM best WHERE rn = 1
+"""

