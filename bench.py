@@ -292,7 +292,9 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         decontaminate,
         duplicate_spans,
         exact_duplicates,
+        kmeans_clusters,
         line_dedup,
+        lm_perplexity,
         near_duplicates,
         source_cap,
         tfidf_topk_terms,
@@ -369,11 +371,34 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         .count()
     )
     cur["source_cap_sec"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    n_ppl = (
+        lm_perplexity(amp).where(F.col("ppl_bucket") == "head").count()
+    )
+    cur["lm_perplexity_sec"] = round(time.perf_counter() - t, 3)
+    emb_amp = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .crossJoin(spark.range(cur_r).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("vec_id") + F.col("rep") * 10_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * (1 + F.col("rep") / F.lit(100.0))
+            ).alias("embedding"),
+        )
+        .repartition(cpus)
+    )
+    emb_amp.persist()
+    n_vecs = emb_amp.count()
+    t = time.perf_counter()
+    n_clustered = kmeans_clusters(emb_amp, k=8, iters=4).count()
+    cur["kmeans_sec"] = round(time.perf_counter() - t, 3)
+    emb_amp.unpersist()
     cur_total = time.perf_counter() - t_cur
     amp.unpersist()
     assert (
         n_exact > 0 and n_near > 0 and n_contam > 0 and n_tfidf > 0
-        and n_dup_spans > 0 and n_capped > 0
+        and n_dup_spans > 0 and n_capped > 0 and n_ppl > 0
+        and n_clustered == n_vecs
     )
     curation = {
         "n_docs": n_cur_docs,
@@ -385,6 +410,8 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         "n_near_dup_pairs": n_near,
         "n_dup_spans": n_dup_spans,
         "n_source_capped_kept": n_capped,
+        "n_ppl_head_docs": n_ppl,
+        "n_vectors_clustered": n_clustered,
     }
     queries.update({f"curation_{k}": v for k, v in cur.items()})
 
