@@ -872,11 +872,33 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_triple_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's accuracy half as a driver row: per-group
+    extraction precision/recall/F1 (micro-units) of the REAL span-text
+    extraction path against the arithmetic-derived expected set."""
+    from graphiti_spark.operators.evaluate import expected_triples, triple_prf
+
+    out = _graph(spark, sf_dir)
+    eps = synthesize_episodes(spark, sf_dir)
+    gold = expected_triples(eps)
+    ext = out.triples_raw.select(
+        "group_id", "doc_id", "offset", "speaker", "subj_name", "predicate",
+        "obj_name", F.year("valid_at").cast("int").alias("year"),
+    )
+    return triple_prf(
+        ext,
+        gold,
+        keys=["doc_id", "offset", "speaker", "subj_name", "predicate",
+              "obj_name", "year"],
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline stages
         "spans": _q_spans,
         "triples_raw": _q_triples_raw,
+        "triple_prf": _q_triple_prf,
         "mentions_by_name": _q_mentions_by_name,
         "uuid_map": _q_uuid_map,
         "nodes": _q_nodes,
@@ -963,6 +985,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "spans": oracle.q_spans(),
         "triples_raw": oracle.q_triples_raw(),
+        "triple_prf": oracle.q_triple_prf(),
         "mentions_by_name": oracle.q_mentions_raw(),
         "uuid_map": oracle.q_uuid_map(),
         "nodes": oracle.q_nodes(),

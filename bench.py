@@ -456,54 +456,12 @@ def _result(
 
 
 def _expected_triples(eps):
-    """Ground-truth (doc_id, offset, speaker, subj, pred, obj, year)
-    rows re-derived from the synthesis arithmetic (corpus.fact_params /
-    FIXTURES.md §1) as pure column expressions over the episodes
-    table's doc_id alone — never reading span text, so it is an
-    independent check of the extraction path end to end (including the
-    replica amplification arithmetic)."""
-    from pyspark.sql import functions as F
+    """Shared with the driver-checked triple_prf operator — see
+    graphiti_spark/operators/evaluate.py (ground truth re-derived from
+    the synthesis arithmetic, never from span text)."""
+    from graphiti_spark.operators.evaluate import expected_triples
 
-    from graphiti_spark import corpus as C
-
-    d0 = F.regexp_extract("doc_id", r"^doc-(\d+)", 1).cast("long")
-    rep_s = F.regexp_extract("doc_id", r"-r(\d+)$", 1)
-    rep = F.when(rep_s == "", F.lit(0)).otherwise(rep_s.cast("long"))
-    d = (d0 + rep * F.lit(500009)).alias("d")
-
-    ents = F.array(*[F.lit(e) for e in C.ENTITIES])
-    preds = F.array(*[F.lit(p[0]) for p in C.PREDICATES])
-    speakers = F.array(*[F.lit(s) for s in C.SPEAKERS])
-
-    rows = eps.select("doc_id", d).select(
-        "doc_id",
-        "d",
-        F.explode(F.sequence(F.lit(0), (F.col("d") % 3).cast("int"))).alias("j"),
-        F.element_at(
-            F.array(*[F.lit(k) for k in C.MEDIA_K]),
-            ((F.col("d") / 3).cast("long") % len(C.MEDIA_K)).cast("int") + 1,
-        ).alias("k"),
-    )
-    dd, j = F.col("d"), F.col("j")
-    subj = F.when((dd + j) % C.HOT_EVERY == 0, F.lit(0)).otherwise(
-        (dd * 7 + j * 13) % C.N_ENTITIES
-    )
-    obj0 = (dd * 11 + j * 17 + 1) % C.N_ENTITIES
-    obj = F.when(obj0 == subj, (obj0 + 1) % C.N_ENTITIES).otherwise(obj0)
-    return rows.select(
-        "doc_id",
-        # text span j (0-based) sits after floor(j/k) interleaved media
-        (j + F.floor(j / F.col("k"))).cast("int").alias("offset"),
-        F.element_at(speakers, ((dd + j) % len(C.SPEAKERS)).cast("int") + 1).alias(
-            "speaker"
-        ),
-        F.element_at(ents, subj.cast("int") + 1).alias("subj_name"),
-        F.element_at(preds, ((dd * 3 + j * 5) % C.N_PREDICATES).cast("int") + 1).alias(
-            "predicate"
-        ),
-        F.element_at(ents, obj.cast("int") + 1).alias("obj_name"),
-        (F.lit(C.BASE_YEAR) + (F.floor(dd / 16) + 3 * j) % 10).cast("int").alias("year"),
-    )
+    return expected_triples(eps)
 
 
 def _subprocess_bench(sf_dir: str, cpus: int, replicas: int) -> dict:

@@ -359,3 +359,61 @@ SELECT l.group_id, l.uuid, c.community_id AS community
 FROM l{max_iters} l
 JOIN canon_comm c ON c.group_id = l.group_id AND c.community = l.community
 """
+
+
+def q_triple_prf() -> str:
+    """Per-group extraction P/R/F1 in integer micro-units — the SQL
+    twin of operators/evaluate.py::triple_prf over the expected-triple
+    arithmetic (FACTS_CTE). Both the "extracted" and "expected" sides
+    are re-derived from the corpus arithmetic (the extracted side with
+    the extractor's self-loop filter applied), so a hash match against
+    the Spark side — whose extracted set comes from the REAL span-text
+    extraction path — verifies extraction fidelity AND the metric
+    arithmetic end to end. DuckDB ``//`` = Spark ``DIV`` (both floor),
+    and every count is CAST to BIGINT before the final projection so
+    no HUGEINT surfaces."""
+    ks = _sql_list([str(k) for k in corpus.MEDIA_K])
+    return f"""
+WITH {FACTS_CTE},
+cfgk AS (
+  SELECT d,
+    CAST(list_extract({ks}, CAST((d // 3) % {len(corpus.MEDIA_K)} AS INT) + 1) AS BIGINT) AS k
+  FROM docs
+),
+gold AS (
+  SELECT DISTINCT f.group_id, f.doc_id,
+    CAST(f.j + f.j // c.k AS INT) AS off,
+    f.speaker, f.subj_name, f.predicate, f.obj_name,
+    CAST(year(f.valid_at) AS INT) AS yr
+  FROM facts f JOIN cfgk c ON c.d = f.d
+),
+ext AS (SELECT * FROM gold WHERE subj_name <> obj_name),
+ne AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_extracted FROM ext GROUP BY 1),
+ng AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_expected FROM gold GROUP BY 1),
+tp AS (
+  SELECT e.group_id, CAST(COUNT(*) AS BIGINT) AS n_tp
+  FROM ext e JOIN gold g
+    ON g.group_id = e.group_id AND g.doc_id = e.doc_id AND g.off = e.off
+   AND g.speaker = e.speaker AND g.subj_name = e.subj_name
+   AND g.predicate = e.predicate AND g.obj_name = e.obj_name AND g.yr = e.yr
+  GROUP BY 1
+),
+counts AS (
+  SELECT COALESCE(ne.group_id, ng.group_id) AS group_id,
+    CAST(COALESCE(ne.n_extracted, 0) AS BIGINT) AS n_extracted,
+    CAST(COALESCE(ng.n_expected, 0) AS BIGINT) AS n_expected,
+    CAST(COALESCE(tp.n_tp, 0) AS BIGINT) AS n_tp
+  FROM ne
+  FULL JOIN ng ON ng.group_id = ne.group_id
+  LEFT JOIN tp ON tp.group_id = COALESCE(ne.group_id, ng.group_id)
+)
+SELECT group_id, n_extracted, n_expected, n_tp,
+  CAST(CASE WHEN n_extracted > 0 THEN 1000000 * n_tp // n_extracted ELSE 0 END AS BIGINT)
+    AS precision_micro,
+  CAST(CASE WHEN n_expected > 0 THEN 1000000 * n_tp // n_expected ELSE 0 END AS BIGINT)
+    AS recall_micro,
+  CAST(CASE WHEN n_extracted + n_expected > 0
+       THEN 2000000 * n_tp // (n_extracted + n_expected) ELSE 0 END AS BIGINT)
+    AS f1_micro
+FROM counts
+"""
