@@ -198,6 +198,12 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _q_corpus_profile(spark, sf_dir):
+    from graphiti_spark.operators.docops import corpus_profile
+
+    return corpus_profile(_docs(spark, sf_dir))
+
+
 def _q_token_stats(spark, sf_dir):
     from graphiti_spark.operators.docops import token_stats
 
@@ -919,6 +925,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": _q_kcore,
         # text analysis
         "token_stats": _q_token_stats,
+        "corpus_profile": _q_corpus_profile,
         "quality": _q_quality,
         "language_id": _q_language_id,
         "tfidf_topk": _q_tfidf_topk,
@@ -994,6 +1001,7 @@ def oracle_sql() -> dict[str, str]:
         "mentions": oracle.q_mentions_table(),
         "episode_edges": oracle.q_episode_edges(),
         "token_stats": oo.q_token_stats(),
+        "corpus_profile": oo.q_corpus_profile(),
         "quality": oo.q_quality(),
         "language_id": oo.q_language_id(),
         "pagerank": oo.q_pagerank(),

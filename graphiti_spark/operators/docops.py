@@ -1822,3 +1822,75 @@ def kmeans_clusters(
             F.col("m.dist").alias("dist"),
         )
     )
+
+
+def corpus_profile(
+    documents: DataFrame,
+    quantiles: tuple = (25, 50, 75, 95),
+) -> DataFrame:
+    """Per-source corpus datasheet: doc counts, char volume, language
+    spread, and EXACT length quantiles — the profiling sheet a
+    training-data pipeline publishes alongside every corpus snapshot
+    (the "datasheets for datasets" table; the reference's analogue is
+    its per-group metrics surface, graphiti_core/graphiti.py episode
+    counters).
+
+    Exactness contract: quantile q is the value at 1-based rank
+    floor((n-1)·q/100) + 1 of the per-source ordered lengths (the
+    discrete lower-quantile convention) — pure integer arithmetic, so
+    DuckDB reproduces it bit-for-bit; no interpolation, no floats.
+
+    Scale shape (100 TB): lengths collapse FIRST through
+    groupBy(source, n_chars) — map-side partial aggregation reduces a
+    trillion rows to |sources| × |distinct lengths| before any window;
+    the cumulative-count window then runs over that tiny histogram,
+    never over documents. One shuffle on source (AQE-coalesced), plus
+    one distinct-lang agg joined at |sources| rows. No sort of the
+    corpus, no window over raw rows, no skew hazard (a hot source's
+    histogram is still bounded by its distinct lengths).
+    """
+    hist = documents.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_src = Window.partitionBy("source")
+    cum = F.sum("cnt").over(w_cum)
+    n = F.sum("cnt").over(w_src)
+    ranked = hist.select(
+        "source",
+        "n_chars",
+        "cnt",
+        cum.alias("cum"),
+        n.alias("n_docs"),
+    )
+    q_aggs = [
+        F.min(
+            F.when(
+                # rank = floor((n-1)*q/100) + 1; floor of the double is
+                # exact while (n-1)*q < 2^53 and matches DuckDB's //
+                F.col("cum") >= F.floor((F.col("n_docs") - 1) * q / 100) + 1,
+                F.col("n_chars"),
+            )
+        )
+        .cast("long")
+        .alias(f"p{q}_chars")
+        for q in quantiles
+    ]
+    prof = ranked.withColumn(
+        "cum", F.col("cum").cast("long")
+    ).groupBy("source").agg(
+        F.max("n_docs").cast("long").alias("n_docs"),
+        F.sum(F.col("n_chars") * F.col("cnt")).cast("long").alias("total_chars"),
+        *q_aggs,
+    )
+    langs = documents.groupBy("source").agg(
+        F.countDistinct("lang").cast("long").alias("n_langs")
+    )
+    return prof.join(langs, "source").select(
+        "source", "n_docs", "total_chars", "n_langs",
+        *[f"p{q}_chars" for q in quantiles],
+    )

@@ -2030,3 +2030,41 @@ SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS INT) AS cluster,
   CAST(dist AS BIGINT) AS dist
 FROM best WHERE rn = 1
 """
+
+
+def q_corpus_profile(quantiles: tuple = (25, 50, 75, 95)) -> str:
+    """SQL twin of docops.corpus_profile: exact discrete lower-quantile
+    ranks over the per-source length histogram — DuckDB ``//`` mirrors
+    the Spark side's floor, every aggregate CAST to BIGINT."""
+    qcols = ",\n  ".join(
+        f"CAST(MIN(CASE WHEN cum >= (n_docs - 1) * {q} // 100 + 1 "
+        f"THEN n_chars END) AS BIGINT) AS p{q}_chars"
+        for q in quantiles
+    )
+    return f"""
+WITH hist AS (
+  SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM documents GROUP BY 1, 2
+),
+ranked AS (
+  SELECT source, n_chars, cnt,
+    SUM(cnt) OVER (PARTITION BY source ORDER BY n_chars
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    SUM(cnt) OVER (PARTITION BY source) AS n_docs
+  FROM hist
+),
+prof AS (
+  SELECT source,
+    CAST(MAX(n_docs) AS BIGINT) AS n_docs,
+    CAST(SUM(n_chars * cnt) AS BIGINT) AS total_chars,
+    {qcols}
+  FROM ranked GROUP BY 1
+),
+langs AS (
+  SELECT source, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+  FROM documents GROUP BY 1
+)
+SELECT p.source, p.n_docs, p.total_chars, l.n_langs,
+  {", ".join(f"p.p{q}_chars" for q in quantiles)}
+FROM prof p JOIN langs l ON l.source = p.source
+"""

@@ -525,3 +525,43 @@ def test_source_cap_salt_count_invariance(spark):
     for n_salts in (2, 16, 64):
         got = sorted(map(tuple, source_cap(base, cap=7, n_salts=n_salts).collect()))
         assert got == ref, f"n_salts={n_salts} diverged"
+
+
+def test_corpus_profile_exact_quantiles_vs_bruteforce(spark):
+    """corpus_profile's rank-select quantiles equal the brute-force
+    sorted-list lookup at rank floor((n-1)*q/100), per source, and the
+    sheet is partition-invariant."""
+    import random
+
+    from graphiti_spark.operators.docops import corpus_profile
+
+    rng = random.Random(7)
+    rows = [
+        (i, "x" * rng.randint(1, 50), rng.choice(["en", "fr", "de"]),
+         f"src{i % 3}", 0)
+        for i in range(200)
+    ]
+    rows = [(i, t, lang, src, len(t)) for (i, t, lang, src, _) in rows]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in corpus_profile(docs).collect()}
+    by_src = {}
+    for _, _, lang, src, n in rows:
+        by_src.setdefault(src, {"lens": [], "langs": set()})
+        by_src[src]["lens"].append(n)
+        by_src[src]["langs"].add(lang)
+    for src, d in by_src.items():
+        lens = sorted(d["lens"])
+        n = len(lens)
+        r = out[src]
+        assert r.n_docs == n
+        assert r.total_chars == sum(lens)
+        assert r.n_langs == len(d["langs"])
+        for q in (25, 50, 75, 95):
+            assert getattr(r, f"p{q}_chars") == lens[(n - 1) * q // 100], (
+                src, q,
+            )
+
+    again = sorted(map(tuple, corpus_profile(docs.repartition(13)).collect()))
+    assert again == sorted(map(tuple, corpus_profile(docs).collect()))
