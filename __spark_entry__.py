@@ -198,6 +198,17 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _q_contamination_overlap(spark, sf_dir):
+    from graphiti_spark.operators.docops import contamination_overlap
+
+    d = _docs(spark, sf_dir)
+    return contamination_overlap(
+        d.where(F.col("doc_id") % 10 != 7),
+        d.where(F.col("doc_id") % 10 == 7),
+        n=4,
+    )
+
+
 def _q_corpus_profile(spark, sf_dir):
     from graphiti_spark.operators.docops import corpus_profile
 
@@ -926,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "token_stats": _q_token_stats,
         "corpus_profile": _q_corpus_profile,
+        "contamination_overlap": _q_contamination_overlap,
         "quality": _q_quality,
         "language_id": _q_language_id,
         "tfidf_topk": _q_tfidf_topk,
@@ -1002,6 +1014,7 @@ def oracle_sql() -> dict[str, str]:
         "episode_edges": oracle.q_episode_edges(),
         "token_stats": oo.q_token_stats(),
         "corpus_profile": oo.q_corpus_profile(),
+        "contamination_overlap": oo.q_contamination_overlap(),
         "quality": oo.q_quality(),
         "language_id": oo.q_language_id(),
         "pagerank": oo.q_pagerank(),

@@ -1894,3 +1894,69 @@ def corpus_profile(
         "source", "n_docs", "total_chars", "n_langs",
         *[f"p{q}_chars" for q in quantiles],
     )
+
+
+def contamination_overlap(
+    documents: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 4,
+    dirty_threshold_micro: int = 100_000,
+) -> DataFrame:
+    """Graded benchmark-contamination score: for every training doc,
+    the FRACTION of its distinct word n-grams that appear anywhere in
+    the held-out eval set — the thresholded variant (PaLM/Llama-style
+    "dirty if > X% of n-grams overlap") of the boolean
+    :func:`decontaminate` gate. Returns (doc_id, n_grams, n_hit,
+    overlap_micro, bucket) with overlap in exact integer micro-units
+    (1e6·hits DIV grams — Spark DIV = DuckDB //) and bucket ∈
+    {clean, partial, dirty}: dirty at ≥ ``dirty_threshold_micro``,
+    clean at 0.
+
+    Scale shape (100 TB): identical to decontaminate — distinct
+    n-grams exploded on both sides, one hash semi-join on the gram
+    (AQE broadcasts the tiny eval side), one groupBy(doc_id). The
+    denominator (per-doc distinct gram count) is computed WITHOUT a
+    second explode pass: size(array_distinct(...)) is a per-row column
+    expression. Never doc×doc; a doc shorter than ``n`` words scores 0
+    over 0 grams and buckets clean.
+    """
+    toks = tokenize(F.col("text"))
+    grams = F.array_distinct(_word_ngrams(toks, n))
+    base = documents.select(
+        "doc_id", F.size(grams).cast("long").alias("n_grams"), grams.alias("grams")
+    )
+    eval_grams = (
+        eval_docs.select(
+            F.explode(
+                F.array_distinct(_word_ngrams(tokenize(F.col("text")), n))
+            ).alias("gram")
+        )
+        .dropDuplicates()
+    )
+    hits = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .join(eval_grams, "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hit"))
+    )
+    scored = (
+        base.select("doc_id", F.greatest("n_grams", F.lit(0)).alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+        )
+        .withColumn(
+            "overlap_micro",
+            F.when(F.col("n_grams") > 0, F.expr("1000000 * n_hit DIV n_grams"))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )
+    return scored.withColumn(
+        "bucket",
+        F.when(F.col("overlap_micro") >= dirty_threshold_micro, F.lit("dirty"))
+        .when(F.col("overlap_micro") > 0, F.lit("partial"))
+        .otherwise(F.lit("clean")),
+    )

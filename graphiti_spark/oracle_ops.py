@@ -2068,3 +2068,36 @@ SELECT p.source, p.n_docs, p.total_chars, l.n_langs,
   {", ".join(f"p.p{q}_chars" for q in quantiles)}
 FROM prof p JOIN langs l ON l.source = p.source
 """
+
+
+def q_contamination_overlap(
+    n: int = 4, dirty_threshold_micro: int = 100_000
+) -> str:
+    """SQL twin of docops.contamination_overlap (train = doc_id % 10
+    <> 7, eval = doc_id % 10 = 7, matching q_decontaminate's split).
+    Micro fraction via DuckDB ``//`` = Spark ``DIV``."""
+    return f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+g AS (SELECT doc_id, list_distinct({_gram_sql(n)}) AS grams FROM t),
+ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 10 = 7),
+tr AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 10 <> 7),
+hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS c FROM tr JOIN ev USING (gram) GROUP BY 1),
+scored AS (
+  SELECT CAST(g.doc_id AS BIGINT) AS doc_id,
+    CAST(len(g.grams) AS BIGINT) AS n_grams,
+    CAST(COALESCE(hit.c, 0) AS BIGINT) AS n_hit
+  FROM g LEFT JOIN hit USING (doc_id)
+  WHERE g.doc_id % 10 <> 7
+),
+m AS (
+  SELECT doc_id, n_grams, n_hit,
+    CAST(CASE WHEN n_grams > 0 THEN 1000000 * n_hit // n_grams ELSE 0 END AS BIGINT)
+      AS overlap_micro
+  FROM scored
+)
+SELECT doc_id, n_grams, n_hit, overlap_micro,
+  CASE WHEN overlap_micro >= {dirty_threshold_micro} THEN 'dirty'
+       WHEN overlap_micro > 0 THEN 'partial'
+       ELSE 'clean' END AS bucket
+FROM m
+"""

@@ -565,3 +565,43 @@ def test_corpus_profile_exact_quantiles_vs_bruteforce(spark):
 
     again = sorted(map(tuple, corpus_profile(docs.repartition(13)).collect()))
     assert again == sorted(map(tuple, corpus_profile(docs).collect()))
+
+
+def test_contamination_overlap_fraction_and_buckets(spark):
+    """contamination_overlap: exact micro fractions on a hand-built
+    corpus — a fully-contaminated doc, a half-contaminated doc, a clean
+    doc, and a too-short doc (0 grams → clean, never a divide-by-zero)."""
+    from graphiti_spark.operators.docops import contamination_overlap
+
+    eval_docs = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),            # 1 gram, hit → dirty
+            (2, "alpha beta gamma delta epsilon"),    # 2 grams, 1 hit → 500000
+            (3, "zeta eta theta iota kappa"),         # 2 grams, 0 hits → clean
+            (4, "one two"),                           # 0 grams → clean
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in contamination_overlap(train, eval_docs, n=4).collect()
+    }
+    assert (out[1].n_grams, out[1].n_hit, out[1].overlap_micro, out[1].bucket) == (
+        1, 1, 1000000, "dirty",
+    )
+    assert (out[2].n_grams, out[2].n_hit, out[2].overlap_micro, out[2].bucket) == (
+        2, 1, 500000, "dirty",
+    )
+    assert (out[3].overlap_micro, out[3].bucket) == (0, "clean")
+    assert (out[4].n_grams, out[4].overlap_micro, out[4].bucket) == (0, 0, "clean")
+    # partial bucket: below the dirty threshold but nonzero
+    out2 = {
+        r.doc_id: r
+        for r in contamination_overlap(
+            train, eval_docs, n=4, dirty_threshold_micro=600_000
+        ).collect()
+    }
+    assert out2[2].bucket == "partial"
