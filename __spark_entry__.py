@@ -209,6 +209,17 @@ def _q_contamination_overlap(spark, sf_dir):
     )
 
 
+def _q_dsir_weights(spark, sf_dir):
+    from graphiti_spark.operators.docops import dsir_weights
+
+    d = _docs(spark, sf_dir)
+    return dsir_weights(
+        d.where(F.col("doc_id") % 10 != 7),
+        d.where(F.col("doc_id") % 10 == 7),
+        n_buckets=1024,
+    )
+
+
 def _q_corpus_profile(spark, sf_dir):
     from graphiti_spark.operators.docops import corpus_profile
 
@@ -938,6 +949,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "corpus_profile": _q_corpus_profile,
         "contamination_overlap": _q_contamination_overlap,
+        "dsir_weights": _q_dsir_weights,
         "quality": _q_quality,
         "language_id": _q_language_id,
         "tfidf_topk": _q_tfidf_topk,
@@ -1015,6 +1027,7 @@ def oracle_sql() -> dict[str, str]:
         "token_stats": oo.q_token_stats(),
         "corpus_profile": oo.q_corpus_profile(),
         "contamination_overlap": oo.q_contamination_overlap(),
+        "dsir_weights": oo.q_dsir_weights(),
         "quality": oo.q_quality(),
         "language_id": oo.q_language_id(),
         "pagerank": oo.q_pagerank(),

@@ -1960,3 +1960,118 @@ def contamination_overlap(
         .when(F.col("overlap_micro") > 0, F.lit("partial"))
         .otherwise(F.lit("clean")),
     )
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target_docs: DataFrame,
+    n_buckets: int = 1024,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): score every raw
+    document by log(p_target(doc) / p_raw(doc)) under bag-of-hashed-
+    token unigram models — the standard "select crawl data that looks
+    like the curated target" signal. Returns (doc_id, n_tokens,
+    dsir_micro); resampling/selection composes downstream (rank by
+    dsir_micro, or feed mixture_sample).
+
+    Engine-parity discipline (the lm_perplexity convention): tokens
+    hash into ``n_buckets`` md5 feature buckets; the ONLY
+    transcendental is one ln() per DISTINCT bucket (≤ n_buckets rows,
+    driver-bounded), computed as ln(x/y) of add-alpha-smoothed count
+    products and immediately floored to integer micro-nats; per-doc
+    scores are then pure BIGINT sums of cnt·ratio — order-independent,
+    so DuckDB reproduces them bit-for-bit. Zero-token docs surface
+    with NULL dsir_micro, never silently drop.
+
+    Scale shape (100 TB): both model passes are explode → partial-agg
+    counts (map-side combinable); the per-bucket log-ratio table is
+    ≤ n_buckets rows and BROADCAST into the scoring join, so scoring
+    is one corpus pass with no shuffle beyond the per-doc groupBy.
+    The target corpus is curated-sized by construction.
+    """
+    B = int(n_buckets)
+
+    def _bucketed(df: DataFrame) -> DataFrame:
+        toks = tokenize(F.col(text_col))
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode_outer(toks).alias("tok"),
+        ).select(
+            "doc_id",
+            F.when(
+                F.col("tok").isNotNull(),
+                _md5_u32(F.concat(F.lit("dsir|"), F.col("tok"))) % B,
+            ).alias("bucket"),
+        )
+
+    raw = _bucketed(documents)
+    raw_counts = (
+        raw.where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cr"))
+    )
+    tgt_counts = (
+        _bucketed(target_docs)
+        .where(F.col("bucket").isNotNull())
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    )
+    raw_tot = raw_counts.agg(F.sum("cr").cast("long").alias("tr"))
+    tgt_tot = tgt_counts.agg(F.sum("ct").cast("long").alias("tt"))
+
+    # one ln per DISTINCT bucket, floored to micro-nats immediately:
+    # lr = ln( ((ct+a)·(tr+a·B)) / ((cr+a)·(tt+a·B)) )
+    buckets = (
+        documents.sparkSession.range(B)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(raw_counts, "bucket", "left")
+        .join(tgt_counts, "bucket", "left")
+        .crossJoin(F.broadcast(raw_tot))
+        .crossJoin(F.broadcast(tgt_tot))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(alpha))
+                        * (F.coalesce(F.col("tr"), F.lit(0)) + F.lit(alpha) * B)
+                    )
+                    / (
+                        (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(alpha))
+                        * (F.coalesce(F.col("tt"), F.lit(0)) + F.lit(alpha) * B)
+                    )
+                )
+                * 1000000
+                + 0.5
+            )
+            .cast("long")
+            .alias("lr_micro"),
+        )
+    )
+
+    per_doc_bucket = (
+        raw.where(F.col("bucket").isNotNull())
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .join(F.broadcast(buckets), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lr_micro")).cast("long").alias("dsir_micro"),
+        )
+    )
+    empties = (
+        raw.groupBy("doc_id")
+        .agg(F.max("bucket").alias("any_b"))
+        .where(F.col("any_b").isNull())
+        .select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(None).cast("long").alias("dsir_micro"),
+        )
+    )
+    return per_doc_bucket.unionByName(empties)

@@ -2101,3 +2101,53 @@ SELECT doc_id, n_grams, n_hit, overlap_micro,
        ELSE 'clean' END AS bucket
 FROM m
 """
+
+
+def q_dsir_weights(n_buckets: int = 1024, alpha: float = 1.0) -> str:
+    """SQL twin of docops.dsir_weights (raw = doc_id % 10 <> 7, target
+    = doc_id % 10 = 7, matching the decontaminate split). One ln per
+    distinct bucket floored to micro-nats; per-doc sums are BIGINT."""
+    a = float(alpha)
+    ab = a * n_buckets
+    bucket = _md5_u32_sql("'dsir|' || tok") + f" % {n_buckets}"
+    return f"""
+WITH t AS (SELECT doc_id, {_toks('text')} AS toks FROM documents),
+tokens AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+b AS (SELECT doc_id, {bucket} AS bucket FROM tokens),
+raw AS (SELECT * FROM b WHERE doc_id % 10 <> 7),
+tgt AS (SELECT * FROM b WHERE doc_id % 10 = 7),
+cr AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM raw GROUP BY 1),
+ct AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS c FROM tgt GROUP BY 1),
+tot AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM raw) AS tr,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM tgt) AS tt
+),
+grid AS (SELECT CAST(unnest(range({n_buckets})) AS BIGINT) AS bucket),
+buckets AS (
+  SELECT g.bucket,
+    CAST(floor(ln(
+      ((COALESCE(ct.c, 0) + {a}) * (tot.tr + {ab}))
+      / ((COALESCE(cr.c, 0) + {a}) * (tot.tt + {ab}))
+    ) * 1000000 + 0.5) AS BIGINT) AS lr_micro
+  FROM grid g
+  LEFT JOIN cr ON cr.bucket = g.bucket
+  LEFT JOIN ct ON ct.bucket = g.bucket
+  CROSS JOIN tot
+),
+pdb AS (
+  SELECT doc_id, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM raw GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+    CAST(SUM(cnt * lr_micro) AS BIGINT) AS dsir_micro
+  FROM pdb JOIN buckets USING (bucket)
+  GROUP BY 1
+)
+SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+  CAST(COALESCE(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(s.dsir_micro AS BIGINT) AS dsir_micro
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7) d
+LEFT JOIN scored s ON s.doc_id = d.doc_id
+"""

@@ -605,3 +605,38 @@ def test_contamination_overlap_fraction_and_buckets(spark):
         ).collect()
     }
     assert out2[2].bucket == "partial"
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    """dsir_weights: a doc written in the target's vocabulary must
+    outscore an off-target doc; zero-token docs surface with NULL
+    score; scores are partition-invariant."""
+    from graphiti_spark.operators.docops import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "cat kitten purr whiskers feline nap") for i in range(5)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "cat kitten purr nap feline"),          # on-target
+            (2, "tax invoice ledger quarterly audit"),  # off-target
+            (3, ""),                                    # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dsir_weights(raw, target, n_buckets=64).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].dsir_micro > out[2].dsir_micro
+    assert out[1].dsir_micro > 0 > out[2].dsir_micro
+    assert out[3].n_tokens == 0 and out[3].dsir_micro is None
+
+    again = {
+        r.doc_id: r
+        for r in dsir_weights(
+            raw.repartition(5), target.repartition(3), n_buckets=64
+        ).collect()
+    }
+    assert {k: (v.n_tokens, v.dsir_micro) for k, v in out.items()} == {
+        k: (v.n_tokens, v.dsir_micro) for k, v in again.items()
+    }
