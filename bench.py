@@ -43,6 +43,12 @@ def wait_for_quiet_window() -> dict:
     gate = float(os.environ.get("BENCH_QUIET_GATE", "2.0"))
     max_wait = float(os.environ.get("BENCH_QUIET_MAX_WAIT", "300"))
     t0 = time.monotonic()
+    if gate <= 0:  # disabled: skip even the 3 s /proc/stat sampling delta
+        return {
+            "quiet_waited_sec": 0.0,
+            "load_at_timed_start": round(os.getloadavg()[0], 2),
+            "busy_cores_at_timed_start": None,
+        }
 
     def _busy_now() -> tuple[float, float]:
         """(1-min loadavg, non-idle cores over a 3 s /proc/stat delta).

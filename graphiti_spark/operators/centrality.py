@@ -236,21 +236,32 @@ def kcore(
     corpus-scale KG). ``core_deg`` is the node's degree inside the
     surviving subgraph, 0 for peeled / isolated nodes.
 
-    Determinism across engines: peeling is run a FIXED ``rounds``
-    iterations in both Spark and the DuckDB oracle (the LPA /
-    pagerank unroll pattern) — peeling is monotone (the active edge
-    set only shrinks), so once converged extra rounds are identity;
-    tests pin that the fixture converges well inside the default.
+    Determinism across engines: the first ``rounds`` peels run as a
+    FIXED unroll with no per-round convergence jobs (the LPA /
+    pagerank pattern, matching the DuckDB oracle's identical unroll),
+    then a convergence check fires and peeling CONTINUES to the true
+    fixpoint if the cascade is deeper than ``rounds`` — k-core is a
+    fixpoint definition, and a silently truncated peel would report
+    non-core nodes as in_kcore=True. Peeling is monotone (the active
+    edge set only shrinks, so equal edge counts across a round ⇒
+    fixpoint, and termination is guaranteed); once converged, extra
+    rounds are identity, so the fixed-unroll oracle agrees whenever
+    the graph converges within ``rounds`` (pinned for the driver
+    fixture; deeper graphs get the CORRECT core from this side).
 
     Scale shape: each round is one degree groupBy (map-side partial
     agg — hub entities are an agg skew, not a join skew) plus two
     left-semi hash joins filtering the edge list against surviving
-    nodes; lineage is cut with localCheckpoint every 2 rounds. No
-    windows, no Python, no driver-side data.
+    nodes; lineage is cut with localCheckpoint every 2 rounds during
+    the unroll and every round in the (rare) post-``rounds`` tail,
+    where the checkpoint also makes the convergence count cheap. No
+    windows, no Python, no driver-side data beyond the tail's 1-value
+    counts.
     """
     und, _ = _undirected_degrees(edges)
     active = und.localCheckpoint(eager=True)
-    for r in range(rounds):
+
+    def _peel(active):
         deg = (
             active.select("group_id", F.col("a").alias("name"))
             .unionByName(active.select("group_id", F.col("b").alias("name")))
@@ -258,7 +269,7 @@ def kcore(
             .agg(F.count(F.lit(1)).alias("deg"))
         )
         keep = deg.where(F.col("deg") >= k).select("group_id", "name")
-        active = active.join(
+        return active.join(
             keep.select("group_id", F.col("name").alias("a")),
             ["group_id", "a"],
             "left_semi",
@@ -267,8 +278,20 @@ def kcore(
             ["group_id", "b"],
             "left_semi",
         )
+
+    for r in range(rounds):
+        active = _peel(active)
         if (r + 1) % 2 == 0 and r + 1 < rounds:
             active = active.localCheckpoint(eager=True)
+    # fixpoint tail: keep peeling while a round still removes edges
+    active = active.localCheckpoint(eager=True)
+    n_active = active.count()
+    while True:
+        nxt = _peel(active).localCheckpoint(eager=True)
+        n_nxt = nxt.count()
+        if n_nxt == n_active:
+            break
+        active, n_active = nxt, n_nxt
     core_deg = (
         active.select("group_id", F.col("a").alias("name"))
         .unionByName(active.select("group_id", F.col("b").alias("name")))

@@ -1561,8 +1561,11 @@ def semantic_dedup_keep_list(
     from .resolve import connected_components
 
     # component labels are MIN over STRING uuids — zero-pad the numeric
-    # ids so lexicographic min == numeric min, then cast back
-    pad = lambda c: F.lpad(c.cast("string"), 9, "0")
+    # ids so lexicographic min == numeric min, then cast back. Width 20
+    # covers the full non-negative int64 range (19 digits); Spark's
+    # lpad TRUNCATES strings longer than the pad width, so a narrower
+    # pad would silently collapse distinct 10+-digit ids.
+    pad = lambda c: F.lpad(c.cast("string"), 20, "0")
     pairs = embedding_near_duplicates(
         embeddings, threshold=threshold, id_col=id_col, vec_col=vec_col
     ).select(pad(F.col("id_a")).alias("id_a"), pad(F.col("id_b")).alias("id_b"))

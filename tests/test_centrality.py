@@ -76,6 +76,21 @@ def test_kcore_fixpoint_extra_rounds_identity(spark):
     assert kept == {"a", "b", "c", "d", "e", "f"}
 
 
+def test_kcore_deep_cascade_beyond_fixed_rounds(spark):
+    # a 16-node path with k=2 has an empty 2-core but peels only from
+    # the two endpoints — ~8 rounds to converge, past the default
+    # rounds=6 unroll. The fixpoint tail must keep peeling: reporting
+    # the surviving middle segment as in_kcore=True would be a silent
+    # wrong answer (the round-4 review finding).
+    from graphiti_spark.operators.centrality import kcore
+
+    names = [f"n{i:02d}" for i in range(16)]
+    pairs = list(zip(names, names[1:]))
+    nodes, edges = _graph(spark, pairs)
+    out = kcore(nodes, edges, k=2).collect()
+    assert all(not r.in_kcore and r.core_deg == 0 for r in out)
+
+
 def test_kcore_k3_dissolves_sparse_graph(spark):
     # k=3 on a graph whose densest block is a triangle: everything peels
     from graphiti_spark.operators.centrality import kcore

@@ -583,6 +583,35 @@ def test_quantize_embeddings_properties(spark):
         assert np.abs(x - q * step).max() <= step / 2 + 1e-9
 
 
+def test_semantic_dedup_keep_list_wide_ids(spark):
+    """vec_ids wider than 9 digits must survive the string zero-pad
+    round-trip intact (Spark's lpad TRUNCATES over-width strings — the
+    round-4 review finding): two distinct 10-digit ids sharing a
+    9-digit prefix stay distinct vertices, and the numeric-min keep
+    rule holds across the 1e9 boundary."""
+    from graphiti_spark.operators.docops import semantic_dedup_keep_list
+
+    v = [1.0, 2.0, 3.0, 4.0]
+    w = [-4.0, 3.0, -2.0, 1.0]  # orthogonal-ish: cosine < 0
+    rows = [
+        (999_999_999, v),          # 9 digits — numeric min of its pair
+        (1_000_000_000, v),        # 10 digits, same 9-digit prefix as…
+        (1_000_000_001, w),        # …this one: must NOT collapse
+        (1_000_000_002, w),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.keep_vec_id, r.is_kept)
+        for r in semantic_dedup_keep_list(emb, threshold=0.95).collect()
+    }
+    assert got == {
+        999_999_999: (999_999_999, True),
+        1_000_000_000: (999_999_999, False),
+        1_000_000_001: (1_000_000_001, True),
+        1_000_000_002: (1_000_000_001, False),
+    }
+
+
 def test_semantic_dedup_keep_list_matches_bruteforce(spark):
     """semantic_dedup_keep_list (SemDeDup-style: components over the
     embedding near-dup pair graph, keep = min vec_id) agrees with a
@@ -677,7 +706,6 @@ def test_lm_perplexity_terciles_and_oov(spark):
     assert max(buckets["head"]) <= min(buckets["middle"])
     assert max(buckets["middle"]) <= min(buckets["tail"])
     n = len(scored)
-    assert len(buckets["head"]) == n // 3 + (1 if n % 3 else 0) or True
     assert abs(len(buckets["head"]) - n / 3) <= 1
     # (b) repetitive-common < gibberish cross-entropy
     assert out[100].ce_micro < out[101].ce_micro

@@ -106,9 +106,16 @@ def test_duplicate_spans_plan_shape(spark):
     # materializing the exploded gram set at 100 TB)
     assert all("text" in rs for rs in s.read_schemas)
     assert not any("lang" in rs or "n_chars" in rs for rs in s.read_schemas)
-    # the md5 is computed in the explode projection, pre-shuffle: no
-    # shuffle relation carries a joined gram string
-    assert "array_join" in plan.split("Exchange")[0] or plan.count("md5") >= 1
+    # the md5 is computed in the explode projection, pre-shuffle: the
+    # plan prints root-first, so splitting on Exchange puts each
+    # shuffle's INPUT subtree in the segment that also holds its leaf
+    # scan — every segment computing the gram hash must be such a
+    # scan-side segment (hash computed below the Exchange, gram text
+    # never riding a shuffle)
+    hash_segs = [
+        s for s in plan.split("Exchange") if "md5" in s or "array_join" in s
+    ]
+    assert hash_segs and all("Scan" in s for s in hash_segs)
 
 
 def test_source_cap_plan_window_group_limit(spark):
