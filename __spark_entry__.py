@@ -151,6 +151,35 @@ def _q_kcore(spark, sf_dir):
     return kcore(out.nodes, out.edges)
 
 
+def _q_interleave_profile(spark, sf_dir):
+    """Per-episode modality structure of the interleaved span table
+    (runs, token counts, contract booleans — interleave.interleave_
+    profile; pure array algebra, no explode/shuffle)."""
+    from graphiti_spark.operators.interleave import interleave_profile
+
+    return interleave_profile(synthesize_episodes(spark, sf_dir))
+
+
+def _q_pack_interleaved(spark, sf_dir):
+    """Interleaved-aware sequence packing: text tokens + fixed media
+    charge per span, episodes atomic, one stream Exchange
+    (interleave.pack_interleaved)."""
+    from graphiti_spark.operators.interleave import pack_interleaved
+
+    return pack_interleaved(synthesize_episodes(spark, sf_dir))
+
+
+def _q_token_kmv(spark, sf_dir):
+    """Per-source distinct-vocabulary estimate via a K-Minimum-Values
+    sketch (docops.token_cardinality). k=16 at this scale so the
+    ESTIMATE branch (not just the exact small-group path) is what the
+    oracle verifies bit-for-bit."""
+    from graphiti_spark.operators.docops import token_cardinality
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_cardinality(docs, k=16)
+
+
 PPR_SEEDS = [("g0", "Globex"), ("g0", "J. Smith"), ("g1", "Globex")]
 
 
@@ -945,6 +974,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": _q_triangle_count,
         "clustering_coefficient": _q_clustering_coefficient,
         "kcore": _q_kcore,
+        # interleaved-span structure + sketches
+        "interleave_profile": _q_interleave_profile,
+        "pack_interleaved": _q_pack_interleaved,
+        "token_kmv": _q_token_kmv,
         # text analysis
         "token_stats": _q_token_stats,
         "corpus_profile": _q_corpus_profile,
@@ -1041,6 +1074,9 @@ def oracle_sql() -> dict[str, str]:
         "triangle_count": oo.q_triangle_count(),
         "clustering_coefficient": oo.q_clustering_coefficient(),
         "kcore": oo.q_kcore(),
+        "interleave_profile": oo.q_interleave_profile(),
+        "pack_interleaved": oo.q_pack_interleaved(),
+        "token_kmv": oo.q_token_cardinality(k=16),
         "tfidf_topk": oo.q_tfidf_topk(),
         "repetition_stats": oo.q_repetition_stats(),
         "boilerplate_ngrams": oo.q_boilerplate_ngrams(),

@@ -151,15 +151,12 @@ edges AS (
 )"""
 
 
-def q_spans() -> str:
-    """Expected exploded span sequence (the input invariant surface).
-
-    Text span i (1-based) sits at offset (i-1) + (i-1)//k; the media
-    span following text span i (k | i) at offset i + (i-1)//k; the
-    trailer (d % 7 == 0) after all base spans.
-    """
-    return f"""
-WITH {FACTS_CTE},
+# Expected interleaved span sequence, reusable by every span-level
+# oracle: defines all_spans(doc_id, "offset", kind, text, media_ref).
+# Text span i (1-based) sits at offset (i-1) + (i-1)//k; the media
+# span following text span i (k | i) at offset i + (i-1)//k; the
+# trailer (d % 7 == 0) after all base spans.
+SPANS_CTE = f"""{FACTS_CTE},
 cfg AS (
   SELECT d, 1 + d % 3 AS n,
     list_extract({_sql_list([str(k) for k in corpus.MEDIA_K])},
@@ -185,15 +182,24 @@ trailer AS (
   SELECT doc_id, 'media' AS kind, CAST(n + n // k AS INT) AS "offset", '' AS text
   FROM cfg WHERE d % {corpus.MEDIA_TRAILER_EVERY} = 0
 ),
-spans AS (
+span_union AS (
   SELECT * FROM text_spans UNION ALL SELECT * FROM media_spans
   UNION ALL SELECT * FROM trailer
-)
-SELECT doc_id, CAST("offset" AS INT) AS "offset", kind, text,
-  CASE WHEN kind = 'media'
-       THEN 'img://' || substr(md5(doc_id || ':' || CAST("offset" AS VARCHAR)), 1, 12)
-       ELSE '' END AS media_ref
-FROM spans
+),
+all_spans AS (
+  SELECT doc_id, CAST("offset" AS INT) AS "offset", kind, text,
+    CASE WHEN kind = 'media'
+         THEN 'img://' || substr(md5(doc_id || ':' || CAST("offset" AS VARCHAR)), 1, 12)
+         ELSE '' END AS media_ref
+  FROM span_union
+)"""
+
+
+def q_spans() -> str:
+    """Expected exploded span sequence (the input invariant surface)."""
+    return f"""
+WITH {SPANS_CTE}
+SELECT doc_id, "offset", kind, text, media_ref FROM all_spans
 """
 
 

@@ -2151,3 +2151,131 @@ SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
 FROM (SELECT doc_id FROM documents WHERE doc_id % 10 <> 7) d
 LEFT JOIN scored s ON s.doc_id = d.doc_id
 """
+
+
+def q_interleave_profile() -> str:
+    """SQL twin of interleave.interleave_profile — INDEPENDENT
+    formulation: the Spark side scans the spans ARRAY with per-row
+    higher-order functions (no explode, no windows); this oracle
+    explodes the expected span sequence and rebuilds runs with
+    lag/partition windows. Agreement checks semantics, not code."""
+    from .oracle import SPANS_CTE
+    from . import corpus
+
+    return f"""
+WITH {SPANS_CTE},
+g AS (
+  SELECT doc_id, "offset", kind, text, media_ref,
+    row_number() OVER w AS rn,
+    CASE WHEN lag(kind) OVER w IS DISTINCT FROM kind THEN 1 ELSE 0 END AS newrun
+  FROM all_spans
+  WINDOW w AS (PARTITION BY doc_id ORDER BY "offset")
+),
+r AS (
+  SELECT *, sum(newrun) OVER (PARTITION BY doc_id ORDER BY "offset"
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM g
+),
+runs AS (
+  SELECT doc_id, run_id, any_value(kind) AS kind, count(*) AS run_len
+  FROM r GROUP BY doc_id, run_id
+),
+per_run AS (
+  SELECT doc_id, max(run_id) AS n_runs,
+    max(CASE WHEN kind = 'text' THEN run_len ELSE 0 END) AS max_text_run
+  FROM runs GROUP BY doc_id
+),
+per_doc AS (
+  SELECT doc_id,
+    count(*) AS n_spans,
+    sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS n_text,
+    sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS n_media,
+    sum(CASE WHEN kind = 'text' THEN len({_toks('text')}) ELSE 0 END) AS text_tokens,
+    bool_and("offset" = rn - 1) AS offsets_ok,
+    bool_and((kind = 'media') = (media_ref <> '')) AS refs_ok,
+    arg_min(kind, "offset") AS first_kind,
+    arg_max(kind, "offset") AS last_kind
+  FROM r GROUP BY doc_id
+)
+SELECT p.doc_id,
+  'g' || CAST(c.d % {corpus.N_GROUPS} AS VARCHAR) AS group_id,
+  CAST(p.n_spans AS BIGINT) AS n_spans,
+  CAST(p.n_text AS BIGINT) AS n_text,
+  CAST(p.n_media AS BIGINT) AS n_media,
+  CAST(pr.n_runs AS BIGINT) AS n_runs,
+  CAST(pr.max_text_run AS BIGINT) AS max_text_run,
+  CAST(p.text_tokens AS BIGINT) AS text_tokens,
+  CAST(p.n_media * 1000000 // p.n_spans AS BIGINT) AS media_fraction_micro,
+  p.first_kind, p.last_kind, p.offsets_ok, p.refs_ok
+FROM per_doc p
+JOIN per_run pr USING (doc_id)
+JOIN cfg c ON c.doc_id = p.doc_id
+"""
+
+
+def q_pack_interleaved(
+    budget: int = 512, n_streams: int = 8, media_tokens: int = 64
+) -> str:
+    """SQL twin of interleave.pack_interleaved: per-episode cost from
+    the expected span sequence (text spans tokenized, media spans a
+    fixed charge), then the identical md5 stream-deal + cumulative-sum
+    chunk arithmetic as q_pack_documents."""
+    from .oracle import SPANS_CTE
+
+    stream = _md5_u32_sql("'ipack|' || doc_id") + f" % {n_streams}"
+    ordk = _md5_u32_sql("'iord|' || doc_id")
+    return f"""
+WITH {SPANS_CTE},
+cost AS (
+  SELECT doc_id,
+    CAST(sum(CASE WHEN kind = 'text' THEN len({_toks('text')})
+             ELSE {media_tokens} END) AS BIGINT) AS n_tokens,
+    CAST(sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS BIGINT) AS n_media
+  FROM all_spans GROUP BY doc_id
+),
+t AS (
+  SELECT doc_id, n_tokens, n_media,
+    CAST({stream} AS INT) AS stream, {ordk} AS ord
+  FROM cost
+),
+c AS (
+  SELECT doc_id, stream, n_tokens, n_media,
+    sum(n_tokens) OVER (PARTITION BY stream ORDER BY ord, doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_end
+  FROM t
+)
+SELECT doc_id, stream, n_tokens, n_media,
+  CAST(cum_end - n_tokens AS BIGINT) AS start_off,
+  CAST(floor((cum_end - n_tokens) / {budget}) AS BIGINT) AS first_chunk,
+  CAST(greatest(floor((cum_end - n_tokens) / {budget}),
+                floor((cum_end - 1) / {budget})) AS BIGINT) AS last_chunk
+FROM c
+"""
+
+
+def q_token_cardinality(k: int = 128) -> str:
+    """SQL twin of docops.token_cardinality (KMV distinct sketch):
+    identical u32 hashing, per-group bottom-k, and BIGINT-floor
+    estimate — every bit of the sketch arithmetic reproduced."""
+    h = _md5_u32_sql("'kmv|' || token")
+    return f"""
+WITH tok AS (
+  SELECT source, unnest({_toks('text')}) AS token FROM documents
+),
+h AS (SELECT DISTINCT source, {h} AS h FROM tok),
+r AS (
+  SELECT source, h,
+    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+  FROM h
+),
+sk AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+    CAST(max(h) AS BIGINT) AS kth_hash
+  FROM r WHERE rn <= {k} GROUP BY source
+)
+SELECT source, n_kept, kth_hash,
+  CAST(CASE WHEN n_kept < {k} THEN n_kept
+       ELSE CAST({k - 1} AS BIGINT) * 4294967296 // greatest(kth_hash, 1)
+       END AS BIGINT) AS est_distinct
+FROM sk
+"""

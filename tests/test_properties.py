@@ -773,3 +773,77 @@ def test_kmeans_recovers_planted_blobs(spark):
         for r in kmeans_clusters(emb.repartition(7), k=3, iters=6).collect()
     }
     assert out2 == {i: (r.cluster, r.dist) for i, r in out.items()}
+
+
+def test_kmv_distinct_accuracy_and_exact_path(spark):
+    """KMV sketch: groups with < k distinct values report the EXACT
+    count; big groups estimate within the sketch's expected relative
+    error (~1/sqrt(k-1), generously 3x here)."""
+    from graphiti_spark.operators.docops import kmv_distinct
+
+    rows = [("big", f"val-{i}") for i in range(5000)]
+    rows += [("small", f"v{i}") for i in range(37)] * 3  # dups collapse
+    df = spark.createDataFrame(rows, "g string, v string")
+    k = 128
+    out = {r.g: r for r in kmv_distinct(df, "g", F.col("v"), k=k).collect()}
+    assert out["small"].est_distinct == 37 and out["small"].n_kept == 37
+    big = out["big"]
+    assert big.n_kept == k
+    rel = abs(big.est_distinct - 5000) / 5000
+    assert rel < 3 / (k - 1) ** 0.5, f"relative error {rel:.3f}"
+
+
+def test_kmv_sketches_merge(spark):
+    """Mergeability: the k smallest hashes of (sketch(A) ∪ sketch(B))
+    equal the k smallest of A ∪ B — per-day / per-partition sketches
+    roll up without rescanning the corpus."""
+    from graphiti_spark.operators.docops import _md5_u32, kmv_distinct
+
+    a = spark.createDataFrame(
+        [("g", f"a{i}") for i in range(400)], "g string, v string"
+    )
+    b = spark.createDataFrame(
+        [("g", f"b{i}") for i in range(300)] + [("g", f"a{i}") for i in range(50)],
+        "g string, v string",
+    )
+    k = 32
+    hashes = lambda df: sorted(
+        r.h
+        for r in df.select(
+            _md5_u32(F.concat_ws("|", F.lit("kmv"), F.col("v"))).alias("h")
+        )
+        .distinct()
+        .collect()
+    )
+    merged_sketch = sorted(set(hashes(a)[:k]) | set(hashes(b)[:k]))[:k]
+    union_sketch = sorted(set(hashes(a.union(b))))[:k]
+    assert merged_sketch == union_sketch
+    # and the operator over the union reproduces the merged arithmetic
+    est = kmv_distinct(a.union(b), "g", F.col("v"), k=k).collect()[0]
+    kth = merged_sketch[-1]
+    assert est.kth_hash == kth
+    assert est.est_distinct == (k - 1) * 4294967296 // max(kth, 1)
+
+
+def test_kmv_plan_window_group_limit(spark):
+    """The per-group bottom-k must compile to WindowGroupLimit (map-side
+    partial top-k) so a hot group forwards at most k rows per task; no
+    Python anywhere."""
+    from graphiti_spark.operators.docops import token_cardinality
+    from graphiti_spark.plans.explain import physical_plan, scan_summary
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = token_cardinality(docs, k=16)
+    scan_summary(out).assert_no_python()
+    plan = physical_plan(out)
+    assert "WindowGroupLimit" in plan
+    # column pruning: the token scan needs source + text only
+    s = scan_summary(out)
+    assert all("lang" not in rs and "n_chars" not in rs for rs in s.read_schemas)
+
+
+def test_kmv_empty_input_degenerate(spark):
+    from graphiti_spark.operators.docops import kmv_distinct
+
+    df = spark.createDataFrame([], "g string, v string")
+    assert kmv_distinct(df, "g", F.col("v"), k=8).count() == 0
