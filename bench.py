@@ -304,6 +304,11 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         near_duplicates,
         source_cap,
         tfidf_topk_terms,
+        token_cardinality,
+    )
+    from graphiti_spark.operators.interleave import (
+        interleave_profile,
+        pack_interleaved,
     )
 
     cur_r = int(os.environ.get("BENCH_CURATION_REPLICAS", "8"))
@@ -382,6 +387,38 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         lm_perplexity(amp).where(F.col("ppl_bucket") == "head").count()
     )
     cur["lm_perplexity_sec"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    n_kmv_groups = token_cardinality(
+        amp.withColumn(
+            "source",
+            F.concat(F.lit("src"), (F.col("doc_id") % 50).cast("string")),
+        ),
+        k=128,
+    ).count()
+    cur["token_kmv_sec"] = round(time.perf_counter() - t, 3)
+    # interleaved-span ops over the replica-amplified EPISODE table
+    # (same amplification the headline uses, so throughput is
+    # comparable); input materialized before timing like `amp`
+    eps_amp = synthesize_episodes(spark, sf_dir, replicas=cur_r).repartition(cpus)
+    eps_amp.persist()
+    n_eps = eps_amp.count()
+    t = time.perf_counter()
+    n_prof_ok = (
+        interleave_profile(eps_amp)
+        .where(F.col("offsets_ok") & F.col("refs_ok"))
+        .count()
+    )
+    cur["interleave_profile_sec"] = round(time.perf_counter() - t, 3)
+    t = time.perf_counter()
+    n_chunks = (
+        pack_interleaved(eps_amp)
+        .groupBy("stream")
+        .agg(F.max("last_chunk").alias("mc"))
+        .agg(F.sum(F.col("mc") + 1))
+        .collect()[0][0]
+    )
+    cur["pack_interleaved_sec"] = round(time.perf_counter() - t, 3)
+    eps_amp.unpersist()
     emb_amp = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .crossJoin(spark.range(cur_r).select(F.col("id").alias("rep")))
@@ -401,11 +438,19 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     emb_amp.unpersist()
     cur_total = time.perf_counter() - t_cur
     amp.unpersist()
-    assert (
-        n_exact > 0 and n_near > 0 and n_contam > 0 and n_tfidf > 0
-        and n_dup_spans > 0 and n_capped > 0 and n_ppl > 0
-        and n_clustered == n_vecs
-    )
+    checks = {
+        "n_exact": n_exact > 0, "n_near": n_near > 0,
+        "n_contam": n_contam > 0, "n_tfidf": n_tfidf > 0,
+        "n_dup_spans": n_dup_spans > 0, "n_capped": n_capped > 0,
+        "n_ppl": n_ppl > 0, "n_clustered": n_clustered == n_vecs,
+        "n_prof_ok": n_prof_ok == n_eps, "n_chunks": n_chunks > 0,
+        "n_kmv_groups": n_kmv_groups == 50,
+    }
+    assert all(checks.values()), {
+        "failed": [k for k, v in checks.items() if not v],
+        "n_prof_ok": n_prof_ok, "n_eps": n_eps, "n_chunks": n_chunks,
+        "n_kmv_groups": n_kmv_groups,
+    }
     curation = {
         "n_docs": n_cur_docs,
         **cur,
@@ -418,6 +463,9 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         "n_source_capped_kept": n_capped,
         "n_ppl_head_docs": n_ppl,
         "n_vectors_clustered": n_clustered,
+        "n_episodes_profiled": n_eps,
+        "n_packed_chunks": int(n_chunks),
+        "n_kmv_groups": n_kmv_groups,
     }
     queries.update({f"curation_{k}": v for k, v in cur.items()})
 
