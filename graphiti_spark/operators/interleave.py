@@ -31,6 +31,16 @@ def _long(x: int) -> Column:
     return F.lit(x).cast("long")
 
 
+def _norm_spans(episodes: DataFrame) -> DataFrame:
+    """NULL spans ⇒ empty list (the degenerate-input convention the
+    rest of the package pins): a doc with no span list profiles/packs
+    as zero-cost instead of emitting a NULL-riddled row."""
+    dt = episodes.schema["spans"].dataType.simpleString()
+    return episodes.withColumn(
+        "spans", F.coalesce(F.col("spans"), F.array().cast(dt))
+    )
+
+
 def _span_cost(media_tokens: int) -> Column:
     """Per-episode training-token cost of the interleaved span list:
     text spans cost their whitespace/punct token count, media spans a
@@ -68,6 +78,7 @@ def interleave_profile(episodes: DataFrame) -> DataFrame:
     INDEPENDENT formulation (explode + lag/partition windows), so
     parity checks the semantics, not the code path.
     """
+    episodes = _norm_spans(episodes)
     spans = F.col("spans")
     kinds = F.transform(spans, lambda s: s["kind"])
     n_spans = F.size(spans).cast("long")
@@ -171,6 +182,7 @@ def pack_interleaved(
     n_streams scales with the cluster and no stream needs another's
     state (same plan as pack_documents, plan-pinned in tests).
     """
+    episodes = _norm_spans(episodes)
     n_media = F.size(F.filter(F.col("spans"), lambda s: s["kind"] == "media")).cast(
         "long"
     )

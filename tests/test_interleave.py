@@ -85,8 +85,20 @@ def test_profile_contract_violations_flagged(spark):
 
 
 def test_profile_empty_spans_degenerate(spark):
-    eps = _eps(spark, [("empty", "g0", [])])
-    r = interleave_profile(eps).collect()[0]
+    # NULL span lists normalize to empty (no NULL-riddled rows)
+    eps = _eps(spark, [("empty", "g0", []), ("nullspans", "g0", None)])
+    rows = interleave_profile(eps).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert (r.n_spans, r.n_text, r.n_media, r.n_runs, r.max_text_run) == (
+            0, 0, 0, 0, 0,
+        )
+        assert r.media_fraction_micro == 0 and r.text_tokens == 0
+        assert r.first_kind is None and r.last_kind is None
+        assert r.offsets_ok and r.refs_ok  # vacuously true on empty
+    packed = {r.doc_id: r for r in pack_interleaved(eps).collect()}
+    assert all(r.n_tokens == 0 and r.n_media == 0 for r in packed.values())
+    r = interleave_profile(_eps(spark, [("empty", "g0", [])])).collect()[0]
     assert (r.n_spans, r.n_text, r.n_media, r.n_runs, r.max_text_run) == (0, 0, 0, 0, 0)
     assert r.media_fraction_micro == 0 and r.text_tokens == 0
     assert r.first_kind is None and r.last_kind is None
