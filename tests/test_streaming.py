@@ -284,3 +284,34 @@ def test_stream_dedup_reemitted_doc_keeps_one_decision_row(
     assert all(len(v) == 1 for v in per_doc.values()), per_doc
     assert per_doc["1"][0].is_kept          # re-emit collides with own copy
     assert per_doc["2"][0].is_kept
+
+
+def test_interleave_profile_streams_map_only(spark, tmp_path_factory):
+    """interleave_profile is pure per-row array algebra, so it runs
+    UNCHANGED as a Structured Streaming transformation (no state, no
+    watermark) — the corpus-profiling stage of a streaming ingest.
+    Streamed output must equal the batch profile row-for-row."""
+    from graphiti_spark.operators.interleave import interleave_profile
+
+    eps = synthesize_episodes(spark, SF_SMOKE).cache()
+    in_dir = str(tmp_path_factory.mktemp("prof_in"))
+    eps.coalesce(2).write.mode("append").parquet(in_dir)
+
+    out_dir = str(tmp_path_factory.mktemp("prof_out"))
+    ckpt = str(tmp_path_factory.mktemp("prof_ckpt"))
+    stream = spark.readStream.schema(eps.schema).parquet(in_dir)
+    q = (
+        interleave_profile(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    batch = {r.doc_id: tuple(r) for r in interleave_profile(eps).collect()}
+    streamed = {
+        r.doc_id: tuple(r) for r in spark.read.parquet(out_dir).collect()
+    }
+    assert streamed == batch
