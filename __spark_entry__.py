@@ -398,6 +398,16 @@ def _q_dedup_keep_list(spark, sf_dir):
     return dedup_keep_list(_perturbed_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_dedup_keep_best(spark, sf_dir):
+    """Quality-aware near-dup keep rule: longest doc per cluster (the
+    RefinedWeb representative choice) — docops.dedup_keep_best. On the
+    planted corpus the perturbed twin is longer, so the decision
+    provably differs from dedup_keep_list's min-id rule."""
+    from graphiti_spark.operators.docops import dedup_keep_best
+
+    return dedup_keep_best(_perturbed_docs(spark, sf_dir), threshold=0.5)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram-Jaccard similarity join (prefix filtering — recall
     is exact by the PPJoin prefix lemma, vs near_duplicates' MinHash
@@ -1008,6 +1018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_cap": _q_source_cap,
         "incremental_dedup": _q_incremental_dedup,
         "dedup_keep_list": _q_dedup_keep_list,
+        "dedup_keep_best": _q_dedup_keep_best,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1101,6 +1112,7 @@ def oracle_sql() -> dict[str, str]:
         "source_cap": oo.q_source_cap(),
         "incremental_dedup": oo.q_incremental_dedup(),
         "dedup_keep_list": oo.q_dedup_keep_list(),
+        "dedup_keep_best": oo.q_dedup_keep_best(),
         "simhash": oo.q_simhash(),
         "fingerprint": oo.q_fingerprint(),
         "embedding_near_dup": oo.q_embedding_near_dup(),

@@ -2151,3 +2151,51 @@ def token_cardinality(documents: DataFrame, k: int = 128) -> DataFrame:
         "source", F.explode(tokenize(F.col("text"))).alias("token")
     )
     return kmv_distinct(toks, "source", F.col("token"), k=k)
+
+
+def dedup_keep_best(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_id, cluster_id, best_doc_id, is_kept) — near-dup clustering
+    with a QUALITY-AWARE keep rule: within each connected component of
+    the near-duplicate pair graph, keep the LONGEST document (ties →
+    smallest doc_id) — the RefinedWeb/Gopher-style "keep the best
+    representative" decision, vs :func:`dedup_keep_list`'s neutral
+    min-id rule. Length is the deterministic stand-in for a quality
+    ordering; any scalar score column composes the same way.
+
+    Scale shape: clustering is the shared D5 components machinery over
+    LSH-blocked pairs (never all-pairs); the members table is only the
+    CLUSTERED docs (a small fraction of the corpus), the length lookup
+    is one join against (doc_id, length) projected off the scan, and
+    the per-cluster best compiles through a rank-1 window
+    (WindowGroupLimit: map-side top-1 per cluster).
+    """
+    from .resolve import connected_components
+
+    pairs = near_duplicates(documents, threshold=threshold).select("id_a", "id_b")
+    vertices = (
+        pairs.select(F.col("id_a").alias("uuid"))
+        .union(pairs.select("id_b"))
+        .dropDuplicates()
+    )
+    comps = connected_components(vertices, pairs)
+    lens = documents.select(
+        F.col("doc_id").cast("string").alias("uuid"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    members = comps.join(lens, "uuid").select(
+        F.col("uuid").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        "n_chars",
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    best = (
+        members.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("best_doc_id"))
+    )
+    return members.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "best_doc_id",
+        (F.col("doc_id") == F.col("best_doc_id")).alias("is_kept"),
+    )

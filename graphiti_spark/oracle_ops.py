@@ -2279,3 +2279,40 @@ SELECT source, n_kept, kth_hash,
        END AS BIGINT) AS est_distinct
 FROM sk
 """
+
+
+def q_dedup_keep_best(threshold: float = 0.5) -> str:
+    """SQL twin of docops.dedup_keep_best on the planted perturbed
+    corpus: same components as q_dedup_keep_list, keep = longest text
+    (ties → min doc_id). On this corpus every perturbed twin is longer
+    than its original, so best flips from the min-id choice — the
+    oracle verifies the quality rule is actually exercised."""
+    return f"""
+WITH {_PERTURBED},
+sh AS (SELECT id, {_shingle_sql(_toks('text'))} AS s FROM corpus),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM sh a JOIN sh b ON a.id < b.id
+  WHERE round(len(list_intersect(a.s, b.s))
+    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= {threshold}
+),
+members0 AS (
+  SELECT id_a AS doc_id, least(id_a, id_b) AS keep FROM pairs
+  UNION ALL SELECT id_b, least(id_a, id_b) FROM pairs
+),
+resolved AS (SELECT doc_id, MIN(keep) AS cluster_id FROM members0 GROUP BY 1),
+lens AS (SELECT id, CAST(length(text) AS BIGINT) AS n_chars FROM corpus),
+members AS (
+  SELECT r.doc_id, r.cluster_id, l.n_chars
+  FROM resolved r JOIN lens l ON l.id = r.doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM members
+),
+best AS (SELECT cluster_id, doc_id AS best_doc_id FROM ranked WHERE rn = 1)
+SELECT m.doc_id, m.cluster_id, b.best_doc_id,
+  m.doc_id = b.best_doc_id AS is_kept
+FROM members m JOIN best b USING (cluster_id)
+"""

@@ -640,3 +640,47 @@ def test_dsir_weights_prefers_target_like_docs(spark):
     assert {k: (v.n_tokens, v.dsir_micro) for k, v in out.items()} == {
         k: (v.n_tokens, v.dsir_micro) for k, v in again.items()
     }
+
+
+def test_dedup_keep_best_prefers_longest(spark):
+    """dedup_keep_best keeps the LONGEST doc per near-dup cluster
+    (ties → min doc_id), flipping dedup_keep_list's min-id choice when
+    the longer twin has the higher id; singletons never appear."""
+    from graphiti_spark.operators.docops import dedup_keep_best, dedup_keep_list
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "quick brown foxes jumping over many lazy sleeping dogs today"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra tail tokens here"),   # longer twin, higher id
+            (3, "completely different text about spark shuffles and joins"),
+            (10, other),
+            (11, other + " with appended suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    best = {r.doc_id: r for r in dedup_keep_best(docs, threshold=0.5).collect()}
+    # cluster {1,2}: 2 is longer -> kept; 1 dropped
+    assert best["2"].is_kept and not best["1"].is_kept
+    assert best["1"].best_doc_id == "2" == best["2"].best_doc_id
+    # cluster {10,11}: 11 longer -> kept
+    assert best["11"].is_kept and not best["10"].is_kept
+    # doc 3 is a singleton: not clustered, absent from the decision table
+    assert "3" not in best
+    # same clusters as dedup_keep_list, different representative rule
+    klist = {r.doc_id: r for r in dedup_keep_list(docs, threshold=0.5).collect()}
+    assert set(best) == set(klist)
+    assert klist["1"].is_kept and not klist["2"].is_kept  # min-id keeps 1
+
+
+def test_dedup_keep_best_tie_breaks_min_id(spark):
+    from graphiti_spark.operators.docops import dedup_keep_best
+
+    t = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [(7, t), (4, t)], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in dedup_keep_best(docs, threshold=0.5).collect()}
+    assert out["4"].is_kept and not out["7"].is_kept
