@@ -408,6 +408,15 @@ def _q_dedup_keep_best(spark, sf_dir):
     return dedup_keep_best(_perturbed_docs(spark, sf_dir), threshold=0.5)
 
 
+def _q_containment(spark, sf_dir):
+    """Directional n-gram containment join (quote-inclusion detector —
+    docops.containment_pairs): one-sided prefix filtering, exact
+    verify; checked against a brute-force all-pairs DuckDB oracle."""
+    from graphiti_spark.operators.docops import containment_pairs
+
+    return containment_pairs(_perturbed_docs(spark, sf_dir), threshold=0.8)
+
+
 def _q_ngram_jaccard(spark, sf_dir):
     """Exact n-gram-Jaccard similarity join (prefix filtering — recall
     is exact by the PPJoin prefix lemma, vs near_duplicates' MinHash
@@ -1019,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup": _q_incremental_dedup,
         "dedup_keep_list": _q_dedup_keep_list,
         "dedup_keep_best": _q_dedup_keep_best,
+        "containment": _q_containment,
         "simhash": _q_simhash,
         "fingerprint": _q_fingerprint,
         "embedding_near_dup": _q_embedding_near_dup,
@@ -1113,6 +1123,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_dedup": oo.q_incremental_dedup(),
         "dedup_keep_list": oo.q_dedup_keep_list(),
         "dedup_keep_best": oo.q_dedup_keep_best(),
+        "containment": oo.q_containment_pairs(),
         "simhash": oo.q_simhash(),
         "fingerprint": oo.q_fingerprint(),
         "embedding_near_dup": oo.q_embedding_near_dup(),

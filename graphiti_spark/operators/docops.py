@@ -2199,3 +2199,77 @@ def dedup_keep_best(documents: DataFrame, threshold: float = 0.5) -> DataFrame:
         "best_doc_id",
         (F.col("doc_id") == F.col("best_doc_id")).alias("is_kept"),
     )
+
+
+def containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    shingle_words: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(id_contained, id_container, containment) — EXACT directional
+    n-gram containment join: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| ≥
+    ``threshold``. The ASYMMETRIC dedup signal symmetric Jaccard
+    misses: a short document quoted whole inside a much longer one has
+    containment ≈ 1 but Jaccard ≈ |A|/|B| ≈ 0 — so near_duplicates /
+    ngram_jaccard never see it. This is the quote-inclusion /
+    boilerplate-wrapping detector (cf. the containment variant of
+    set-similarity joins, SSJoin/PPJoin family).
+
+    Candidate generation uses the containment prefix lemma, which is
+    ONE-SIDED: if C(A→B) ≥ t then among A's first
+    ``|A| − ceil(t·|A|) + 1`` grams under a global (df ASC, gram)
+    order, at least one lies in B (pigeonhole over A's sorted grams) —
+    so only the CONTAINED side joins on its rarest-gram prefix, while
+    the container side must index ALL its grams. That full posting
+    list is the scale cost of asymmetry: ``max_df`` caps it (drop
+    postings for grams in more than max_df docs — boilerplate grams),
+    trading bounded recall loss ONLY for pairs whose every shared
+    prefix gram is corpus-boilerplate; when it prunes, the knob and
+    its effect are the caller's to log. Verify is exact on candidates
+    (re-joined full shingle arrays by id — arrays never ride the gram
+    join, same rule as ngram_jaccard_pairs).
+    """
+    sh = documents.select(
+        F.col("doc_id").cast("string").alias("id"),
+        word_shingles(F.col("text"), shingle_words).alias("sh"),
+    )
+    grams = sh.select(
+        "id", F.size("sh").alias("sz"), F.explode("sh").alias("gram")
+    )
+    df_tab = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    if max_df is not None:
+        df_tab = df_tab.where(F.col("df") <= max_df)
+    w = Window.partitionBy("id").orderBy("df", "gram")
+    # same t−ε sizing rationale as ngram_jaccard_pairs (round(c,6) ≥ t)
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold - 1e-6) * F.col("sz")) + 1
+    ranked = grams.join(df_tab, "gram").withColumn("pos", F.row_number().over(w))
+    pref = ranked.where(F.col("pos") <= prefix_len).select("gram", "id")
+    full = ranked.select("gram", "id")  # container side: every kept posting
+    cand = (
+        pref.alias("a")
+        .join(full.alias("b"), "gram")
+        .where(F.col("a.id") != F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_contained"),
+            F.col("b.id").alias("id_container"),
+        )
+        .dropDuplicates()
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    return (
+        cand.join(
+            sh.select(F.col("id").alias("id_contained"), F.col("sh").alias("sh_a")),
+            "id_contained",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_container"), F.col("sh").alias("sh_b")),
+            "id_container",
+        )
+        .where(F.size("sh_a") > 0)
+        .withColumn(
+            "containment", F.round(inter / F.size("sh_a"), 6)
+        )
+        .where(F.col("containment") >= threshold)
+        .select("id_contained", "id_container", "containment")
+    )

@@ -2316,3 +2316,22 @@ SELECT m.doc_id, m.cluster_id, b.best_doc_id,
   m.doc_id = b.best_doc_id AS is_kept
 FROM members m JOIN best b USING (cluster_id)
 """
+
+
+def q_containment_pairs(threshold: float = 0.8) -> str:
+    """Brute-force ALL-PAIRS directional containment on the planted
+    perturbed corpus — independent of the Spark side's prefix-filtered
+    candidate generation, so the prefix lemma's exact-recall claim is
+    what the parity check verifies."""
+    return f"""
+WITH {_PERTURBED},
+sh AS (SELECT id, {_shingle_sql(_toks('text'))} AS s FROM corpus),
+pairs AS (
+  SELECT a.id AS id_contained, b.id AS id_container,
+    round(len(list_intersect(a.s, b.s)) / len(a.s), 6) AS containment
+  FROM sh a JOIN sh b ON a.id <> b.id
+  WHERE len(a.s) > 0
+)
+SELECT id_contained, id_container, containment
+FROM pairs WHERE containment >= {threshold}
+"""

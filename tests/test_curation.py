@@ -684,3 +684,64 @@ def test_dedup_keep_best_tie_breaks_min_id(spark):
     )
     out = {r.doc_id: r for r in dedup_keep_best(docs, threshold=0.5).collect()}
     assert out["4"].is_kept and not out["7"].is_kept
+
+
+def test_containment_catches_what_jaccard_misses(spark):
+    """A short doc quoted whole inside a much longer one: containment
+    1.0 but Jaccard well below any dedup threshold — containment_pairs
+    must emit the directional pair, near_duplicates must not."""
+    from graphiti_spark.operators.docops import containment_pairs, near_duplicates
+
+    quote = "the quick brown fox jumps over the lazy dog near the river"
+    filler = " ".join(f"filler{i} token{i} word{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, filler + " " + quote + " " + filler)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_contained, r.id_container): r.containment
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert got[("1", "2")] == 1.0
+    assert ("2", "1") not in got  # big doc is NOT contained in the quote
+    assert near_duplicates(docs, threshold=0.5).count() == 0
+
+
+def test_containment_max_df_prunes_boilerplate_postings(spark):
+    """max_df drops postings for grams shared by more than max_df docs:
+    a pair whose EVERY shared gram is corpus-boilerplate is the
+    documented recall trade; pairs with any rare shared gram survive."""
+    from graphiti_spark.operators.docops import containment_pairs
+
+    boiler = "subscribe to our newsletter for updates and offers today"
+    docs = spark.createDataFrame(
+        [(i, boiler) for i in range(1, 7)]
+        + [(10, "rare unique snippet appears here exactly once more"),
+           (11, "padding words " + "rare unique snippet appears here exactly once more")],
+        "doc_id long, text string",
+    )
+    pruned = containment_pairs(docs, threshold=0.8, max_df=3)
+    got = {(r.id_contained, r.id_container) for r in pruned.collect()}
+    # boilerplate clique (6 docs share every gram, df=6 > 3): pruned away
+    assert not any(a in {"1", "2", "3", "4", "5", "6"} for a, _ in got)
+    # rare-gram pair survives pruning
+    assert ("10", "11") in got
+    # without the cap the boilerplate clique is reported
+    full = {
+        (r.id_contained, r.id_container)
+        for r in containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert ("1", "2") in full and ("10", "11") in full
+
+
+def test_containment_short_doc_degenerate(spark):
+    """Docs shorter than the shingle width have ZERO shingles — they
+    must not emit rows (len 0 denominator) nor crash."""
+    from graphiti_spark.operators.docops import containment_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "two words"), (2, "two words and then many more words here")],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, threshold=0.5).collect()
+    assert all(r.id_contained != "1" or r.containment >= 0.5 for r in rows)
