@@ -1264,6 +1264,7 @@ def curate(
     langs: tuple = ("en",),
     min_quality_micro: int = 500_000,
     dedup_threshold: float = 0.5,
+    keep_rule: str = "min_id",
 ) -> DataFrame:
     """End-to-end curation decision — raw crawl docs → keep/drop with a
     reason, as ONE declarative plan (the facade a pipeline user calls;
@@ -1276,7 +1277,9 @@ def curate(
     3. ``exact_dup``: among filter survivors, not the (lexicographic
        min) keeper of its content-hash group;
     4. ``near_dup``: among exact-kept survivors, not the keeper of its
-       near-dup component (:func:`dedup_keep_list`).
+       near-dup component — ``keep_rule="min_id"`` (default,
+       :func:`dedup_keep_list`) or ``"longest"`` (the RefinedWeb-style
+       quality-aware representative, :func:`dedup_keep_best`).
 
     Filter → dedup order is the standard pipeline shape: dedup keepers
     are chosen among docs that already passed the cheap filters, so a
@@ -1310,9 +1313,16 @@ def curate(
     ekept = flt.join(
         exact.where(~F.col("_exact_dup")).select("doc_id"), "doc_id", "left_semi"
     )
-    near = dedup_keep_list(ekept, threshold=dedup_threshold).select(
-        "doc_id", (~F.col("is_kept")).alias("_near_dup")
-    )
+    if keep_rule == "min_id":
+        near = dedup_keep_list(ekept, threshold=dedup_threshold).select(
+            "doc_id", (~F.col("is_kept")).alias("_near_dup")
+        )
+    elif keep_rule == "longest":
+        near = dedup_keep_best(ekept, threshold=dedup_threshold).select(
+            "doc_id", (~F.col("is_kept")).alias("_near_dup")
+        )
+    else:
+        raise ValueError(f"keep_rule must be 'min_id' or 'longest', got {keep_rule!r}")
     out = (
         base.join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")

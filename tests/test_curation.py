@@ -745,3 +745,27 @@ def test_containment_short_doc_degenerate(spark):
     )
     rows = containment_pairs(docs, threshold=0.5).collect()
     assert all(r.id_contained != "1" or r.containment >= 0.5 for r in rows)
+
+
+def test_curate_longest_keep_rule(spark):
+    """curate(keep_rule='longest') keeps the longest member of each
+    near-dup cluster; 'min_id' keeps the smallest id; any other value
+    raises."""
+    import pytest
+
+    from graphiti_spark.operators.docops import curate
+
+    base = (
+        "the comprehensive archive of common english words and sentences "
+        "for tests that need realistic looking text with some variety"
+    )
+    docs = spark.createDataFrame(
+        [(1, base), (2, base + " plus an extra informative closing clause")],
+        "doc_id long, text string",
+    )
+    longest = {r.doc_id: r.kept for r in curate(docs, keep_rule="longest").collect()}
+    minid = {r.doc_id: r.kept for r in curate(docs).collect()}
+    assert longest == {"1": False, "2": True}
+    assert minid == {"1": True, "2": False}
+    with pytest.raises(ValueError):
+        curate(docs, keep_rule="best")
