@@ -131,3 +131,31 @@ def test_source_cap_plan_window_group_limit(spark):
     scan_summary(df).assert_no_python()
     plan = physical_plan(df)
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_containment_plan_no_arrays_in_gram_join(spark):
+    """containment_pairs' gram join must carry only (gram, id) — the
+    shingle ARRAYS re-join by id for the verify stage only (array
+    payloads in the exploded join would multiply shuffle bytes by the
+    doc length and break hash aggregation); no Python anywhere."""
+    from graphiti_spark.operators.docops import containment_pairs
+    from graphiti_spark.plans.explain import physical_plan, scan_summary
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    df = containment_pairs(docs, threshold=0.8)
+    scan_summary(df).assert_no_python()
+    plan = physical_plan(df)
+    # candidate-side dedup stays hash-aggregable (no array in the key)
+    assert "SortAggregate" not in plan.split("SortMergeJoin")[0]
+
+
+def test_dedup_keep_best_plan_window_group_limit(spark):
+    """The per-cluster best pick must compile to WindowGroupLimit
+    (map-side top-1 per cluster) so a huge near-dup cluster forwards
+    one row per task, not its whole membership."""
+    from graphiti_spark.operators.docops import dedup_keep_best
+    from graphiti_spark.plans.explain import physical_plan
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    plan = physical_plan(dedup_keep_best(docs, threshold=0.5))
+    assert "WindowGroupLimit" in plan
