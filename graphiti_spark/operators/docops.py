@@ -2255,7 +2255,14 @@ def containment_pairs(
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold - 1e-6) * F.col("sz")) + 1
     ranked = grams.join(df_tab, "gram").withColumn("pos", F.row_number().over(w))
     pref = ranked.where(F.col("pos") <= prefix_len).select("gram", "id")
-    full = ranked.select("gram", "id")  # container side: every kept posting
+    # container side: every kept posting. Without a max_df cap the
+    # df_tab join filters nothing — skip it so the LARGEST relation in
+    # the operator doesn't pay a redundant gram aggregate + shuffle
+    full = (
+        grams.select("gram", "id")
+        if max_df is None
+        else ranked.select("gram", "id")
+    )
     cand = (
         pref.alias("a")
         .join(full.alias("b"), "gram")

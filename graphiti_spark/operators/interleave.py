@@ -41,6 +41,13 @@ def _norm_spans(episodes: DataFrame) -> DataFrame:
     )
 
 
+def _text_tokens(s) -> Column:
+    """Token count of a span's text, NULL-text ⇒ 0 (a NULL would
+    poison the whole aggregate and silently zero the doc out of its
+    packing stream)."""
+    return F.size(tokenize(F.coalesce(s["text"], F.lit("")))).cast("long")
+
+
 def _span_cost(media_tokens: int) -> Column:
     """Per-episode training-token cost of the interleaved span list:
     text spans cost their whitespace/punct token count, media spans a
@@ -51,25 +58,26 @@ def _span_cost(media_tokens: int) -> Column:
         F.col("spans"),
         _long(0),
         lambda acc, s: acc
-        + F.when(s["kind"] == "text", F.size(tokenize(s["text"])).cast("long")).otherwise(
-            _long(media_tokens)
-        ),
+        + F.when(s["kind"] == "text", _text_tokens(s)).otherwise(_long(media_tokens)),
     )
 
 
 def interleave_profile(episodes: DataFrame) -> DataFrame:
     """(doc_id, group_id, n_spans, n_text, n_media, n_runs,
     max_text_run, text_tokens, media_fraction_micro, first_kind,
-    last_kind, offsets_ok, refs_ok) — per-episode modality structure
-    of the interleaved span sequence.
+    last_kind, offsets_ok, refs_ok, kinds_ok) — per-episode modality
+    structure of the interleaved span sequence.
 
     ``n_runs`` counts maximal same-kind runs; ``max_text_run`` is the
     longest uninterrupted text run (the "how much contiguous text
     between media items" statistic an interleaved-training curriculum
     samples on). ``offsets_ok`` pins the input contract that offsets
     are dense 0..n-1 in array order; ``refs_ok`` pins that exactly the
-    media spans carry a media_ref — together the queryable form of the
-    BASELINE span-sequence invariant (kind, text, media_ref, order).
+    media spans carry a (non-NULL) media_ref; ``kinds_ok`` pins that
+    every kind is 'text' or 'media' — together the queryable form of
+    the BASELINE span-sequence invariant (kind, text, media_ref,
+    order). All three coalesce NULL field values to False (a NULL is a
+    violation, never an unknown).
 
     Scale shape: one pass of per-row array algebra over the episode
     scan — no explode, no shuffle, no Python; the run-length scan is a
@@ -83,7 +91,13 @@ def interleave_profile(episodes: DataFrame) -> DataFrame:
     kinds = F.transform(spans, lambda s: s["kind"])
     n_spans = F.size(spans).cast("long")
     n_media = F.size(F.filter(spans, lambda s: s["kind"] == "media")).cast("long")
-    n_text = (n_spans - n_media).alias("n_text")
+    # explicit kind filter (NOT n_spans - n_media): an out-of-contract
+    # kind (NULL, 'audio', ...) must not be silently counted as text
+    n_text = (
+        F.size(F.filter(spans, lambda s: s["kind"] == "text"))
+        .cast("long")
+        .alias("n_text")
+    )
 
     # maximal same-kind runs: 1 + (# neighbor pairs with different kind)
     tail_len = F.greatest(F.lit(0), F.size(spans) - 1)
@@ -115,20 +129,35 @@ def interleave_profile(episodes: DataFrame) -> DataFrame:
         spans,
         _long(0),
         lambda acc, s: acc
-        + F.when(s["kind"] == "text", F.size(tokenize(s["text"])).cast("long")).otherwise(
-            _long(0)
-        ),
+        + F.when(s["kind"] == "text", _text_tokens(s)).otherwise(_long(0)),
     )
 
     # index-aware transform (no sequence(): sequence(0, n-1) on an
     # empty array would generate a DESCENDING [0, -1])
+    # every per-element predicate coalesces NULL -> False: a NULL
+    # offset/ref/kind is a VIOLATION, and without the coalesce forall
+    # would return NULL — the row then vanishes from BOTH where(ok)
+    # and where(~ok), hiding exactly the most broken episodes
     offsets_ok = F.forall(
-        F.transform(spans, lambda s, i: s["offset"].cast("long") == i.cast("long")),
+        F.transform(
+            spans,
+            lambda s, i: F.coalesce(
+                s["offset"].cast("long") == i.cast("long"), F.lit(False)
+            ),
+        ),
         lambda x: x,
     )
     refs_ok = F.forall(
         spans,
-        lambda s: (s["kind"] == "media") == (s["media_ref"] != F.lit("")),
+        lambda s: F.coalesce(
+            (F.coalesce(s["kind"] == "media", F.lit(False)))
+            == (F.coalesce(s["media_ref"], F.lit("")) != F.lit("")),
+            F.lit(False),
+        ),
+    )
+    kinds_ok = F.forall(
+        spans,
+        lambda s: F.coalesce(s["kind"].isin("text", "media"), F.lit(False)),
     )
 
     # floor(a/b) == a DIV b for non-negative values; both sides stay
@@ -153,6 +182,7 @@ def interleave_profile(episodes: DataFrame) -> DataFrame:
         F.try_element_at(kinds, F.lit(-1)).alias("last_kind"),
         offsets_ok.alias("offsets_ok"),
         refs_ok.alias("refs_ok"),
+        kinds_ok.alias("kinds_ok"),
     )
 
 

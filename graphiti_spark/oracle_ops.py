@@ -2191,8 +2191,9 @@ per_doc AS (
     sum(CASE WHEN kind = 'text' THEN 1 ELSE 0 END) AS n_text,
     sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END) AS n_media,
     sum(CASE WHEN kind = 'text' THEN len({_toks('text')}) ELSE 0 END) AS text_tokens,
-    bool_and("offset" = rn - 1) AS offsets_ok,
-    bool_and((kind = 'media') = (media_ref <> '')) AS refs_ok,
+    bool_and(COALESCE("offset" = rn - 1, false)) AS offsets_ok,
+    bool_and(COALESCE((COALESCE(kind = 'media', false)) = (COALESCE(media_ref, '') <> ''), false)) AS refs_ok,
+    bool_and(COALESCE(kind IN ('text', 'media'), false)) AS kinds_ok,
     arg_min(kind, "offset") AS first_kind,
     arg_max(kind, "offset") AS last_kind
   FROM r GROUP BY doc_id
@@ -2206,7 +2207,7 @@ SELECT p.doc_id,
   CAST(pr.max_text_run AS BIGINT) AS max_text_run,
   CAST(p.text_tokens AS BIGINT) AS text_tokens,
   CAST(p.n_media * 1000000 // p.n_spans AS BIGINT) AS media_fraction_micro,
-  p.first_kind, p.last_kind, p.offsets_ok, p.refs_ok
+  p.first_kind, p.last_kind, p.offsets_ok, p.refs_ok, p.kinds_ok
 FROM per_doc p
 JOIN per_run pr USING (doc_id)
 JOIN cfg c ON c.doc_id = p.doc_id

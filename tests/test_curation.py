@@ -734,17 +734,30 @@ def test_containment_max_df_prunes_boilerplate_postings(spark):
     assert ("1", "2") in full and ("10", "11") in full
 
 
-def test_containment_short_doc_degenerate(spark):
-    """Docs shorter than the shingle width have ZERO shingles — they
-    must not emit rows (len 0 denominator) nor crash."""
+def test_containment_empty_text_degenerate(spark):
+    """Empty/whitespace text yields ZERO shingles (word_shingles
+    filters the ''-join) — such docs must never appear as id_contained
+    (the containment denominator would be 0) nor crash the operator;
+    sub-shingle-width docs get ONE padded shingle and behave
+    normally."""
     from graphiti_spark.operators.docops import containment_pairs
 
     docs = spark.createDataFrame(
-        [(1, "two words"), (2, "two words and then many more words here")],
+        [
+            (1, ""),                # zero shingles
+            (2, "   "),             # zero shingles after tokenize
+            (3, "two words"),       # one padded shingle
+            (4, "two words plus some extra tail of text"),
+        ],
         "doc_id long, text string",
     )
     rows = containment_pairs(docs, threshold=0.5).collect()
-    assert all(r.id_contained != "1" or r.containment >= 0.5 for r in rows)
+    contained_ids = {r.id_contained for r in rows}
+    assert "1" not in contained_ids and "2" not in contained_ids
+    # doc 3's single shingle "two words" is a gram of doc 4's text only
+    # if it survives as a 3-gram there — either way no crash and any
+    # emitted row carries a well-defined containment in (0, 1]
+    assert all(0 < r.containment <= 1 for r in rows)
 
 
 def test_curate_longest_keep_rule(spark):

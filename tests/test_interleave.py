@@ -84,6 +84,35 @@ def test_profile_contract_violations_flagged(spark):
     }
 
 
+def test_null_span_fields_flagged_not_hidden(spark):
+    """NULL text/media_ref/offset/kind inside a span must (a) not
+    poison packing (NULL text costs 0 tokens, not NULL-out the doc's
+    stream slot) and (b) flip the contract booleans to False — a NULL
+    forall would make the row vanish from BOTH where(ok) and
+    where(~ok), hiding exactly the most broken episodes."""
+    eps = _eps(
+        spark,
+        [
+            ("null_text", "g0", [("text", None, "", 0), _span("text", "a b", 1)]),
+            ("null_ref", "g0", [("media", "", None, 0)]),
+            ("null_off", "g0", [("text", "a", "", None)]),
+            ("bad_kind", "g0", [("audio", "", "", 0), _span("text", "a", 1)]),
+        ],
+    )
+    prof = {r.doc_id: r for r in interleave_profile(eps).collect()}
+    t = prof["null_text"]
+    assert t.text_tokens == 2 and t.n_text == 2  # NULL text = 0 tokens
+    assert prof["null_ref"].refs_ok is False
+    assert prof["null_off"].offsets_ok is False
+    k = prof["bad_kind"]
+    assert k.kinds_ok is False
+    assert (k.n_text, k.n_media) == (1, 0)  # 'audio' counted as neither
+    assert all(r.kinds_ok for d, r in prof.items() if d != "bad_kind")
+    packed = {r.doc_id: r for r in pack_interleaved(eps).collect()}
+    assert packed["null_text"].n_tokens == 2
+    assert packed["null_text"].start_off is not None
+
+
 def test_profile_empty_spans_degenerate(spark):
     # NULL span lists normalize to empty (no NULL-riddled rows)
     eps = _eps(spark, [("empty", "g0", []), ("nullspans", "g0", None)])

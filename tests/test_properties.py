@@ -832,7 +832,9 @@ def test_kmv_plan_window_group_limit(spark):
     from graphiti_spark.operators.docops import token_cardinality
     from graphiti_spark.plans.explain import physical_plan, scan_summary
 
-    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
     out = token_cardinality(docs, k=16)
     scan_summary(out).assert_no_python()
     plan = physical_plan(out)
