@@ -643,6 +643,20 @@ def _q_quantized_topk(spark, sf_dir):
     return quantized_topk(emb, queries_df, k=10)
 
 
+def _q_pq_topk(spark, sf_dir):
+    """Product-quantization ADC cosine top-k (docops.pq_topk): m=4
+    subspace codebooks fitted by the deterministic integer k-means,
+    codes + lookup-table scoring — the full trajectory (codebooks,
+    codes, scores) reproduced bit-for-bit by the DuckDB oracle."""
+    from graphiti_spark.operators.docops import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries_df = emb.where(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk(emb, queries_df, m=4, k_codes=8, iters=2, k=10)
+
+
 def _q_rrf_docs(spark, sf_dir):
     from graphiti_spark.operators.search import rrf
 
@@ -1038,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relevant_nodes": _q_relevant_nodes,
         "cosine_topk": _q_cosine_topk,
         "quantized_topk": _q_quantized_topk,
+        "pq_topk": _q_pq_topk,
         "rrf_docs": _q_rrf_docs,
         "bfs_globex": _q_bfs_globex,
         # maintenance
@@ -1135,6 +1150,7 @@ def oracle_sql() -> dict[str, str]:
         # int8 symmetric quantization: scales cancel in cosine, so the
         # lossy-compression path is exactly value-hashable cross-engine
         "quantized_topk": oo.q_quantized_topk(),
+        "pq_topk": oo.q_pq_topk(m=4, k_codes=8, iters=2, k=10),
         "rrf_docs": oo.q_rrf_docs(),
         "bfs_globex": oo.q_bfs_globex(),
         "point_in_time": oo.q_point_in_time("2024-01-01 08:00:00"),

@@ -1934,66 +1934,76 @@ FROM empties
 """
 
 
-def q_kmeans_clusters(k: int = 8, iters: int = 4) -> str:
-    """SQL twin of docops.kmeans_clusters: symmetric-int8 quantization
-    (the q_quantized_topk CTE), deterministic MAXIMIN seeding (seed 0 =
-    lowest md5(vec_id); each next seed maximizes min-distance to the
-    chosen set, ties -> lowest vec_id) unrolled per seed, and ``iters``
-    unrolled Lloyd's iterations. All arithmetic is integer (distances =
-    integer sums of squares, centroid dims = floor(sum/count)), so the
-    trajectory is bit-identical to Spark's. Empty clusters keep their
-    previous centroid (LEFT JOIN + COALESCE)."""
+def _kmeans_cte_chain(pfx: str, src: str, k: int, iters: int) -> str:
+    """CTE chain fitting one deterministic integer k-means codebook
+    from source CTE ``src`` (vec_id, qv) — maximin seeding unrolled
+    per seed, ``iters`` unrolled Lloyd's iterations, every table name
+    prefixed with ``pfx`` so product quantization can instantiate one
+    chain per subspace. Final centroids: ``{pfx}c{iters}`` (cid,
+    cvec). With pfx='' and src='q' this is byte-identical to the
+    pre-refactor q_kmeans_clusters body (kmeans parity is the
+    generator's regression test)."""
     seed_steps = []
     for j in range(1, k):
         seed_steps.append(
-            f"""d{j} AS MATERIALIZED (
+            f"""{pfx}d{j} AS MATERIALIZED (
   SELECT q.vec_id,
     MIN(list_sum(list_transform(range(1, len(q.qv) + 1),
       i -> (q.qv[i] - g.cvec[i]) * (q.qv[i] - g.cvec[i])))) AS mind
-  FROM q CROSS JOIN g{j} g GROUP BY q.vec_id
+  FROM {src} q CROSS JOIN {pfx}g{j} g GROUP BY q.vec_id
 ),
-s{j} AS MATERIALIZED (
+{pfx}s{j} AS MATERIALIZED (
   SELECT {j} AS cid, q.qv AS cvec
-  FROM q JOIN (
-    SELECT vec_id FROM d{j} ORDER BY mind DESC, vec_id LIMIT 1
+  FROM {src} q JOIN (
+    SELECT vec_id FROM {pfx}d{j} ORDER BY mind DESC, vec_id LIMIT 1
   ) t USING (vec_id)
 ),
-g{j + 1} AS MATERIALIZED (SELECT * FROM g{j} UNION ALL SELECT * FROM s{j})"""
+{pfx}g{j + 1} AS MATERIALIZED (SELECT * FROM {pfx}g{j} UNION ALL SELECT * FROM {pfx}s{j})"""
         )
     steps = []
     for t in range(iters):
         steps.append(
-            f"""a{t} AS MATERIALIZED (
+            f"""{pfx}a{t} AS MATERIALIZED (
   SELECT vec_id, qv, cid,
     row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
   FROM (
     SELECT q.vec_id, q.qv, c.cid,
       list_sum(list_transform(range(1, len(q.qv) + 1),
         i -> (q.qv[i] - c.cvec[i]) * (q.qv[i] - c.cvec[i]))) AS dist
-    FROM q CROSS JOIN c{t} c
+    FROM {src} q CROSS JOIN {pfx}c{t} c
   )
 ),
-e{t} AS MATERIALIZED (
+{pfx}e{t} AS MATERIALIZED (
   SELECT cid,
     unnest(list_transform(range(1, len(qv) + 1),
       i -> {{'pos': i, 'val': qv[i]}})) AS u
-  FROM a{t} WHERE rn = 1
+  FROM {pfx}a{t} WHERE rn = 1
 ),
-n{t} AS MATERIALIZED (
+{pfx}n{t} AS MATERIALIZED (
   SELECT cid, list(cv ORDER BY pos) AS cvec
   FROM (
     SELECT cid, u.pos AS pos,
       floor(SUM(u.val) * 1.0 / COUNT(*)) AS cv
-    FROM e{t} GROUP BY 1, 2
+    FROM {pfx}e{t} GROUP BY 1, 2
   ) GROUP BY cid
 ),
-c{t + 1} AS MATERIALIZED (
+{pfx}c{t + 1} AS MATERIALIZED (
   SELECT p.cid, COALESCE(n.cvec, p.cvec) AS cvec
-  FROM c{t} p LEFT JOIN n{t} n USING (cid)
+  FROM {pfx}c{t} p LEFT JOIN {pfx}n{t} n USING (cid)
 )"""
         )
-    return f"""
-WITH emb AS MATERIALIZED (
+    return f"""{pfx}g1 AS MATERIALIZED (
+  SELECT 0 AS cid, qv AS cvec
+  FROM {src}
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+  LIMIT 1
+),
+{",".join(seed_steps)},
+{pfx}c0 AS MATERIALIZED (SELECT CAST(cid AS INT) AS cid, cvec FROM {pfx}g{k}),
+{",".join(steps)}"""
+
+
+_QUANT_CTES = """emb AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
 mx AS MATERIALIZED (
@@ -2005,16 +2015,22 @@ q AS MATERIALIZED (
       THEN list_transform(v, x -> CAST(floor(x * 127.0 / m + 0.5) AS DOUBLE))
       ELSE list_transform(v, x -> CAST(0 AS DOUBLE)) END AS qv
   FROM mx
-),
-g1 AS MATERIALIZED (
-  SELECT 0 AS cid, qv AS cvec
-  FROM q
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-  LIMIT 1
-),
-{",".join(seed_steps)},
-c0 AS MATERIALIZED (SELECT CAST(cid AS INT) AS cid, cvec FROM g{k}),
-{",".join(steps)},
+)"""
+
+
+def q_kmeans_clusters(k: int = 8, iters: int = 4) -> str:
+    """SQL twin of docops.kmeans_clusters: symmetric-int8 quantization
+    (the q_quantized_topk CTE), deterministic MAXIMIN seeding (seed 0 =
+    lowest md5(vec_id); each next seed maximizes min-distance to the
+    chosen set, ties -> lowest vec_id) unrolled per seed, and ``iters``
+    unrolled Lloyd's iterations — chain generated by
+    :func:`_kmeans_cte_chain`. All arithmetic is integer (distances =
+    integer sums of squares, centroid dims = floor(sum/count)), so the
+    trajectory is bit-identical to Spark's. Empty clusters keep their
+    previous centroid (LEFT JOIN + COALESCE)."""
+    return f"""
+WITH {_QUANT_CTES},
+{_kmeans_cte_chain("", "q", k, iters)},
 final AS MATERIALIZED (
   SELECT q.vec_id, c.cid,
     list_sum(list_transform(range(1, len(q.qv) + 1),
@@ -2335,4 +2351,74 @@ pairs AS (
 )
 SELECT id_contained, id_container, containment
 FROM pairs WHERE containment >= {threshold}
+"""
+
+
+def q_pq_topk(
+    m: int = 4, k_codes: int = 8, iters: int = 2, k: int = 10, dim: int = 64
+) -> str:
+    """SQL twin of docops.pq_topk: the SAME int8 quantization, one
+    :func:`_kmeans_cte_chain` per subspace over list_slice'd
+    sub-vectors, argmin code assignment, and ADC cosine scoring —
+    numerators/denominator-squares integer end to end, the final
+    sqrt/division computed from identical integers in both engines and
+    rounded to 6 places. Queries = corpus vectors vec_id < 4 (the
+    driver convention shared with cosine/quantized_topk)."""
+    sub = dim // m
+    chains, cent_unions, src_ctes = [], [], []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        src_ctes.append(
+            f"p{j}src AS MATERIALIZED (SELECT vec_id, list_slice(qv, {lo}, {hi}) AS qv FROM q)"
+        )
+        chains.append(_kmeans_cte_chain(f"p{j}", f"p{j}src", k_codes, iters))
+        cent_unions.append(
+            f"SELECT {j} AS sub, cid, cvec FROM p{j}c{iters}"
+        )
+    return f"""
+WITH {_QUANT_CTES},
+{",".join(src_ctes)},
+{",".join(chains)},
+cents AS MATERIALIZED ({" UNION ALL ".join(cent_unions)}),
+assign AS MATERIALIZED (
+  SELECT vec_id, sub, cid,
+    row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+  FROM (
+    SELECT q.vec_id, c.sub, c.cid,
+      list_sum(list_transform(range(1, {sub} + 1),
+        i -> (list_slice(q.qv, c.sub * {sub} + 1, (c.sub + 1) * {sub})[i] - c.cvec[i])
+           * (list_slice(q.qv, c.sub * {sub} + 1, (c.sub + 1) * {sub})[i] - c.cvec[i]))) AS dist
+    FROM q CROSS JOIN cents c
+  )
+),
+codes AS MATERIALIZED (SELECT vec_id, sub, cid FROM assign WHERE rn = 1),
+qq AS MATERIALIZED (
+  SELECT vec_id AS query_id, qv AS qqv,
+    CAST(list_dot_product(qv, qv) AS BIGINT) AS qn2
+  FROM q WHERE vec_id < 4
+),
+qtab AS MATERIALIZED (
+  SELECT qq.query_id, c.sub, c.cid,
+    CAST(list_dot_product(
+      list_slice(qq.qqv, c.sub * {sub} + 1, (c.sub + 1) * {sub}), c.cvec
+    ) AS BIGINT) AS dotv,
+    CAST(list_dot_product(c.cvec, c.cvec) AS BIGINT) AS cn2,
+    qq.qn2
+  FROM qq CROSS JOIN cents c
+),
+scored AS MATERIALIZED (
+  SELECT t.query_id, co.vec_id AS id,
+    round(SUM(t.dotv)
+      / (sqrt(MAX(t.qn2)) * sqrt(greatest(SUM(t.cn2), 1))), 6) AS score
+  FROM codes co JOIN qtab t USING (sub, cid)
+  GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, id)
+    AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
+  score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
 """

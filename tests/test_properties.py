@@ -849,3 +849,47 @@ def test_kmv_empty_input_degenerate(spark):
 
     df = spark.createDataFrame([], "g string, v string")
     assert kmv_distinct(df, "g", F.col("v"), k=8).count() == 0
+
+
+def test_pq_topk_finds_planted_twin_and_is_deterministic(spark):
+    """PQ-ADC scoring must rank a COLLINEAR twin at the top for its
+    query (identical direction survives any quantization — both map to
+    identical codes), and the whole trajectory must be deterministic
+    across physical layouts (the property the bit-exact oracle
+    relies on)."""
+    import numpy as np
+
+    from graphiti_spark.operators.docops import pq_topk
+
+    rng = np.random.RandomState(5)
+    rows = [(i, [float(x) for x in rng.randn(32)]) for i in range(60)]
+    rows.append((500, [2.0 * x for x in rows[0][1]]))  # collinear with 0
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = pq_topk(emb, queries, m=4, k_codes=8, iters=2, k=5).collect()
+    top = sorted(out, key=lambda r: r.rank)
+    # ids 0 and 500 share codes, so they tie at the query's own top
+    # score and fill ranks 1-2 (tie-break by id)
+    assert {top[0].id, top[1].id} == {0, 500}
+    assert top[0].score == top[1].score
+    again = pq_topk(
+        emb.repartition(7), queries, m=4, k_codes=8, iters=2, k=5
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_pq_topk_validates_and_handles_empty(spark):
+    import pytest
+
+    from graphiti_spark.operators.docops import pq_topk
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(emb, q, m=2)
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert pq_topk(empty, q, m=2).count() == 0
