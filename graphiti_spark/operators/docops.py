@@ -1729,6 +1729,23 @@ def _sq_dist() -> Column:
     )
 
 
+def _quantized_long(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, qvec array<long>) — int8-quantized corpus cast to long
+    and lazily checkpointed, the shared input representation of
+    kmeans_clusters and pq_topk (one definition so the bit-exact
+    cross-engine contract can't drift between them)."""
+    return (
+        quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col)
+        .select(
+            "vec_id",
+            F.transform("qvec", lambda x: x.cast("long")).alias("qvec"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
 def _fit_kmeans(spark, qe: DataFrame, k: int, iters: int) -> dict:
     """Deterministic integer Lloyd's fit over (vec_id, qvec) →
     {cid: centroid} — the maximin-seeded trajectory documented on
@@ -1826,15 +1843,7 @@ def kmeans_clusters(
     sample as train_ivf_centroids does, then Lloyd's over the corpus.
     Linear in n, no all-pairs anywhere.
     """
-    qe = (
-        quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col)
-        .select(
-            "vec_id",
-            F.transform("qvec", lambda x: x.cast("long")).alias("qvec"),
-        )
-        .localCheckpoint(eager=False)
-    )
-
+    qe = _quantized_long(embeddings, id_col=id_col, vec_col=vec_col)
     spark = embeddings.sparkSession
     cents = _fit_kmeans(spark, qe, k, iters)
 
@@ -2361,14 +2370,7 @@ def pq_topk(
         raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
 
-    qe = (
-        quantize_embeddings(embeddings, id_col=id_col, vec_col=vec_col)
-        .select(
-            "vec_id",
-            F.transform("qvec", lambda x: x.cast("long")).alias("qvec"),
-        )
-        .localCheckpoint(eager=False)
-    )
+    qe = _quantized_long(embeddings, id_col=id_col, vec_col=vec_col)
 
     # one codebook per subspace, fitted on the sliced sub-vectors
     books = {}
@@ -2387,19 +2389,26 @@ def pq_topk(
         spark.createDataFrame(cent_rows, "sub int, cid int, cvec array<long>")
     )
 
-    # code assignment: corpus × (m·k_codes) broadcast nested loop,
-    # min-dist per (vector, subspace) with a map-side partial
+    # code assignment: explode each vector ONCE into its m sub-vectors
+    # (total bytes = one copy of the corpus), then broadcast-join the
+    # codeword table on `sub` — each sub-vector fans out k_codes times
+    # instead of the full vector riding an m·k_codes nested loop
+    sub_rows = qe.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice("qvec", j * sub + 1, sub),
+            )
+        ).alias("sub", "subvec"),
+    )
     sub_dist = F.aggregate(
-        F.zip_with(
-            F.slice("qvec", F.col("sub") * sub + 1, sub),
-            F.col("cvec"),
-            lambda a, b: (a - b) * (a - b),
-        ),
+        F.zip_with("subvec", "cvec", lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     codes = (
-        qe.crossJoin(cdf)
+        sub_rows.join(cdf, "sub")
         .select("vec_id", "sub", "cid", sub_dist.alias("dist"))
         .groupBy("vec_id", "sub")
         .agg(F.min(F.struct("dist", "cid")).alias("mn"))
@@ -2451,9 +2460,15 @@ def pq_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("id"),
+            # both norms floor at 1: an all-zero query/reconstruction
+            # scores 0 everywhere instead of ANSI-crashing on /0 (and
+            # the oracle computes the identical guarded expression)
             F.round(
                 F.col("num")
-                / (F.sqrt(F.col("qn2")) * F.sqrt(F.greatest(F.col("rn2"), F.lit(1)))),
+                / (
+                    F.sqrt(F.greatest(F.col("qn2"), F.lit(1)))
+                    * F.sqrt(F.greatest(F.col("rn2"), F.lit(1)))
+                ),
                 6,
             ).alias("score"),
         )

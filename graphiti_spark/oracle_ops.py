@@ -1940,9 +1940,11 @@ def _kmeans_cte_chain(pfx: str, src: str, k: int, iters: int) -> str:
     per seed, ``iters`` unrolled Lloyd's iterations, every table name
     prefixed with ``pfx`` so product quantization can instantiate one
     chain per subspace. Final centroids: ``{pfx}c{iters}`` (cid,
-    cvec). With pfx='' and src='q' this is byte-identical to the
-    pre-refactor q_kmeans_clusters body (kmeans parity is the
-    generator's regression test)."""
+    cvec). With pfx='' and src='q' this reproduces the pre-refactor
+    q_kmeans_clusters body up to a harmless self-alias (``FROM q q``)
+    — verified RESULT-identical against the stored pre-refactor SQL,
+    and the green kmeans driver parity is the generator's standing
+    regression test."""
     seed_steps = []
     for j in range(1, k):
         seed_steps.append(
@@ -1992,15 +1994,19 @@ def _kmeans_cte_chain(pfx: str, src: str, k: int, iters: int) -> str:
   FROM {pfx}c{t} p LEFT JOIN {pfx}n{t} n USING (cid)
 )"""
         )
-    return f"""{pfx}g1 AS MATERIALIZED (
+    g1 = f"""{pfx}g1 AS MATERIALIZED (
   SELECT 0 AS cid, qv AS cvec
   FROM {src}
   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
   LIMIT 1
-),
-{",".join(seed_steps)},
-{pfx}c0 AS MATERIALIZED (SELECT CAST(cid AS INT) AS cid, cvec FROM {pfx}g{k}),
-{",".join(steps)}"""
+)"""
+    c0 = (
+        f"{pfx}c0 AS MATERIALIZED "
+        f"(SELECT CAST(cid AS INT) AS cid, cvec FROM {pfx}g{k})"
+    )
+    # list-compose so k=1 (no seed steps) and iters=0 (no Lloyd steps)
+    # emit parseable SQL instead of dangling commas
+    return ",\n".join([g1, *seed_steps, c0, *steps])
 
 
 _QUANT_CTES = """emb AS MATERIALIZED (
@@ -2354,41 +2360,45 @@ FROM pairs WHERE containment >= {threshold}
 """
 
 
-def q_pq_topk(
-    m: int = 4, k_codes: int = 8, iters: int = 2, k: int = 10, dim: int = 64
-) -> str:
+def q_pq_topk(m: int = 4, k_codes: int = 8, iters: int = 2, k: int = 10) -> str:
     """SQL twin of docops.pq_topk: the SAME int8 quantization, one
     :func:`_kmeans_cte_chain` per subspace over list_slice'd
     sub-vectors, argmin code assignment, and ADC cosine scoring —
     numerators/denominator-squares integer end to end, the final
-    sqrt/division computed from identical integers in both engines and
-    rounded to 6 places. Queries = corpus vectors vec_id < 4 (the
-    driver convention shared with cosine/quantized_topk)."""
-    sub = dim // m
+    sqrt/division computed from identical integers in both engines
+    (both norms floored at 1, matching the Spark guard) and rounded to
+    6 places. Sub-vector bounds derive from ``len(qv) // m`` IN SQL —
+    no hardcoded dimension to drift from the data (a stale dim would
+    make list_slice silently clamp and score garbage). Queries =
+    corpus vectors vec_id < 4 (the driver convention shared with
+    cosine/quantized_topk)."""
+    sub = f"(len(qv) // {m})"
     chains, cent_unions, src_ctes = [], [], []
     for j in range(m):
-        lo, hi = j * sub + 1, (j + 1) * sub
         src_ctes.append(
-            f"p{j}src AS MATERIALIZED (SELECT vec_id, list_slice(qv, {lo}, {hi}) AS qv FROM q)"
+            f"p{j}src AS MATERIALIZED (SELECT vec_id, "
+            f"list_slice(qv, {j} * {sub} + 1, ({j} + 1) * {sub}) AS qv FROM q)"
         )
         chains.append(_kmeans_cte_chain(f"p{j}", f"p{j}src", k_codes, iters))
-        cent_unions.append(
-            f"SELECT {j} AS sub, cid, cvec FROM p{j}c{iters}"
-        )
+        cent_unions.append(f"SELECT {j} AS sub, cid, cvec FROM p{j}c{iters}")
     return f"""
 WITH {_QUANT_CTES},
 {",".join(src_ctes)},
 {",".join(chains)},
 cents AS MATERIALIZED ({" UNION ALL ".join(cent_unions)}),
+subrows AS MATERIALIZED (
+  SELECT vec_id, CAST(u.s AS INT) AS sub,
+    list_slice(qv, u.s * (len(qv) // {m}) + 1, (u.s + 1) * (len(qv) // {m})) AS subvec
+  FROM q, UNNEST(generate_series(0, {m - 1})) AS u(s)
+),
 assign AS MATERIALIZED (
   SELECT vec_id, sub, cid,
     row_number() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
   FROM (
-    SELECT q.vec_id, c.sub, c.cid,
-      list_sum(list_transform(range(1, {sub} + 1),
-        i -> (list_slice(q.qv, c.sub * {sub} + 1, (c.sub + 1) * {sub})[i] - c.cvec[i])
-           * (list_slice(q.qv, c.sub * {sub} + 1, (c.sub + 1) * {sub})[i] - c.cvec[i]))) AS dist
-    FROM q CROSS JOIN cents c
+    SELECT r.vec_id, r.sub, c.cid,
+      list_sum(list_transform(range(1, len(r.subvec) + 1),
+        i -> (r.subvec[i] - c.cvec[i]) * (r.subvec[i] - c.cvec[i]))) AS dist
+    FROM subrows r JOIN cents c USING (sub)
   )
 ),
 codes AS MATERIALIZED (SELECT vec_id, sub, cid FROM assign WHERE rn = 1),
@@ -2400,7 +2410,8 @@ qq AS MATERIALIZED (
 qtab AS MATERIALIZED (
   SELECT qq.query_id, c.sub, c.cid,
     CAST(list_dot_product(
-      list_slice(qq.qqv, c.sub * {sub} + 1, (c.sub + 1) * {sub}), c.cvec
+      list_slice(qq.qqv, c.sub * (len(qq.qqv) // {m}) + 1,
+                 (c.sub + 1) * (len(qq.qqv) // {m})), c.cvec
     ) AS BIGINT) AS dotv,
     CAST(list_dot_product(c.cvec, c.cvec) AS BIGINT) AS cn2,
     qq.qn2
@@ -2409,7 +2420,7 @@ qtab AS MATERIALIZED (
 scored AS MATERIALIZED (
   SELECT t.query_id, co.vec_id AS id,
     round(SUM(t.dotv)
-      / (sqrt(MAX(t.qn2)) * sqrt(greatest(SUM(t.cn2), 1))), 6) AS score
+      / (sqrt(greatest(MAX(t.qn2), 1)) * sqrt(greatest(SUM(t.cn2), 1))), 6) AS score
   FROM codes co JOIN qtab t USING (sub, cid)
   GROUP BY 1, 2
 ),
