@@ -135,13 +135,18 @@ class RuleBasedExtractor:
         # Fact = sentence body without the speaker prefix (the reference
         # stores the extracted natural-language sentence, edges.py:199).
         out["fact"] = cleaned.str.split(": ", n=1).str[1]
-        # errors="coerce": a year outside pandas' ns range (1678-2261)
-        # must yield NULL valid_at, not crash the stage — the
-        # reference's date parse falls back to None on failure
-        # (edge_operations.py:207-221); extract_arrow masks the same
-        # range so both kernels agree.
+        # The cross-kernel contract is the EXPLICIT inclusive range
+        # 1678-2261 (what the arrow and native kernels clamp to), not
+        # pandas' raw ns range: pandas would also accept 2262 (its max
+        # is 2262-04-11, so 2262-01-01 parses) and the kernels would
+        # disagree on exactly that year — caught by the kernel fuzz
+        # test. Mask first, then coerce-parse; the reference's date
+        # parse falls back to None on failure
+        # (edge_operations.py:207-221).
+        yr_num = pd.to_numeric(ext["year"], errors="coerce")
+        masked = ext["year"].where((yr_num >= 1678) & (yr_num <= 2261))
         out["valid_at"] = pd.to_datetime(
-            ext["year"], format="%Y", utc=True, errors="coerce"
+            masked, format="%Y", utc=True, errors="coerce"
         )
         if self.reflexion:
             missed = out["subj_name"].isna()

@@ -376,6 +376,41 @@ def test_arrow_kernel_equals_pandas_kernel_fuzzed(texts):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_kernels_agree_on_ns_boundary_years(spark):
+    """The valid_at contract is the EXPLICIT year range 1678-2261 in
+    every kernel. 2262 is the trap: pandas' raw ns range accepts
+    2262-01-01 (its max is 2262-04-11), so an unclamped coerce-parse
+    diverges from the arrow/native clamps on exactly that year — found
+    by the kernel fuzz test, pinned here deterministically."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from graphiti_spark.operators.extract import RuleBasedExtractor
+
+    ex = RuleBasedExtractor()
+    years = [1677, 1678, 2261, 2262, 9999]
+    texts = [f"Ann: Acme works for Globex since {y}." for y in years]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(len(texts))],
+            "group_id": ["g"] * len(texts),
+            "offset": pd.array(range(len(texts)), dtype="int32"),
+            "episode_valid_at": pd.to_datetime("2025-01-01", utc=True),
+            "text": texts,
+        }
+    )
+    want = ex.extract(pdf).reset_index(drop=True)
+    got = (
+        ex.extract_arrow(pa.RecordBatch.from_pandas(pdf, preserve_index=False))
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    by_year = dict(zip(years, want["valid_at"]))
+    assert pd.isna(by_year[1677]) and pd.isna(by_year[2262]) and pd.isna(by_year[9999])
+    assert by_year[1678].year == 1678 and by_year[2261].year == 2261
+
+
 def test_curation_randomized_invariants(spark):
     """One seeded random corpus through the curation ops; invariants
     recomputed in plain python (see module docstring for the pattern):
