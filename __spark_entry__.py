@@ -169,6 +169,15 @@ def _q_pack_interleaved(spark, sf_dir):
     return pack_interleaved(synthesize_episodes(spark, sf_dir))
 
 
+def _q_interleave_summary(spark, sf_dir):
+    """Per-tenant rollup of the interleaved-span profile (media
+    fraction, text-run maxima, contract violations —
+    interleave.interleave_summary)."""
+    from graphiti_spark.operators.interleave import interleave_summary
+
+    return interleave_summary(synthesize_episodes(spark, sf_dir))
+
+
 def _q_token_kmv(spark, sf_dir):
     """Per-source distinct-vocabulary estimate via a K-Minimum-Values
     sketch (docops.token_cardinality). k=16 at this scale so the
@@ -1010,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # interleaved-span structure + sketches
         "interleave_profile": _q_interleave_profile,
         "pack_interleaved": _q_pack_interleaved,
+        "interleave_summary": _q_interleave_summary,
         "token_kmv": _q_token_kmv,
         # text analysis
         "token_stats": _q_token_stats,
@@ -1112,6 +1122,7 @@ def oracle_sql() -> dict[str, str]:
         "kcore": oo.q_kcore(),
         "interleave_profile": oo.q_interleave_profile(),
         "pack_interleaved": oo.q_pack_interleaved(),
+        "interleave_summary": oo.q_interleave_summary(),
         "token_kmv": oo.q_token_cardinality(k=16),
         "tfidf_topk": oo.q_tfidf_topk(),
         "repetition_stats": oo.q_repetition_stats(),

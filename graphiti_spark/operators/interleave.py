@@ -243,3 +243,43 @@ def pack_interleaved(
         first.alias("first_chunk"),
         last.alias("last_chunk"),
     )
+
+
+def interleave_summary(episodes: DataFrame) -> DataFrame:
+    """(group_id, n_episodes, n_spans, n_media, text_tokens,
+    media_fraction_micro, max_text_run, n_contract_violations) — the
+    per-tenant rollup of :func:`interleave_profile`: corpus-structure
+    sheet a multimodal-training pipeline reads before sampling
+    (how media-heavy is each tenant's data, how long do text runs get,
+    how many episodes break the span contract).
+
+    Scale shape: the profile is map-only, so this is scan → partial
+    agg → one group_id Exchange; all ratios are BIGINT micro-units
+    (floor), same determinism discipline as everything else.
+    """
+    prof = interleave_profile(episodes)
+    ok = F.col("offsets_ok") & F.col("refs_ok") & F.col("kinds_ok")
+    agg = prof.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_episodes"),
+        F.sum("n_spans").cast("long").alias("n_spans"),
+        F.sum("n_media").cast("long").alias("n_media"),
+        F.sum("text_tokens").cast("long").alias("text_tokens"),
+        F.max("max_text_run").cast("long").alias("max_text_run"),
+        F.sum(F.when(~ok, 1).otherwise(0)).cast("long").alias("n_contract_violations"),
+    )
+    return agg.select(
+        "group_id",
+        "n_episodes",
+        "n_spans",
+        "n_media",
+        "text_tokens",
+        F.when(
+            F.col("n_spans") > 0,
+            F.floor((F.col("n_media") * F.lit(1_000_000)) / F.col("n_spans")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("media_fraction_micro"),
+        "max_text_run",
+        "n_contract_violations",
+    )

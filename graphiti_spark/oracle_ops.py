@@ -2433,3 +2433,24 @@ SELECT CAST(query_id AS BIGINT) AS query_id, CAST(id AS BIGINT) AS id,
   score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def q_interleave_summary() -> str:
+    """SQL twin of interleave.interleave_summary: wraps the profile
+    oracle (itself an independent explode+window formulation) in the
+    per-group rollup."""
+    return f"""
+WITH prof AS ({q_interleave_profile()})
+SELECT group_id,
+  CAST(count(*) AS BIGINT) AS n_episodes,
+  CAST(sum(n_spans) AS BIGINT) AS n_spans,
+  CAST(sum(n_media) AS BIGINT) AS n_media,
+  CAST(sum(text_tokens) AS BIGINT) AS text_tokens,
+  CAST(CASE WHEN sum(n_spans) > 0
+       THEN sum(n_media) * 1000000 // sum(n_spans) ELSE 0 END AS BIGINT)
+    AS media_fraction_micro,
+  CAST(max(max_text_run) AS BIGINT) AS max_text_run,
+  CAST(sum(CASE WHEN offsets_ok AND refs_ok AND kinds_ok THEN 0 ELSE 1 END)
+    AS BIGINT) AS n_contract_violations
+FROM prof GROUP BY group_id
+"""

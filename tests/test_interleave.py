@@ -127,11 +127,6 @@ def test_profile_empty_spans_degenerate(spark):
         assert r.offsets_ok and r.refs_ok  # vacuously true on empty
     packed = {r.doc_id: r for r in pack_interleaved(eps).collect()}
     assert all(r.n_tokens == 0 and r.n_media == 0 for r in packed.values())
-    r = interleave_profile(_eps(spark, [("empty", "g0", [])])).collect()[0]
-    assert (r.n_spans, r.n_text, r.n_media, r.n_runs, r.max_text_run) == (0, 0, 0, 0, 0)
-    assert r.media_fraction_micro == 0 and r.text_tokens == 0
-    assert r.first_kind is None and r.last_kind is None
-    assert r.offsets_ok and r.refs_ok  # vacuously true on empty
 
 
 def test_pack_conservation_and_atomicity(spark):
@@ -194,3 +189,28 @@ def test_interleave_plan_shapes(spark):
     # exactly one Exchange: the stream repartition the window needs
     assert pplan.count("Exchange") == 1
     assert "Generate" not in pplan
+
+
+def test_interleave_summary_rollup(spark):
+    """Per-group rollup: counts, micro media fraction (floor over the
+    GROUP totals, not an average of per-doc ratios), violation count."""
+    from graphiti_spark.operators.interleave import interleave_summary
+
+    eps = _eps(
+        spark,
+        [
+            ("a1", "g0", [_span("text", "w w w", 0), _span("media", "", 1)]),
+            ("a2", "g0", [_span("text", "w", 0)]),
+            # violates the offset contract
+            ("a3", "g0", [_span("text", "w", 5)]),
+            ("b1", "g1", [_span("media", "", 0)]),
+        ],
+    )
+    out = {r.group_id: r for r in interleave_summary(eps).collect()}
+    g0 = out["g0"]
+    assert (g0.n_episodes, g0.n_spans, g0.n_media, g0.text_tokens) == (3, 4, 1, 5)
+    assert g0.media_fraction_micro == 250_000  # 1/4 of group spans
+    assert g0.max_text_run == 1 and g0.n_contract_violations == 1
+    g1 = out["g1"]
+    assert (g1.n_episodes, g1.n_media, g1.media_fraction_micro) == (1, 1, 1_000_000)
+    assert g1.n_contract_violations == 0
