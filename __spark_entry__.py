@@ -191,6 +191,58 @@ def _q_token_kmv(spark, sf_dir):
 
 PPR_SEEDS = [("g0", "Globex"), ("g0", "J. Smith"), ("g1", "Globex")]
 
+# GNN-export split cutoffs / diff instants (fact years span 2015-2024;
+# shared literals so engine and oracle draw the same boundaries)
+SPLIT_TRAIN_END = "2019-01-01 00:00:00"
+SPLIT_VALID_END = "2022-01-01 00:00:00"
+DIFF_T1 = "2017-06-01 00:00:00"
+DIFF_T2 = "2022-06-01 00:00:00"
+
+
+def _q_gnn_nodes(spark, sf_dir):
+    """Contiguous per-group node ids over the canonical entity set —
+    the id space a GNN trainer embeds (gnn.node_index)."""
+    from graphiti_spark.operators.gnn import node_index
+
+    out = _graph(spark, sf_dir)
+    return node_index(out.nodes)
+
+
+def _q_gnn_edges(spark, sf_dir):
+    """COO edge index in contiguous ids + dense relation vocabulary
+    (gnn.edge_index)."""
+    from graphiti_spark.operators.gnn import edge_index
+
+    out = _graph(spark, sf_dir)
+    return edge_index(out.nodes, out.edges)
+
+
+def _q_gnn_negatives(spark, sf_dir):
+    """Deterministic md5-ranked filtered negative samples for
+    link-prediction training (gnn.negative_edges)."""
+    from graphiti_spark.operators.gnn import negative_edges
+
+    out = _graph(spark, sf_dir)
+    return negative_edges(out.nodes, out.edges, n_neg=3)
+
+
+def _q_temporal_split(spark, sf_dir):
+    """Event-time train/valid/test split of the temporal assertions
+    with inductive unseen-endpoint flags (gnn.temporal_edge_split)."""
+    from graphiti_spark.operators.gnn import temporal_edge_split
+
+    out = _graph(spark, sf_dir)
+    return temporal_edge_split(out.edges, SPLIT_TRAIN_END, SPLIT_VALID_END)
+
+
+def _q_fact_diff(spark, sf_dir):
+    """Event-time delta of the KG between two as-of instants
+    (temporal.fact_diff)."""
+    from graphiti_spark.operators.temporal import fact_diff
+
+    out = _graph(spark, sf_dir)
+    return fact_diff(out.edges, DIFF_T1, DIFF_T2)
+
 
 def _q_graph_stats(spark, sf_dir):
     """Per-group structural summary (sizes, reciprocity, hub degree,
@@ -1010,6 +1062,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_prediction": _q_link_prediction,
         "graph_stats": _q_graph_stats,
         "fact_churn": _q_fact_churn,
+        "fact_diff": _q_fact_diff,
+        # GNN training-data export
+        "gnn_nodes": _q_gnn_nodes,
+        "gnn_edges": _q_gnn_edges,
+        "gnn_negatives": _q_gnn_negatives,
+        "temporal_split": _q_temporal_split,
         "semantic_dedup": _q_semantic_dedup,
         "lm_perplexity": _q_lm_perplexity,
         "kmeans": _q_kmeans,
@@ -1114,6 +1172,11 @@ def oracle_sql() -> dict[str, str]:
         "link_prediction": oo.q_link_prediction_ra(k=20),
         "graph_stats": oo.q_graph_stats(),
         "fact_churn": oo.q_fact_churn(),
+        "fact_diff": oo.q_fact_diff(DIFF_T1, DIFF_T2),
+        "gnn_nodes": oo.q_gnn_nodes(),
+        "gnn_edges": oo.q_gnn_edges(),
+        "gnn_negatives": oo.q_gnn_negatives(n_neg=3),
+        "temporal_split": oo.q_temporal_split(SPLIT_TRAIN_END, SPLIT_VALID_END),
         "semantic_dedup": oo.q_semantic_dedup_keep_list(),
         "lm_perplexity": oo.q_lm_perplexity(),
         "kmeans": oo.q_kmeans_clusters(k=8, iters=4),

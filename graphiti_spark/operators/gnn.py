@@ -1,0 +1,258 @@
+"""Graph-ML training-data export over the canonical entity graph.
+
+The reference stops at a queryable graph; a training-data pipeline
+also has to hand that graph to a GNN / link-prediction trainer, which
+wants (a) contiguous integer node ids per graph, (b) an edge index in
+those ids with a dense relation vocabulary, (c) deterministic negative
+samples filtered against true edges, and (d) a temporal train/valid/
+test split that respects event time and flags inductive (unseen-
+endpoint) evaluation edges. Each is a pure DataFrame derivation over
+the pipeline's (nodes, edges) outputs, exact enough to hash-match a
+DuckDB oracle (`oracle_ops.q_gnn_*`).
+
+Scale shapes (100 TB corpus → entity graph orders of magnitude
+smaller, but still potentially billions of nodes):
+
+- ``node_index``: one rank window per group over the ENTITY set (not
+  the corpus). Contiguity inherently serializes a group's id space;
+  at extreme per-group cardinality swap the rank for the two-pass
+  per-partition-offset scheme (count per partition → running offset),
+  which trades the sort for two bounded passes — the window form is
+  kept because it is deterministic and oracle-checkable.
+- ``edge_index``: two hash joins on (group_id, name) — AQE broadcasts
+  the index side when a tenant's entity set is small; the relation
+  vocabulary is a distinct over predicates (tiny, broadcast).
+- ``negative_edges``: md5-ranked corruption — no RNG state, so any
+  shard of a 100 TB export re-draws identical negatives (the
+  `mixture_sample` resumability property). One join against the node
+  index on the derived rank + one left-anti join against true edges;
+  never a cross join.
+- ``temporal_edge_split``: pure column split + two left joins against
+  the train-endpoint set (itself a distinct over train edges).
+
+Reference parity anchor: the exported edges are exactly the emitted
+EntityEdge set (graphiti_core/edges.py EntityEdge; driver oracle
+`edges_resolved`), so P/R of the export inherits the extraction gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from graphiti_spark.operators.docops import _md5_u32
+
+__all__ = [
+    "node_index",
+    "edge_index",
+    "negative_edges",
+    "temporal_edge_split",
+]
+
+
+def node_index(nodes: DataFrame) -> DataFrame:
+    """(group_id, name, node_idx) — contiguous 0-based node ids per
+    group, ordered by name (the only deterministic total order the
+    canonical node set carries everywhere)."""
+    w = Window.partitionBy("group_id").orderBy("name")
+    return nodes.select("group_id", "name").distinct().select(
+        "group_id",
+        "name",
+        (F.row_number().over(w) - 1).cast("long").alias("node_idx"),
+    )
+
+
+def relation_index(edges: DataFrame) -> DataFrame:
+    """(predicate, rel_idx) — dense global relation vocabulary, ordered
+    by predicate name. Tiny (the predicate space), broadcast by AQE."""
+    w = Window.orderBy("predicate")
+    return (
+        edges.select("predicate")
+        .distinct()
+        .select(
+            "predicate", (F.row_number().over(w) - 1).cast("long").alias("rel_idx")
+        )
+    )
+
+
+def edge_index(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(group_id, src_idx, rel_idx, dst_idx, subj_name, predicate,
+    obj_name) — the canonical directed edge set mapped into contiguous
+    node ids + a dense relation vocabulary: the COO edge index a GNN
+    trainer loads directly.
+
+    Distinct (group, subj, pred, obj) triples only — parallel temporal
+    assertions collapse to one structural edge (the trainer's graph),
+    the bi-temporal detail stays in the ledger.
+    """
+    idx = node_index(nodes)
+    rel = relation_index(edges)
+    e = edges.select("group_id", "subj_name", "predicate", "obj_name").distinct()
+    return (
+        e.join(
+            idx.select(
+                "group_id",
+                F.col("name").alias("subj_name"),
+                F.col("node_idx").alias("src_idx"),
+            ),
+            ["group_id", "subj_name"],
+        )
+        .join(
+            idx.select(
+                "group_id",
+                F.col("name").alias("obj_name"),
+                F.col("node_idx").alias("dst_idx"),
+            ),
+            ["group_id", "obj_name"],
+        )
+        .join(rel, "predicate")
+        .select(
+            "group_id", "src_idx", "rel_idx", "dst_idx",
+            "subj_name", "predicate", "obj_name",
+        )
+    )
+
+
+def negative_edges(nodes: DataFrame, edges: DataFrame, n_neg: int = 3) -> DataFrame:
+    """(group_id, src_name, j, neg_name, neg_idx) — deterministic
+    negative samples for link-prediction training: for each distinct
+    directed positive pair and draw j, corrupt the destination to the
+    node ranked ``md5_u32('neg|' g '|' src '|' dst '|' j) % n_group``
+    in the group's node index, then drop draws that hit the source,
+    the true destination, or ANY true edge of that source (left-anti
+    against the positive pair set — the standard "filtered" negative
+    protocol).
+
+    Draw count per positive is at most ``n_neg`` (collisions are
+    dropped, not redrawn — redrawing would need data-dependent
+    iteration; at KG densities the drop rate is ≈ (deg(src)+2)/n_group
+    and the oracle reproduces it exactly).
+    """
+    idx = node_index(nodes)
+    ng = idx.groupBy("group_id").agg(F.max("node_idx").alias("max_idx"))
+    pos = edges.select(
+        "group_id",
+        F.col("subj_name").alias("src_name"),
+        F.col("obj_name").alias("dst_name"),
+    ).distinct()
+    draws = (
+        pos.join(ng, "group_id")
+        .select(
+            "group_id",
+            "src_name",
+            "dst_name",
+            "max_idx",
+            F.explode(F.sequence(F.lit(0), F.lit(n_neg - 1))).alias("j"),
+        )
+        .select(
+            "group_id",
+            "src_name",
+            "dst_name",
+            "j",
+            (
+                _md5_u32(
+                    F.concat_ws(
+                        "|",
+                        F.lit("neg"),
+                        F.col("group_id"),
+                        F.col("src_name"),
+                        F.col("dst_name"),
+                        F.col("j").cast("string"),
+                    )
+                )
+                % (F.col("max_idx") + 1)
+            ).alias("neg_idx"),
+        )
+    )
+    cand = draws.join(
+        idx.select(
+            "group_id",
+            F.col("node_idx").alias("neg_idx"),
+            F.col("name").alias("neg_name"),
+        ),
+        ["group_id", "neg_idx"],
+    ).where(
+        (F.col("neg_name") != F.col("src_name"))
+        & (F.col("neg_name") != F.col("dst_name"))
+    )
+    filtered = cand.join(
+        pos.select(
+            "group_id",
+            "src_name",
+            F.col("dst_name").alias("neg_name"),
+        ),
+        ["group_id", "src_name", "neg_name"],
+        "left_anti",
+    )
+    return filtered.select(
+        "group_id", "src_name", "dst_name", "j", "neg_name", "neg_idx"
+    )
+
+
+def temporal_edge_split(
+    edges: DataFrame,
+    train_end: str,
+    valid_end: str,
+) -> DataFrame:
+    """(group_id, subj_name, predicate, obj_name, valid_at, split,
+    src_unseen, dst_unseen) — event-time train/valid/test split of the
+    distinct temporal assertions, the temporal-KG evaluation protocol:
+    everything asserted before ``train_end`` trains; [train_end,
+    valid_end) validates; the rest tests. NULL ``valid_at`` (facts
+    with no extractable event time) goes to train — they're visible
+    at ingest, hiding them would leak nothing and starve training.
+
+    ``src_unseen`` / ``dst_unseen`` flag endpoints that appear in NO
+    train edge — the inductive subset a transductive model must be
+    filtered on (scored separately, never silently mixed).
+    """
+    e = edges.select(
+        "group_id", "subj_name", "predicate", "obj_name", "valid_at"
+    ).distinct()
+    te, ve = F.lit(train_end).cast("timestamp"), F.lit(valid_end).cast("timestamp")
+    e = e.withColumn(
+        "split",
+        F.when(F.col("valid_at").isNull() | (F.col("valid_at") < te), "train")
+        .when(F.col("valid_at") < ve, "valid")
+        .otherwise("test"),
+    )
+    tn = (
+        e.where(F.col("split") == "train")
+        .select("group_id", F.col("subj_name").alias("name"))
+        .union(
+            e.where(F.col("split") == "train").select(
+                "group_id", F.col("obj_name").alias("name")
+            )
+        )
+        .distinct()
+        .withColumn("seen", F.lit(True))
+    )
+    out = (
+        e.join(
+            tn.select(
+                "group_id", F.col("name").alias("subj_name"),
+                F.col("seen").alias("s_seen"),
+            ),
+            ["group_id", "subj_name"],
+            "left",
+        )
+        .join(
+            tn.select(
+                "group_id", F.col("name").alias("obj_name"),
+                F.col("seen").alias("o_seen"),
+            ),
+            ["group_id", "obj_name"],
+            "left",
+        )
+        .select(
+            "group_id", "subj_name", "predicate", "obj_name", "valid_at", "split",
+            ((F.col("split") != "train") & F.col("s_seen").isNull()).alias(
+                "src_unseen"
+            ),
+            ((F.col("split") != "train") & F.col("o_seen").isNull()).alias(
+                "dst_unseen"
+            ),
+        )
+    )
+    return out

@@ -171,3 +171,49 @@ def fact_churn(edges: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_expired"),
     )
+
+
+def fact_diff(edges: DataFrame, t1: str, t2: str) -> DataFrame:
+    """(group_id, subj_name, predicate, obj_name, valid_at, status) —
+    the event-time DELTA between two as-of instants: which temporal
+    assertions became visible ('added') or ceased to be visible
+    ('removed') between t1 and t2. This is the KG analogue of a CDC
+    diff — "what changed in the graph last quarter" as one query —
+    and composes the same slice predicate as point-in-time retrieval
+    (T6), so the two snapshots are never materialized.
+
+    A fact is visible at t iff valid_at <= t < coalesce(invalid_at,
+    inf); keys are the distinct 5-tuples (group, subj, pred, obj,
+    valid_at) — a re-asserted fact with a new valid_at is a new
+    assertion, matching the ledger's grain.
+
+    Scale shape: two filters over one scan of the ledger + one
+    full-outer hash join on the assertion key; no windows, no state.
+    Output rows are only the CHANGED assertions, so a quiet graph
+    diffs to near-zero rows regardless of ledger size.
+    """
+    def visible(t: str) -> DataFrame:
+        ts = F.lit(t).cast("timestamp")
+        return (
+            edges.where(
+                (F.col("valid_at").isNotNull())
+                & (F.col("valid_at") <= ts)
+                & (F.col("invalid_at").isNull() | (F.col("invalid_at") > ts))
+            )
+            .select("group_id", "subj_name", "predicate", "obj_name", "valid_at")
+            .distinct()
+        )
+
+    key = ["group_id", "subj_name", "predicate", "obj_name", "valid_at"]
+    a = visible(t1).withColumn("in_a", F.lit(True))
+    b = visible(t2).withColumn("in_b", F.lit(True))
+    return (
+        a.join(b, key, "full_outer")
+        .where(F.col("in_a").isNull() | F.col("in_b").isNull())
+        .select(
+            *key,
+            F.when(F.col("in_a").isNull(), F.lit("added"))
+            .otherwise(F.lit("removed"))
+            .alias("status"),
+        )
+    )

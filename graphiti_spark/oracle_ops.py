@@ -2454,3 +2454,156 @@ SELECT group_id,
     AS BIGINT) AS n_contract_violations
 FROM prof GROUP BY group_id
 """
+
+
+# ---------------------------------------------------------------------------
+# GNN training-data export (operators/gnn.py)
+# ---------------------------------------------------------------------------
+
+_GNN_IDX_CTES = """
+gnodes AS (SELECT DISTINCT group_id, canonical_name AS name FROM canon_map),
+idx AS (
+  SELECT group_id, name,
+    CAST(row_number() OVER (PARTITION BY group_id ORDER BY name) - 1 AS BIGINT)
+      AS node_idx
+  FROM gnodes
+)"""
+
+
+def q_gnn_nodes() -> str:
+    """SQL twin of gnn.node_index — contiguous per-group node ids."""
+    return f"""
+WITH {EDGES_CTE},
+{_GNN_IDX_CTES}
+SELECT group_id, name, node_idx FROM idx
+"""
+
+
+def q_gnn_edges() -> str:
+    """SQL twin of gnn.edge_index — COO edge index + dense relation
+    vocabulary over the distinct canonical triples."""
+    return f"""
+WITH {EDGES_CTE},
+{_GNN_IDX_CTES},
+rel AS (
+  SELECT predicate,
+    CAST(row_number() OVER (ORDER BY predicate) - 1 AS BIGINT) AS rel_idx
+  FROM (SELECT DISTINCT predicate FROM edges)
+),
+e AS (SELECT DISTINCT group_id, subj_name, predicate, obj_name FROM edges)
+SELECT e.group_id, si.node_idx AS src_idx, rel.rel_idx, oi.node_idx AS dst_idx,
+  e.subj_name, e.predicate, e.obj_name
+FROM e
+JOIN idx si ON si.group_id = e.group_id AND si.name = e.subj_name
+JOIN idx oi ON oi.group_id = e.group_id AND oi.name = e.obj_name
+JOIN rel USING (predicate)
+"""
+
+
+def q_gnn_negatives(n_neg: int = 3) -> str:
+    """SQL twin of gnn.negative_edges — md5-ranked filtered negative
+    sampling (drop-on-collision, no redraw)."""
+    h = _md5_u32_sql(
+        "'neg|' || p.group_id || '|' || p.src_name || '|' || p.dst_name "
+        "|| '|' || CAST(d.j AS VARCHAR)"
+    )
+    return f"""
+WITH {EDGES_CTE},
+{_GNN_IDX_CTES},
+pos AS (
+  SELECT DISTINCT group_id, subj_name AS src_name, obj_name AS dst_name FROM edges
+),
+ngc AS (SELECT group_id, MAX(node_idx) AS max_idx FROM idx GROUP BY 1),
+draws AS (
+  SELECT p.group_id, p.src_name, p.dst_name, CAST(d.j AS INT) AS j,
+    {h} % (ngc.max_idx + 1) AS neg_idx
+  FROM pos p
+  JOIN ngc USING (group_id),
+  UNNEST(generate_series(0, {n_neg - 1})) AS d(j)
+),
+cand AS (
+  SELECT dr.group_id, dr.src_name, dr.dst_name, dr.j, i.name AS neg_name,
+    dr.neg_idx
+  FROM draws dr
+  JOIN idx i ON i.group_id = dr.group_id AND i.node_idx = dr.neg_idx
+  WHERE i.name <> dr.src_name AND i.name <> dr.dst_name
+)
+SELECT group_id, src_name, dst_name, j, neg_name, neg_idx
+FROM cand c
+WHERE NOT EXISTS (
+  SELECT 1 FROM pos p
+  WHERE p.group_id = c.group_id AND p.src_name = c.src_name
+    AND p.dst_name = c.neg_name
+)
+"""
+
+
+def q_temporal_split(
+    train_end: str = "2019-01-01 00:00:00",
+    valid_end: str = "2022-01-01 00:00:00",
+) -> str:
+    """SQL twin of gnn.temporal_edge_split — event-time split with
+    inductive (unseen-endpoint) flags."""
+    return f"""
+WITH {EDGES_CTE},
+e AS (
+  SELECT DISTINCT group_id, subj_name, predicate, obj_name, valid_at FROM edges
+),
+s AS (
+  SELECT *,
+    CASE WHEN valid_at IS NULL OR valid_at < TIMESTAMP '{train_end}' THEN 'train'
+         WHEN valid_at < TIMESTAMP '{valid_end}' THEN 'valid'
+         ELSE 'test' END AS split
+  FROM e
+),
+tn AS (
+  SELECT DISTINCT group_id, name FROM (
+    SELECT group_id, subj_name AS name FROM s WHERE split = 'train'
+    UNION ALL SELECT group_id, obj_name FROM s WHERE split = 'train'
+  )
+)
+SELECT s.group_id, s.subj_name, s.predicate, s.obj_name, s.valid_at, s.split,
+  (s.split <> 'train' AND sn.name IS NULL) AS src_unseen,
+  (s.split <> 'train' AND od.name IS NULL) AS dst_unseen
+FROM s
+LEFT JOIN tn sn ON sn.group_id = s.group_id AND sn.name = s.subj_name
+LEFT JOIN tn od ON od.group_id = s.group_id AND od.name = s.obj_name
+"""
+
+
+def q_fact_diff(
+    t1: str = "2017-06-01 00:00:00",
+    t2: str = "2022-06-01 00:00:00",
+) -> str:
+    """SQL twin of temporal.fact_diff — assertions visible at t2 but
+    not t1 ('added') and vice versa ('removed')."""
+    def vis(name: str, t: str) -> str:
+        return f"""{name} AS (
+  SELECT DISTINCT group_id, subj_name, predicate, obj_name, valid_at
+  FROM edges
+  WHERE valid_at <= TIMESTAMP '{t}'
+    AND (invalid_at IS NULL OR invalid_at > TIMESTAMP '{t}')
+)"""
+
+    return f"""
+WITH {EDGES_CTE},
+{vis('v1', t1)},
+{vis('v2', t2)}
+SELECT group_id, subj_name, predicate, obj_name, valid_at, 'added' AS status
+FROM v2 b
+WHERE NOT EXISTS (
+  SELECT 1 FROM v1 a
+  WHERE a.group_id = b.group_id AND a.subj_name = b.subj_name
+    AND a.predicate = b.predicate AND a.obj_name = b.obj_name
+    AND a.valid_at = b.valid_at
+)
+UNION ALL
+SELECT group_id, subj_name, predicate, obj_name, valid_at, 'removed' AS status
+FROM v1 a
+WHERE NOT EXISTS (
+  SELECT 1 FROM v2 b
+  WHERE b.group_id = a.group_id AND b.subj_name = a.subj_name
+    AND b.predicate = a.predicate AND b.obj_name = a.obj_name
+    AND b.valid_at = a.valid_at
+)
+"""
