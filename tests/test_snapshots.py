@@ -1,0 +1,150 @@
+"""SnapshotStore (io/snapshots.py): versioned commits, time travel,
+rollback, crash-consistency, snapshot expiry, and compaction on plain
+parquet — the operational Iceberg half TableIO's single-version swap
+deliberately omits."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from graphiti_spark.io.snapshots import SnapshotStore
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id long, part long, val string")
+
+
+def _rows(df):
+    return sorted((r.id, r.part, r.val) for r in df.collect())
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    return SnapshotStore(spark, str(tmp_path / "snap"))
+
+
+def test_commit_versions_and_time_travel(spark, store):
+    v1 = store.commit_overwrite("t", _df(spark, [(1, 0, "a"), (2, 1, "b")]))
+    v2 = store.commit_append("t", _df(spark, [(3, 0, "c")]))
+    v3 = store.commit_overwrite("t", _df(spark, [(9, 9, "z")]))
+    assert (v1, v2, v3) == (1, 2, 3)
+    # every historical version stays byte-readable after later commits
+    assert _rows(store.read("t", 1)) == [(1, 0, "a"), (2, 1, "b")]
+    assert _rows(store.read("t", 2)) == [(1, 0, "a"), (2, 1, "b"), (3, 0, "c")]
+    assert _rows(store.read("t")) == [(9, 9, "z")]
+    ops = [h["operation"] for h in store.history("t")]
+    assert ops == ["overwrite", "append", "overwrite"]
+    parents = [h["parent"] for h in store.history("t")]
+    assert parents == [None, 1, 2]
+
+
+def test_partitioned_reads_keep_partition_column(spark, store):
+    df = _df(spark, [(1, 0, "a"), (2, 1, "b"), (3, 1, "c")])
+    store.commit_overwrite("t", df, partition_by=["part"])
+    got = store.read("t")
+    # hive partition column survives the explicit-file-list read
+    assert _rows(got) == _rows(df)
+    # and partition filters still prune at the scan
+    assert _rows(got.where(F.col("part") == 1)) == [(2, 1, "b"), (3, 1, "c")]
+
+
+def test_overwrite_partitions_is_one_atomic_snapshot(spark, store):
+    store.commit_overwrite(
+        "t", _df(spark, [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")]),
+        partition_by=["part"],
+    )
+    store.commit_overwrite_partitions(
+        "t", _df(spark, [(20, 1, "B2")]), "part"
+    )
+    assert _rows(store.read("t")) == [(1, 0, "a"), (3, 2, "c"), (20, 1, "B2")]
+    # the untouched partitions' rows came from version 1's files
+    assert _rows(store.read("t", 1)) == [(1, 0, "a"), (2, 1, "b"), (3, 2, "c")]
+    # naming a part with no rows in df empties it in the new snapshot
+    store.commit_overwrite_partitions(
+        "t", _df(spark, []).limit(0), "part", parts=[2]
+    )
+    assert _rows(store.read("t")) == [(1, 0, "a"), (20, 1, "B2")]
+
+
+def test_interrupted_commit_is_invisible(spark, store):
+    store.commit_overwrite("t", _df(spark, [(1, 0, "a")]))
+    # simulate a crash AFTER data files land but BEFORE the manifest
+    # publish: stage files and stop
+    store._stage_files("t", _df(spark, [(99, 9, "orphan")]), None)
+    assert _rows(store.read("t")) == [(1, 0, "a")]
+    assert store.current_version("t") == 1
+    # the sweep removes the orphans without touching live data
+    res = store.expire_snapshots("t", keep_last=5)
+    assert res["deleted_files"] >= 1
+    assert _rows(store.read("t")) == [(1, 0, "a")]
+
+
+def test_rollback_is_roll_forward(spark, store):
+    store.commit_overwrite("t", _df(spark, [(1, 0, "good")]))
+    store.commit_overwrite("t", _df(spark, [(2, 0, "bad")]))
+    v3 = store.rollback("t", 1)
+    assert v3 == 3
+    assert _rows(store.read("t")) == [(1, 0, "good")]
+    # the bad version is still auditable (history never rewritten)
+    assert _rows(store.read("t", 2)) == [(2, 0, "bad")]
+    assert store.history("t")[-1]["operation"] == "rollback_to_v1"
+
+
+def test_expire_snapshots_gc(spark, store):
+    store.commit_overwrite("t", _df(spark, [(1, 0, "a")]))
+    store.commit_overwrite("t", _df(spark, [(2, 0, "b")]))
+    store.commit_append("t", _df(spark, [(3, 0, "c")]))
+    res = store.expire_snapshots("t", keep_last=1)
+    assert res["expired_manifests"] == 2
+    # v1's file is gone from disk; current still reads fine
+    assert res["deleted_files"] >= 1
+    assert _rows(store.read("t")) == [(2, 0, "b"), (3, 0, "c")]
+    with pytest.raises(ValueError):
+        store.read("t", 1)
+    # files on disk == files the surviving manifest references
+    base = store.path("t")
+    on_disk = {
+        os.path.relpath(os.path.join(d, f), base)
+        for d, _s, fs in os.walk(base)
+        for f in fs
+        if f.endswith(".parquet")
+    }
+    live = set(store._manifest("t", store.current_version("t"))["files"])
+    assert on_disk == live
+
+
+def test_compact_preserves_rows_and_reduces_files(spark, store):
+    # many small appends → many files
+    store.commit_overwrite("t", _df(spark, [(0, 0, "r0")]))
+    for i in range(1, 6):
+        store.commit_append("t", _df(spark, [(i, 0, f"r{i}")]))
+    before = store.history("t")[-1]["n_files"]
+    expected = _rows(store.read("t"))
+    store.compact("t", target_files=1)
+    after = store.history("t")[-1]["n_files"]
+    assert after < before and after == 1
+    assert _rows(store.read("t")) == expected
+    assert store.history("t")[-1]["operation"] == "compact"
+    # pre-compaction snapshot still time-travels until expired
+    assert _rows(store.read("t", 6)) == expected
+
+
+def test_empty_table_roundtrip(spark, store):
+    df = _df(spark, []).limit(0)
+    store.commit_overwrite("t", df)
+    got = store.read("t")
+    assert got.count() == 0
+    assert got.schema == df.schema
+
+
+def test_read_as_of_wall_clock(spark, store):
+    store.commit_overwrite("t", _df(spark, [(1, 0, "a")]))
+    store.commit_overwrite("t", _df(spark, [(2, 0, "b")]))
+    h = store.history("t")
+    assert _rows(store.read_as_of("t", h[0]["ts"])) == [(1, 0, "a")]
+    assert _rows(store.read_as_of("t", h[1]["ts"] + 1)) == [(2, 0, "b")]
+    with pytest.raises(ValueError):
+        store.read_as_of("t", h[0]["ts"] - 1)
