@@ -244,6 +244,86 @@ def _q_fact_diff(spark, sf_dir):
     return fact_diff(out.edges, DIFF_T1, DIFF_T2)
 
 
+# domain blocklist shared by engine and oracle (longest-suffix tie
+# exercised: news.site3.example.org matches two entries)
+BLOCKED_DOMAINS = [
+    "site1.example.com",
+    "site3.example.org",
+    "news.site3.example.org",
+]
+
+
+def _with_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic URL per document (documents.parquet has
+    no URL column): triples {3k, 3k+1, 3k+2} share every component
+    derived from e = doc_id DIV 3, differing only in subdomain
+    (''/'www.'/'news.') and query decoration (utm_* / fbclid / none) —
+    so 3k and 3k+1 MUST collapse under canonicalization and 3k+2 must
+    not. Scheme/host case, default ports, fragments, and trailing
+    slashes are all exercised. The oracle rebuilds the same strings in
+    SQL."""
+    d = F.col("doc_id")
+    e3 = F.expr("doc_id DIV 3")  # shared triple key
+    sub = F.element_at(
+        F.array(F.lit(""), F.lit("www."), F.lit("news.")), (d % 3).cast("int") + 1
+    )
+    scheme = F.when(e3 % 5 == 0, F.lit("HTTPS")).otherwise(F.lit("https"))
+    label0 = F.concat(F.lit("site"), (e3 % 20).cast("string"))
+    label = F.when(e3 % 7 == 0, F.upper(label0)).otherwise(label0)
+    tld = F.when(e3 % 2 == 0, F.lit("com")).otherwise(F.lit("org"))
+    port = F.element_at(
+        F.array(F.lit(":443"), F.lit(":8080"), F.lit(""), F.lit("")),
+        (e3 % 4).cast("int") + 1,
+    )
+    path = F.concat(
+        F.lit("/p/"),
+        (e3 % 40).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    qid = (e3 % 9).cast("string")
+    query = F.element_at(
+        F.array(
+            F.concat(F.lit("?utm_source=feed&id="), qid),
+            F.concat(F.lit("?id="), qid, F.lit("&fbclid=xyz")),
+            F.lit(""),
+        ),
+        (d % 3).cast("int") + 1,
+    )
+    frag = F.when(d % 6 == 0, F.lit("#sec2")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, F.lit("://"), sub, label, F.lit(".example."), tld, port, path,
+        query, frag,
+    )
+    return docs.withColumn("url", url)
+
+
+def _q_url_canonical(spark, sf_dir):
+    """URL canonicalization: scheme/host case, www., default ports,
+    tracking params, fragments, trailing slashes (urls.canonical_urls
+    — map-only column algebra)."""
+    from graphiti_spark.operators.urls import canonical_urls
+
+    return canonical_urls(_with_urls(_docs(spark, sf_dir))).select(
+        "doc_id", "url", "host", "canonical_url"
+    )
+
+
+def _q_url_dedup(spark, sf_dir):
+    """Keep-first URL-level dedup over the canonical form (urls.url_dedup
+    — one partial-aggregated groupBy)."""
+    from graphiti_spark.operators.urls import url_dedup
+
+    return url_dedup(_with_urls(_docs(spark, sf_dir)))
+
+
+def _q_domain_blocklist(spark, sf_dir):
+    """Suffix-set domain blocklist with longest-match reporting
+    (urls.domain_blocklist — broadcast semi-join on host suffixes)."""
+    from graphiti_spark.operators.urls import domain_blocklist
+
+    return domain_blocklist(_with_urls(_docs(spark, sf_dir)), BLOCKED_DOMAINS)
+
+
 def _q_graph_stats(spark, sf_dir):
     """Per-group structural summary (sizes, reciprocity, hub degree,
     micro-unit mean degree) — the per-tenant KG health sheet."""
@@ -1089,6 +1169,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_topk": _q_tfidf_topk,
         "repetition_stats": _q_repetition_stats,
         "boilerplate_ngrams": _q_boilerplate_ngrams,
+        # URL provenance
+        "url_canonical": _q_url_canonical,
+        "url_dedup": _q_url_dedup,
+        "domain_blocklist": _q_domain_blocklist,
         # corpus curation
         "decontaminate": _q_decontaminate,
         "split_summary": _q_split_summary,
@@ -1190,6 +1274,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": oo.q_tfidf_topk(),
         "repetition_stats": oo.q_repetition_stats(),
         "boilerplate_ngrams": oo.q_boilerplate_ngrams(),
+        "url_canonical": oo.q_url_canonical(),
+        "url_dedup": oo.q_url_dedup(),
+        "domain_blocklist": oo.q_domain_blocklist(BLOCKED_DOMAINS),
         "decontaminate": oo.q_decontaminate(),
         "split_summary": oo.q_split_summary(),
         "curate": oo.q_curate(),

@@ -2607,3 +2607,118 @@ WHERE NOT EXISTS (
     AND b.valid_at = a.valid_at
 )
 """
+
+
+# ---------------------------------------------------------------------------
+# URL provenance ops (operators/urls.py)
+# ---------------------------------------------------------------------------
+
+def _url_ctes() -> str:
+    """Synthetic-URL construction (mirror of __spark_entry__._with_urls)
+    + canonicalization (mirror of urls.canonical_urls), shared by the
+    three URL oracles. Defines u(doc_id, url) and
+    c(doc_id, url, host, canonical_url)."""
+    from .operators.urls import TRACKING_PARAMS
+
+    tracked = _sql_strlist(TRACKING_PARAMS)
+    e3 = "(doc_id // 3)"
+    return f"""
+u AS (
+  SELECT doc_id,
+    CASE WHEN {e3} % 5 = 0 THEN 'HTTPS' ELSE 'https' END
+    || '://'
+    || list_extract(['', 'www.', 'news.'], CAST(doc_id % 3 AS INT) + 1)
+    || CASE WHEN {e3} % 7 = 0
+            THEN upper('site' || CAST({e3} % 20 AS VARCHAR))
+            ELSE 'site' || CAST({e3} % 20 AS VARCHAR) END
+    || '.example.'
+    || CASE WHEN {e3} % 2 = 0 THEN 'com' ELSE 'org' END
+    || list_extract([':443', ':8080', '', ''], CAST({e3} % 4 AS INT) + 1)
+    || '/p/' || CAST({e3} % 40 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+    || list_extract(['?utm_source=feed&id=' || CAST({e3} % 9 AS VARCHAR),
+                     '?id=' || CAST({e3} % 9 AS VARCHAR) || '&fbclid=xyz',
+                     ''], CAST(doc_id % 3 AS INT) + 1)
+    || CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END AS url
+  FROM documents
+),
+p1 AS (
+  SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+    regexp_replace(
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+      '^www\\.', '') AS host1,
+    regexp_replace(
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+      '/+$', '') AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u
+),
+p2 AS (
+  SELECT doc_id, url, scheme,
+    CASE WHEN (scheme = 'http' AND host1 LIKE '%:80')
+           OR (scheme = 'https' AND host1 LIKE '%:443')
+         THEN regexp_replace(host1, ':[0-9]+$', '') ELSE host1 END AS host,
+    path,
+    array_to_string(list_filter(string_split(query, '&'),
+      kv -> kv <> ''
+        AND NOT starts_with(lower(split_part(kv, '=', 1)), 'utm_')
+        AND NOT list_contains({tracked}, lower(split_part(kv, '=', 1)))),
+      '&') AS q
+  FROM p1
+),
+c AS (
+  SELECT doc_id, url, host,
+    scheme || '://' || host || path
+      || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+  FROM p2
+)"""
+
+
+def q_url_canonical() -> str:
+    """SQL twin of urls.canonical_urls over the synthetic URL column."""
+    return f"""
+WITH {_url_ctes()}
+SELECT CAST(doc_id AS BIGINT) AS doc_id, url, host, canonical_url FROM c
+"""
+
+
+def q_url_dedup() -> str:
+    """SQL twin of urls.url_dedup — keep-first per canonical URL."""
+    return f"""
+WITH {_url_ctes()}
+SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+  CAST(COUNT(*) AS BIGINT) AS n_urls
+FROM c GROUP BY 1
+"""
+
+
+def q_domain_blocklist(blocked: list[str]) -> str:
+    """SQL twin of urls.domain_blocklist — longest matching host
+    suffix from the blocklist, label-boundary semantics."""
+    bl = _sql_strlist(sorted({b.lower() for b in blocked}))
+    return f"""
+WITH {_url_ctes()},
+sfx AS (
+  SELECT doc_id, host, unnest(
+    list_transform(range(1, len(string_split(host, '.')) + 1),
+      i -> array_to_string(
+        list_slice(string_split(host, '.'), i, len(string_split(host, '.'))),
+        '.'))
+  ) AS sfx
+  FROM c
+),
+hit AS (
+  SELECT doc_id, host, sfx AS blocked_domain, length(sfx) AS l
+  FROM sfx WHERE list_contains({bl}, sfx)
+),
+best AS (
+  SELECT h.doc_id, h.host, h.blocked_domain
+  FROM hit h
+  JOIN (SELECT doc_id, host, MAX(l) AS l FROM hit GROUP BY 1, 2) m
+    ON m.doc_id = h.doc_id AND m.host = h.host AND m.l = h.l
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.host, b.blocked_domain,
+  b.blocked_domain IS NULL AS keep
+FROM c LEFT JOIN best b ON b.doc_id = c.doc_id AND b.host = c.host
+"""
