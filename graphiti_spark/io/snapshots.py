@@ -179,17 +179,44 @@ class SnapshotStore:
         )
 
     def commit_append(
-        self, name: str, df: DataFrame, partition_by: list[str] | None = None
-    ) -> int:
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        batch_id: int | None = None,
+    ) -> int | None:
         """Iceberg fast-append: the new snapshot = parent's files plus
-        the batch's files; nothing is rewritten."""
+        the batch's files; nothing is rewritten.
+
+        ``batch_id`` makes the append TRANSACTIONALLY idempotent for
+        streaming sinks: if any surviving manifest already carries this
+        batch_id the call is a no-op returning None — so foreachBatch
+        re-delivery after a crash (at-least-once) lands exactly once
+        even for pure append tables where keyed merges can't dedupe.
+        Structured Streaming only ever re-delivers the most recent
+        uncommitted batch, so the guard holds as long as snapshot
+        expiry keeps ≥ 1 manifest (it always does)."""
+        if batch_id is not None and batch_id in self.committed_batch_ids(name):
+            return None
         cur = self.current_version(name)
         prior = self._manifest(name, cur)["files"] if cur is not None else []
         files = self._stage_files(name, df, partition_by)
         m = self._next_manifest(
             name, sorted(prior + files), df, "append", partition_by
         )
+        if batch_id is not None:
+            m["batch_id"] = batch_id
         return self._publish(name, m)
+
+    def committed_batch_ids(self, name: str) -> set[int]:
+        """Batch ids carried by the surviving manifests (the streaming
+        sink's replay guard)."""
+        out: set[int] = set()
+        for v in self.versions(name):
+            b = self._manifest(name, v).get("batch_id")
+            if b is not None:
+                out.add(b)
+        return out
 
     def commit_overwrite_partitions(
         self,

@@ -148,3 +148,45 @@ def test_read_as_of_wall_clock(spark, store):
     assert _rows(store.read_as_of("t", h[1]["ts"] + 1)) == [(2, 0, "b")]
     with pytest.raises(ValueError):
         store.read_as_of("t", h[0]["ts"] - 1)
+
+
+def test_batch_id_append_is_idempotent(spark, store):
+    store.commit_append("t", _df(spark, [(1, 0, "a")]), batch_id=0)
+    # re-delivery of the same micro-batch is a no-op
+    assert store.commit_append("t", _df(spark, [(1, 0, "a")]), batch_id=0) is None
+    assert _rows(store.read("t")) == [(1, 0, "a")]
+    # the next batch commits normally
+    assert store.commit_append("t", _df(spark, [(2, 0, "b")]), batch_id=1) == 2
+    assert store.committed_batch_ids("t") == {0, 1}
+
+
+def test_snapshot_append_sink_exactly_once_across_restarts(
+    spark, store, tmp_path
+):
+    from graphiti_spark.streaming.snapshot_sink import snapshot_append_sink
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    _df(spark, [(1, 0, "a"), (2, 1, "b")]).write.parquet(str(src / "f1"))
+
+    def run():
+        stream = spark.readStream.schema("id long, part long, val string").parquet(
+            str(src / "*")
+        )
+        q = snapshot_append_sink(stream, store, "ev", ckpt, partition_by=["part"])
+        q.awaitTermination(300)
+
+    run()
+    assert _rows(store.read("ev")) == [(1, 0, "a"), (2, 1, "b")]
+    # restart with the SAME checkpoint and one new file: only the new
+    # batch lands, nothing is double-appended
+    _df(spark, [(3, 0, "c")]).write.parquet(str(src / "f2"))
+    run()
+    assert _rows(store.read("ev")) == [(1, 0, "a"), (2, 1, "b"), (3, 0, "c")]
+    # simulate crash-replay of the LAST batch (checkpoint lost after
+    # the sink committed): re-running its foreachBatch body is a no-op
+    last_bid = max(store.committed_batch_ids("ev"))
+    store.commit_append(
+        "ev", _df(spark, [(3, 0, "c")]), partition_by=["part"], batch_id=last_bid
+    )
+    assert _rows(store.read("ev")) == [(1, 0, "a"), (2, 1, "b"), (3, 0, "c")]
