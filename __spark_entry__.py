@@ -512,6 +512,22 @@ def _q_funnel(spark, sf_dir):
 
     return funnel(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
+def _q_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users by first-event month x activity
+    month (events.cohort_retention)."""
+    from graphiti_spark.operators.events import cohort_retention
+
+    return cohort_retention(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def _q_rolling_active(spark, sf_dir):
+    """Exact daily + trailing-7-day distinct active users
+    (events.rolling_active_users)."""
+    from graphiti_spark.operators.events import rolling_active_users
+
+    return rolling_active_users(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def _q_exact_duplicates(spark, sf_dir):
     from graphiti_spark.operators.docops import exact_duplicates
 
@@ -1184,6 +1200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _q_mixture_sample,
         "sessionize": _q_sessionize,
         "funnel": _q_funnel,
+        "cohort_retention": _q_cohort_retention,
+        "rolling_active": _q_rolling_active,
         # dedup
         "exact_duplicates": _q_exact_duplicates,
         "near_duplicates": _q_near_duplicates,
@@ -1287,6 +1305,8 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": oo.q_mixture_sample(),
         "sessionize": oo.q_sessionize(),
         "funnel": oo.q_funnel(),
+        "cohort_retention": oo.q_cohort_retention(),
+        "rolling_active": oo.q_rolling_active(),
         "exact_duplicates": oo.q_exact_duplicates(),
         "near_duplicates": oo.q_near_duplicates(),
         # prefix filtering is EXACT, so the output contract equals the

@@ -108,3 +108,72 @@ def funnel(events: DataFrame, steps: tuple = DEFAULT_FUNNEL) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """(cohort_month, activity_month, n_users) — classic cohort
+    retention matrix: users grouped by the calendar month of their
+    FIRST event, counted once per later month they were active in.
+    Month keys are 'yyyy-MM' strings (UTC, engine-exact).
+
+    Scale shape: both the (user, month) distinct and the first-month
+    reduction are partial-aggregated groupBys on user_id sharing one
+    shuffle; the final matrix groupBy runs on months × cohorts — a
+    tiny key space. No windows, no sorting of the event stream.
+    """
+    um = events.select(
+        "user_id", F.date_format("ts", "yyyy-MM").alias("activity_month")
+    ).distinct()
+    first = um.groupBy("user_id").agg(
+        F.min("activity_month").alias("cohort_month")
+    )
+    return (
+        um.join(first, "user_id")
+        .groupBy("cohort_month", "activity_month")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """(day, n_active_1d, n_active_wd) — daily and trailing-N-day
+    distinct active users, the DAU/WAU health curve. Exact (no sketch):
+    each (user, active-day) pair contributes to the ``window_days``
+    observation days it stays inside, then one distinct+count per
+    observation day; days beyond the data's [min, max] range are
+    clamped, and gap days WITHIN range still get a row whenever a
+    trailing window covers them.
+
+    Scale shape: the explode amplifies per-user-DAY rows (already
+    collapsed from raw events by a partial-agg distinct) by
+    ``window_days`` — bounded, and the per-day count is again a
+    partial-agg groupBy. All date math on integer epoch days (Spark
+    ``datediff`` = DuckDB date subtraction) so the oracle hash-matches.
+    """
+    epoch = F.lit("1970-01-01").cast("date")
+    ud = events.select(
+        "user_id", F.datediff(F.to_date("ts"), epoch).alias("d")
+    ).distinct()
+    bounds = F.broadcast(ud.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax")))
+    contrib = (
+        ud.crossJoin(bounds)
+        .select(
+            "user_id",
+            "d",
+            "dmax",
+            F.explode(
+                F.sequence(F.col("d"), F.least(F.col("d") + window_days - 1, F.col("dmax")))
+            ).alias("od"),
+        )
+        .select("user_id", "od", (F.col("od") == F.col("d")).alias("same_day"))
+    )
+    per_day = contrib.groupBy("od").agg(
+        F.count_distinct(F.when(F.col("same_day"), F.col("user_id"))).alias(
+            "n_active_1d"
+        ),
+        F.count_distinct("user_id").alias("n_active_wd"),
+    )
+    return per_day.select(
+        F.date_add(epoch, F.col("od").cast("int")).alias("day"),
+        F.col("n_active_1d").cast("long").alias("n_active_1d"),
+        F.col("n_active_wd").cast("long").alias("n_active_wd"),
+    )

@@ -2722,3 +2722,39 @@ SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.host, b.blocked_domain,
   b.blocked_domain IS NULL AS keep
 FROM c LEFT JOIN best b ON b.doc_id = c.doc_id AND b.host = c.host
 """
+
+
+def q_cohort_retention() -> str:
+    """SQL twin of events.cohort_retention."""
+    return """
+WITH um AS (
+  SELECT DISTINCT user_id, strftime(ts, '%Y-%m') AS activity_month FROM events
+),
+f AS (SELECT user_id, MIN(activity_month) AS cohort_month FROM um GROUP BY 1)
+SELECT cohort_month, activity_month, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM um JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+def q_rolling_active(window_days: int = 7) -> str:
+    """SQL twin of events.rolling_active_users — integer epoch-day
+    arithmetic, trailing window clamped to the data's max day."""
+    return f"""
+WITH ud AS (
+  SELECT DISTINCT user_id,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+  FROM events
+),
+b AS (SELECT MAX(d) AS dmax FROM ud),
+contrib AS (
+  SELECT user_id, d, CAST(u.od AS BIGINT) AS od
+  FROM ud, b,
+  UNNEST(generate_series(d, least(d + {window_days - 1}, b.dmax))) AS u(od)
+)
+SELECT DATE '1970-01-01' + CAST(od AS INT) AS day,
+  CAST(COUNT(DISTINCT CASE WHEN od = d THEN user_id END) AS BIGINT)
+    AS n_active_1d,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_wd
+FROM contrib GROUP BY 1
+"""

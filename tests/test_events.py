@@ -94,3 +94,60 @@ def test_funnel_emits_zero_rows_for_empty_steps(spark):
         ).collect()
     }
     assert out == {(1, "view"): 1, (2, "click"): 0, (3, "signup"): 0}
+
+
+def test_cohort_retention_matrix(spark):
+    from graphiti_spark.operators.events import cohort_retention
+
+    def at(y, m, d):
+        return dt.datetime(y, m, d, 12, 0, 0)
+
+    rows = [
+        # user 1: cohort 2024-01, active again in 02 and 04 (twice in
+        # 02 — must count once)
+        (1, at(2024, 1, 5), 1, "view", 0.0, "{}"),
+        (2, at(2024, 2, 5), 1, "view", 0.0, "{}"),
+        (3, at(2024, 2, 20), 1, "view", 0.0, "{}"),
+        (4, at(2024, 4, 1), 1, "view", 0.0, "{}"),
+        # user 2: cohort 2024-02 only
+        (5, at(2024, 2, 9), 2, "view", 0.0, "{}"),
+    ]
+    out = {
+        (r.cohort_month, r.activity_month): r.n_users
+        for r in cohort_retention(_ev(spark, rows)).collect()
+    }
+    assert out == {
+        ("2024-01", "2024-01"): 1,
+        ("2024-01", "2024-02"): 1,
+        ("2024-01", "2024-04"): 1,
+        ("2024-02", "2024-02"): 1,
+    }
+
+
+def test_rolling_active_users_windows(spark):
+    from graphiti_spark.operators.events import rolling_active_users
+
+    def at(y, m, d):
+        return dt.datetime(y, m, d, 3, 0, 0)
+
+    rows = [
+        # user 1 on day 1 and day 3 (same user twice inside one
+        # trailing window → counted once); user 2 on day 1 only
+        (1, at(2024, 1, 1), 1, "view", 0.0, "{}"),
+        (2, at(2024, 1, 3), 1, "view", 0.0, "{}"),
+        (3, at(2024, 1, 1), 2, "view", 0.0, "{}"),
+        # user 3 far later: day 20 (gap > window → days 9..19 silent)
+        (4, at(2024, 1, 20), 3, "view", 0.0, "{}"),
+    ]
+    out = {
+        r.day.isoformat(): (r.n_active_1d, r.n_active_wd)
+        for r in rolling_active_users(_ev(spark, rows), window_days=7).collect()
+    }
+    assert out["2024-01-01"] == (2, 2)
+    assert out["2024-01-03"] == (1, 2)  # u1 active today, u2 trailing
+    assert out["2024-01-07"] == (0, 2)  # gap day covered by trailing
+    assert out["2024-01-09"] == (0, 1)  # day 3 + 6 still covers u1
+    assert "2024-01-10" not in out      # window expired, nothing active
+    assert out["2024-01-20"] == (1, 1)
+    # clamped at dmax: no observation days past the last active day
+    assert max(out) == "2024-01-20"
