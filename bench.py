@@ -310,6 +310,9 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         interleave_profile,
         pack_interleaved,
     )
+    from graphiti_spark.operators.events import rolling_active_users
+    from graphiti_spark.operators.gnn import edge_index, negative_edges
+    from graphiti_spark.operators.urls import url_dedup
 
     cur_r = int(os.environ.get("BENCH_CURATION_REPLICAS", "8"))
     if cur_r <= 0:
@@ -436,6 +439,23 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     n_clustered = kmeans_clusters(emb_amp, k=8, iters=4).count()
     cur["kmeans_sec"] = round(time.perf_counter() - t, 3)
     emb_amp.unpersist()
+    # URL-level dedup over the amplified corpus (synthetic URL column,
+    # same construction the driver oracle checks)
+    from __spark_entry__ import _with_urls
+    t = time.perf_counter()
+    n_url_groups = url_dedup(_with_urls(amp)).count()
+    cur["url_dedup_sec"] = round(time.perf_counter() - t, 3)
+    # exact trailing-7-day active users over the events table
+    t = time.perf_counter()
+    n_active_days = rolling_active_users(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).count()
+    cur["rolling_active_sec"] = round(time.perf_counter() - t, 3)
+    # GNN training-data export over the headline run's canonical graph
+    t = time.perf_counter()
+    n_gnn_edges = edge_index(out.nodes, out.edges).count()
+    n_gnn_neg = negative_edges(out.nodes, out.edges, n_neg=3).count()
+    cur["gnn_export_sec"] = round(time.perf_counter() - t, 3)
     cur_total = time.perf_counter() - t_cur
     amp.unpersist()
     checks = {
@@ -445,6 +465,9 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         "n_ppl": n_ppl > 0, "n_clustered": n_clustered == n_vecs,
         "n_prof_ok": n_prof_ok == n_eps, "n_chunks": n_chunks > 0,
         "n_kmv_groups": n_kmv_groups == 50,
+        "n_url_groups": 0 < n_url_groups < n_cur_docs,
+        "n_active_days": n_active_days > 0,
+        "n_gnn": n_gnn_edges > 0 and n_gnn_neg > 0,
     }
     assert all(checks.values()), {
         "failed": [k for k, v in checks.items() if not v],
@@ -466,6 +489,10 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
         "n_episodes_profiled": n_eps,
         "n_packed_chunks": int(n_chunks),
         "n_kmv_groups": n_kmv_groups,
+        "n_url_groups": n_url_groups,
+        "n_active_days": n_active_days,
+        "n_gnn_edges": n_gnn_edges,
+        "n_gnn_negatives": n_gnn_neg,
     }
     queries.update({f"curation_{k}": v for k, v in cur.items()})
 

@@ -249,10 +249,17 @@ class SnapshotStore:
     # reads + history
     # ------------------------------------------------------------------
 
-    def read(self, name: str, version: int | None = None) -> DataFrame:
+    def read(
+        self, name: str, version: int | None = None, merge_schema: bool = False
+    ) -> DataFrame:
         """Read a snapshot (default: current). Resolves strictly
         through the manifest's file list — orphans from interrupted
-        commits are invisible by construction."""
+        commits are invisible by construction.
+
+        ``merge_schema=True`` enables Iceberg-style schema evolution
+        on read: a snapshot whose appends carry ADDED columns unions
+        the footer schemas (older files surface NULL for columns they
+        predate) instead of sampling one file's schema."""
         v = self.current_version(name) if version is None else version
         if v is None or v not in self.versions(name):
             raise ValueError(f"{name}: no such snapshot version {version!r}")
@@ -261,10 +268,10 @@ class SnapshotStore:
         if not m["files"]:
             schema = StructType.fromJson(json.loads(m["schema"]))
             return self.spark.createDataFrame([], schema)
-        return (
-            self.spark.read.option("basePath", base)
-            .parquet(*[os.path.join(base, f) for f in m["files"]])
-        )
+        r = self.spark.read.option("basePath", base)
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(*[os.path.join(base, f) for f in m["files"]])
 
     def read_as_of(self, name: str, ts: float) -> DataFrame:
         """Time travel by wall clock: the latest snapshot committed at

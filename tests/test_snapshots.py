@@ -190,3 +190,18 @@ def test_snapshot_append_sink_exactly_once_across_restarts(
         "ev", _df(spark, [(3, 0, "c")]), partition_by=["part"], batch_id=last_bid
     )
     assert _rows(store.read("ev")) == [(1, 0, "a"), (2, 1, "b"), (3, 0, "c")]
+
+
+def test_schema_evolution_on_read(spark, store):
+    store.commit_overwrite("t", spark.createDataFrame([(1, "a")], "id long, val string"))
+    store.commit_append(
+        "t",
+        spark.createDataFrame([(2, "b", "en")], "id long, val string, lang string"),
+    )
+    got = store.read("t", merge_schema=True)
+    assert set(got.columns) == {"id", "val", "lang"}
+    rows = {r.id: (r.val, r.lang) for r in got.collect()}
+    # pre-evolution rows surface NULL for the added column
+    assert rows == {1: ("a", None), 2: ("b", "en")}
+    # time travel to v1 sees the original schema
+    assert store.read("t", 1).columns == ["id", "val"]
