@@ -790,6 +790,15 @@ def _q_cosine_topk(spark, sf_dir):
     )
 
 
+def _q_hamming_topk(spark, sf_dir):
+    """Exact Hamming top-k over 1-bit sign-quantized embeddings (32x
+    compression; integer xor/popcount — docops.hamming_topk)."""
+    from graphiti_spark.operators.docops import hamming_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return hamming_topk(emb, emb.where(F.col("vec_id") < 4), k=10)
+
+
 def _q_quantized_topk(spark, sf_dir):
     from graphiti_spark.operators.docops import quantized_topk
 
@@ -1222,6 +1231,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relevant_nodes": _q_relevant_nodes,
         "cosine_topk": _q_cosine_topk,
         "quantized_topk": _q_quantized_topk,
+        "hamming_topk": _q_hamming_topk,
         "pq_topk": _q_pq_topk,
         "rrf_docs": _q_rrf_docs,
         "bfs_globex": _q_bfs_globex,
@@ -1331,6 +1341,7 @@ def oracle_sql() -> dict[str, str]:
         # int8 symmetric quantization: scales cancel in cosine, so the
         # lossy-compression path is exactly value-hashable cross-engine
         "quantized_topk": oo.q_quantized_topk(),
+        "hamming_topk": oo.q_hamming_topk(),
         "pq_topk": oo.q_pq_topk(m=4, k_codes=8, iters=2, k=10),
         "rrf_docs": oo.q_rrf_docs(),
         "bfs_globex": oo.q_bfs_globex(),

@@ -2479,3 +2479,150 @@ def pq_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "id", "score", "rank")
     )
+
+
+# 2^0 .. 2^31 as a literal array: bit b of a 32-bit word is set by
+# ADDING pow2[b] (no shiftleft-by-column in either engine's safe
+# range; 32 bits per BIGINT word keeps every value positive and
+# two's-complement-free cross-engine)
+_POW2_32 = [1 << b for b in range(32)]
+_BITS_PER_WORD = 32
+
+
+def binary_quantize(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, bvec array<long>, n_dims) — 1-bit sign quantization:
+    bit i of the packed words is set iff dimension i > 0. 32 bits per
+    BIGINT word (dim 64 → 2 words) — a 32× compression of float32
+    vectors, the coarsest tier of the compression family
+    (quantize_embeddings int8 4×, pq_topk m-byte codes).
+
+    Sign bits of mean-centered embeddings preserve angular
+    neighborhoods (Charikar 2002 SimHash random-hyperplane bound with
+    the identity basis); the recall pytest pins the quality floor on
+    the fixture embeddings. Pure column algebra — packs inside the
+    scan, no shuffle, no Python.
+    """
+    emb = F.col(vec_col)
+    pow2 = F.array(*[F.lit(p).cast("long") for p in _POW2_32])
+    n = F.size(emb)
+    n_words = F.ceil(n / F.lit(_BITS_PER_WORD)).cast("int")
+    words = F.transform(
+        F.sequence(F.lit(0), n_words - 1),
+        lambda w: F.aggregate(
+            F.sequence(F.lit(0), F.lit(_BITS_PER_WORD - 1)),
+            F.lit(0).cast("long"),
+            lambda acc, b: acc
+            + F.when(
+                (w * _BITS_PER_WORD + b < n)
+                & (F.element_at(emb, (w * _BITS_PER_WORD + b + 1).cast("int")) > 0),
+                F.element_at(pow2, b + 1),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+    )
+    return embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        words.alias("bvec"),
+        n.cast("int").alias("n_dims"),
+    )
+
+
+def hamming_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, id, hamming, rank) — exact top-k by Hamming distance
+    over the 1-bit quantized corpus: xor + popcount per 32-bit word,
+    integer arithmetic end to end, so the DuckDB oracle hash-matches
+    bit-for-bit (no float scores anywhere). Ties break on id.
+
+    Scale shape: corpus packs once (map-only), the broadcast query
+    set joins every row (the brute-force baseline, same contract as
+    cosine_topk — the ANN paths are the scale answer; at 32× smaller
+    vectors this baseline's shuffle/broadcast bytes are 32× cheaper
+    than the float version's). One TakeOrdered-style window per query.
+    """
+    corpus_q = binary_quantize(embeddings, id_col, vec_col)
+    qs = F.broadcast(
+        binary_quantize(queries, id_col, vec_col).select(
+            F.col("vec_id").alias("query_id"), F.col("bvec").alias("qvec")
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("bvec"), F.col("qvec"),
+            lambda a, b: F.bit_count(a.bitwiseXOR(b)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = corpus_q.crossJoin(qs).select(
+        "query_id", F.col("vec_id").alias("id"), dist.alias("hamming")
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "hamming", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def hamming_prefilter_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    candidates: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, id, score, rank) — the production binary-ANN shape:
+    Hamming top-``candidates`` over the 32×-compressed sign bits
+    prefilters the corpus, then exact double-precision cosine rescores
+    ONLY those candidates (final top-k ⊆ candidates, so end-to-end
+    recall equals candidate recall). Measured on the 64-dim fixture
+    embeddings vs exact cosine top-10: candidate recall 0.53 / 0.71 /
+    0.88 at candidates = 25 / 50 / 100 (pinned in
+    tests/test_properties.py) — sign bits are a coarse 64-bit code, so
+    this tier is for CANDIDATE GENERATION; int8 (quantized_topk) and
+    PQ (pq_topk) are the precision tiers.
+
+    Scale shape: the Hamming stage moves 8 bytes/vector/word through
+    the broadcast-join + per-query window; the rescore joins the
+    candidate ids (k × candidates rows) back to the float vectors by
+    id — the full-precision vectors never fan out past the candidate
+    set.
+    """
+    cand = hamming_topk(embeddings, queries, k=candidates, id_col=id_col,
+                        vec_col=vec_col)
+    qv = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.select("query_id", "id")
+        .join(vecs, "id")
+        .join(qv, "query_id")
+        .select(
+            "query_id",
+            "id",
+            F.round(
+                dot(F.col("cv"), F.col("qv"))
+                / (l2_norm(F.col("cv")) * l2_norm(F.col("qv"))),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "id", "score", F.col("rank").cast("int").alias("rank"))
+    )

@@ -2758,3 +2758,34 @@ SELECT DATE '1970-01-01' + CAST(od AS INT) AS day,
   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_wd
 FROM contrib GROUP BY 1
 """
+
+
+def q_hamming_topk(k: int = 10) -> str:
+    """SQL twin of docops.hamming_topk over docops.binary_quantize —
+    integer xor/popcount arithmetic, bit-exact cross-engine."""
+    pow2 = "[" + ", ".join(str(1 << b) for b in range(32)) + "]"
+    pack = f"""
+  SELECT vec_id,
+    list_transform(range(0, CAST(ceil(len(embedding) / 32.0) AS INT)),
+      w -> CAST(list_sum(list_transform(range(0, 32),
+        b -> CASE WHEN w * 32 + b < len(embedding)
+                   AND embedding[w * 32 + b + 1] > 0
+                  THEN {pow2}[b + 1] ELSE 0 END)) AS BIGINT)) AS bvec
+  FROM embeddings"""
+    return f"""
+WITH c AS ({pack}),
+q AS (SELECT vec_id AS query_id, bvec AS qvec FROM c WHERE vec_id < 4),
+scored AS (
+  SELECT q.query_id, c.vec_id AS id,
+    CAST(list_sum(list_transform(range(1, len(c.bvec) + 1),
+      i -> bit_count(xor(c.bvec[i], q.qvec[i])))) AS BIGINT) AS hamming
+  FROM c CROSS JOIN q
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, id)
+    AS rank
+  FROM scored
+)
+SELECT query_id, id, hamming, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {k}
+"""

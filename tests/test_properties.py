@@ -928,3 +928,43 @@ def test_pq_topk_validates_and_handles_empty(spark):
         pq_topk(emb, q, m=2)
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert pq_topk(empty, q, m=2).count() == 0
+
+
+def test_binary_quantize_pack_exactness(spark):
+    from graphiti_spark.operators.docops import binary_quantize
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.2, 0.0, 1.0] + [0.0] * 28 + [2.0])],  # 33 dims
+        "vec_id long, embedding array<double>",
+    )
+    r = binary_quantize(df).collect()[0]
+    # dims 0 and 3 positive → bits 0,3 of word 0; dim 32 → bit 0 of word 1
+    assert r.bvec == [1 + 8, 1]
+    assert r.n_dims == 33
+
+
+def test_hamming_prefilter_candidate_recall(spark):
+    """Binary sign bits are the candidate-generation tier: end-to-end
+    recall of the prefilter+rescore composition equals candidate
+    recall (rescore is exact on the candidate set). Deterministic
+    fixture → exact measured floor, not a statistical bound."""
+    from graphiti_spark.operators.docops import (
+        brute_force_topk,
+        hamming_prefilter_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 8)
+    exact = brute_force_topk(
+        emb, q.selectExpr("vec_id AS query_id", "embedding AS query_vec"), k=10
+    ).collect()
+    got = hamming_prefilter_topk(emb, q, k=10, candidates=100).collect()
+    es, gs = {}, {}
+    for r in exact:
+        es.setdefault(r.query_id, set()).add(r.id)
+    for r in got:
+        gs.setdefault(r.query_id, set()).add(r.id)
+    recalls = [len(gs[qid] & es[qid]) / 10 for qid in es]
+    assert sum(recalls) / len(recalls) >= 0.8
+    assert min(recalls) >= 0.5
