@@ -528,6 +528,14 @@ def _q_rolling_active(spark, sf_dir):
     return rolling_active_users(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_c4_filters(spark, sf_dir):
+    """C4 heuristic line/doc filters with reason codes
+    (docops.c4_filters — zero-shuffle array algebra)."""
+    from graphiti_spark.operators.docops import c4_filters
+
+    return c4_filters(_docs(spark, sf_dir))
+
+
 def _q_exact_duplicates(spark, sf_dir):
     from graphiti_spark.operators.docops import exact_duplicates
 
@@ -1202,6 +1210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _q_decontaminate,
         "split_summary": _q_split_summary,
         "curate": _q_curate,
+        "c4_filters": _q_c4_filters,
         "chunk_documents": _q_chunk_documents,
         "leakage_safe_split": _q_leakage_safe_split,
         "pack_documents": _q_pack_documents,
@@ -1308,6 +1317,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oo.q_decontaminate(),
         "split_summary": oo.q_split_summary(),
         "curate": oo.q_curate(),
+        "c4_filters": oo.q_c4_filters(),
         "chunk_documents": oo.q_chunk_documents(),
         "leakage_safe_split": oo.q_leakage_safe_split(),
         "pack_documents": oo.q_pack_documents(),

@@ -2626,3 +2626,77 @@ def hamming_prefilter_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "id", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# C4's doc-level policy substrings (Raffel et al. 2020, §2.2 "Colossal
+# Clean Crawled Corpus" heuristics) — the default banned list
+C4_BANNED = ["lorem ipsum", "javascript"]
+
+
+def c4_filters(
+    documents: DataFrame,
+    line_words: int = 8,
+    min_words_per_line: int = 5,
+    min_lines: int = 2,
+    require_terminal_punct: bool = False,
+    banned: list[str] | None = None,
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept_lines, has_brace, has_banned, keep,
+    reason) — the C4 heuristic filter set (Raffel et al. 2020) as pure
+    column algebra: per-line retention (≥ ``min_words_per_line`` words,
+    optionally a terminal-punctuation requirement) plus doc-level
+    drops (curly brace = code artifact; policy substrings like "lorem
+    ipsum"; fewer than ``min_lines`` retained lines). ``reason`` is
+    the FIRST failing rule (brace → banned → too_few_lines → kept),
+    the same reason-code discipline as ``curate``.
+
+    The synthetic corpus has no newlines, so a "line" is the same
+    fixed ``line_words``-token window ``line_dedup`` uses (real
+    corpora split on newline; the rule machinery is identical — C4's
+    "≥ 3 sentences" maps to ``min_lines``).
+
+    Scale shape: ZERO shuffle — line windows, per-line predicates, and
+    the counts are array algebra inside the scan Project (no explode);
+    the filter runs at read bandwidth at any corpus size.
+    """
+    banned = C4_BANNED if banned is None else banned
+    toks = tokenize(F.col("text"))
+    n_lines = F.ceil(F.size(toks) / F.lit(line_words)).cast("int")
+    lines = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * line_words + 1, line_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def line_ok(line):
+        ok = F.size(F.split(line, " ")) >= min_words_per_line
+        if require_terminal_punct:
+            ok = ok & line.rlike('[.!?"]$')
+        return ok
+
+    kept = F.size(F.filter(lines, line_ok))
+    low = F.lower(F.col("text"))
+    has_banned = F.lit(False)
+    for b in banned:
+        has_banned = has_banned | low.contains(b.lower())
+    has_brace = low.contains("{")
+    keep = ~has_brace & ~has_banned & (kept >= min_lines)
+    reason = (
+        F.when(has_brace, F.lit("brace"))
+        .when(has_banned, F.lit("banned"))
+        .when(kept < min_lines, F.lit("too_few_lines"))
+        .otherwise(F.lit("kept"))
+    )
+    return documents.select(
+        "doc_id",
+        F.when(F.size(toks) > 0, n_lines).otherwise(F.lit(0)).cast("long").alias("n_lines"),
+        kept.cast("long").alias("n_kept_lines"),
+        has_brace.alias("has_brace"),
+        has_banned.alias("has_banned"),
+        keep.alias("keep"),
+        reason.alias("reason"),
+    )

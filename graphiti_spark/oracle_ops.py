@@ -2789,3 +2789,54 @@ ranked AS (
 SELECT query_id, id, hamming, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= {k}
 """
+
+
+def q_c4_filters(
+    line_words: int = 8,
+    min_words_per_line: int = 5,
+    min_lines: int = 2,
+    require_terminal_punct: bool = False,
+    banned: list[str] | None = None,
+) -> str:
+    """SQL twin of docops.c4_filters (fixed-window line notion shared
+    with line_dedup)."""
+    from .operators.docops import C4_BANNED
+
+    banned = C4_BANNED if banned is None else banned
+    lw = line_words
+    punct = " AND regexp_matches(l, '[.!?\"]$')" if require_terminal_punct else ""
+    banned_expr = " OR ".join(
+        f"contains(lower(text), '{b.lower()}')" for b in banned
+    ) or "FALSE"
+    return f"""
+WITH t AS (SELECT doc_id, text, {_toks('text')} AS toks FROM documents),
+l AS (
+  SELECT doc_id, text, toks,
+    CASE WHEN len(toks) > 0 THEN
+      list_transform(range(1, CAST(ceil(len(toks) / {lw}.0) AS INT) + 1),
+        i -> array_to_string(
+          list_slice(toks, (i - 1) * {lw} + 1,
+                     least((i - 1) * {lw} + {lw}, len(toks))), ' '))
+    ELSE [] END AS lines
+  FROM t
+),
+m AS (
+  SELECT doc_id, text,
+    CAST(CASE WHEN len(toks) > 0
+         THEN ceil(len(toks) / {lw}.0) ELSE 0 END AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines,
+      l -> len(string_split(l, ' ')) >= {min_words_per_line}{punct}))
+      AS BIGINT) AS n_kept_lines,
+    contains(lower(text), '{{') AS has_brace,
+    ({banned_expr}) AS has_banned
+  FROM l
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_lines, n_kept_lines, has_brace,
+  has_banned,
+  (NOT has_brace AND NOT has_banned AND n_kept_lines >= {min_lines}) AS keep,
+  CASE WHEN has_brace THEN 'brace'
+       WHEN has_banned THEN 'banned'
+       WHEN n_kept_lines < {min_lines} THEN 'too_few_lines'
+       ELSE 'kept' END AS reason
+FROM m
+"""

@@ -782,3 +782,49 @@ def test_curate_longest_keep_rule(spark):
     assert minid == {"1": True, "2": False}
     with pytest.raises(ValueError):
         curate(docs, keep_rule="best")
+
+
+def test_c4_filters_rules(spark):
+    from graphiti_spark.operators.docops import c4_filters
+
+    docs = spark.createDataFrame(
+        [
+            # 8 good words x2 windows → kept (no brace/banned)
+            (1, "alpha beta gamma delta epsilon zeta eta theta "
+                "iota kappa lam mu nu xi omicron pi"),
+            # code artifact
+            (2, "function foo() { return 1 }"),
+            # policy substring (case-insensitive)
+            (3, "some Lorem Ipsum filler text words here padding more"),
+            # only one full window + 3-word tail → tail line dropped at
+            # min_words_per_line=5, 1 kept < min_lines=2
+            (4, "one two three four five six seven eight nine ten eleven"),
+            (5, ""),  # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in c4_filters(docs).collect()}
+    assert out[1].keep and out[1].reason == "kept"
+    assert out[1].n_lines == 2 and out[1].n_kept_lines == 2
+    assert not out[2].keep and out[2].reason == "brace" and out[2].has_brace
+    assert not out[3].keep and out[3].reason == "banned" and out[3].has_banned
+    assert not out[4].keep and out[4].reason == "too_few_lines"
+    assert out[4].n_lines == 2 and out[4].n_kept_lines == 1
+    assert out[5].n_lines == 0 and not out[5].keep
+
+
+def test_c4_filters_terminal_punct_rule(spark):
+    from graphiti_spark.operators.docops import c4_filters
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon.")],
+        "doc_id long, text string",
+    )
+    # tokenize strips punctuation, so with the punct requirement ON the
+    # reconstructed window can never end with '.', and the doc drops —
+    # pins that the flag actually gates (real corpora keep raw lines)
+    strict = c4_filters(
+        docs, min_words_per_line=3, min_lines=1, require_terminal_punct=True
+    ).collect()[0]
+    loose = c4_filters(docs, min_words_per_line=3, min_lines=1).collect()[0]
+    assert not strict.keep and loose.keep
