@@ -528,6 +528,14 @@ def _q_rolling_active(spark, sf_dir):
     return rolling_active_users(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Exact-count deterministic stratified sample per language
+    (docops.stratified_sample — WindowGroupLimit top-n per stratum)."""
+    from graphiti_spark.operators.docops import stratified_sample
+
+    return stratified_sample(_docs(spark, sf_dir), n_per_stratum=40)
+
+
 def _q_c4_filters(spark, sf_dir):
     """C4 heuristic line/doc filters with reason codes
     (docops.c4_filters — zero-shuffle array algebra)."""
@@ -1211,6 +1219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_summary": _q_split_summary,
         "curate": _q_curate,
         "c4_filters": _q_c4_filters,
+        "stratified_sample": _q_stratified_sample,
         "chunk_documents": _q_chunk_documents,
         "leakage_safe_split": _q_leakage_safe_split,
         "pack_documents": _q_pack_documents,
@@ -1318,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
         "split_summary": oo.q_split_summary(),
         "curate": oo.q_curate(),
         "c4_filters": oo.q_c4_filters(),
+        "stratified_sample": oo.q_stratified_sample(),
         "chunk_documents": oo.q_chunk_documents(),
         "leakage_safe_split": oo.q_leakage_safe_split(),
         "pack_documents": oo.q_pack_documents(),

@@ -2700,3 +2700,35 @@ def c4_filters(
         keep.alias("keep"),
         reason.alias("reason"),
     )
+
+
+def stratified_sample(
+    documents: DataFrame,
+    n_per_stratum: int,
+    strata: list[str] | tuple[str, ...] = ("lang",),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-count deterministic stratified sample: the ``n_per_stratum``
+    documents with the smallest ``md5('strat|' || id)`` per stratum — a
+    uniform draw that is reproducible across runs, partitionings, and
+    engines (no RNG state), the exact-count complement of
+    ``mixture_sample``'s rate-based epoch draws. Strata smaller than
+    ``n_per_stratum`` keep every row (standard eval-set carve-out
+    semantics).
+
+    Scale shape: the per-stratum rank compiles to WindowGroupLimit —
+    each map task forwards its local top-n per stratum before the one
+    rank Exchange, so a billion-doc stratum ships n rows per task, not
+    its membership.
+    """
+    cols = list(strata)
+    h = _md5_u32(
+        F.concat_ws("|", F.lit("strat"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(*cols).orderBy(F.col("_h"), F.col(id_col))
+    return (
+        documents.select(id_col, *cols, h.alias("_h"))
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= n_per_stratum)
+        .select(*cols, id_col, (F.col("_rk")).cast("long").alias("draw_rank"))
+    )

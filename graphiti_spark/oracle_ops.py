@@ -2840,3 +2840,18 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id, n_lines, n_kept_lines, has_brace,
        ELSE 'kept' END AS reason
 FROM m
 """
+
+
+def q_stratified_sample(n_per_stratum: int = 40) -> str:
+    """SQL twin of docops.stratified_sample (strata = lang)."""
+    h = _md5_u32_sql("'strat|' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH t AS (SELECT doc_id, lang, {h} AS h FROM documents),
+r AS (
+  SELECT lang, doc_id,
+    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+  FROM t
+)
+SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS BIGINT) AS draw_rank
+FROM r WHERE rk <= {n_per_stratum}
+"""

@@ -828,3 +828,37 @@ def test_c4_filters_terminal_punct_rule(spark):
     ).collect()[0]
     loose = c4_filters(docs, min_words_per_line=3, min_lines=1).collect()[0]
     assert not strict.keep and loose.keep
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from graphiti_spark.operators.docops import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(60)],
+        "doc_id long, lang string",
+    )
+    out = stratified_sample(docs, n_per_stratum=5, strata=["lang"]).collect()
+    by_lang = {}
+    for r in out:
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert len(by_lang["en"]) == 5 and len(by_lang["de"]) == 5
+    # draw is a property of the id, not the layout
+    out2 = stratified_sample(
+        docs.repartition(7), n_per_stratum=5, strata=["lang"]
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+    # a stratum smaller than n keeps every row
+    small = stratified_sample(docs.where("lang = 'de'").limit(3), 5, ["lang"])
+    assert small.count() == 3
+
+
+def test_stratified_sample_plan_window_group_limit(spark):
+    from graphiti_spark.operators.docops import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(100)], "doc_id long, lang string"
+    )
+    plan = (
+        stratified_sample(docs, 5)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "WindowGroupLimit" in plan  # map-side top-n per stratum
