@@ -235,6 +235,15 @@ def _q_temporal_split(spark, sf_dir):
     return temporal_edge_split(out.edges, SPLIT_TRAIN_END, SPLIT_VALID_END)
 
 
+def _q_entity_timeline(spark, sf_dir):
+    """Per-entity chronological fact ledger — every assertion on both
+    endpoints' timelines with a dense seq (temporal.entity_timeline)."""
+    from graphiti_spark.operators.temporal import entity_timeline
+
+    out = _graph(spark, sf_dir)
+    return entity_timeline(out.edges)
+
+
 def _q_fact_diff(spark, sf_dir):
     """Event-time delta of the KG between two as-of instants
     (temporal.fact_diff)."""
@@ -1184,6 +1193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_stats": _q_graph_stats,
         "fact_churn": _q_fact_churn,
         "fact_diff": _q_fact_diff,
+        "entity_timeline": _q_entity_timeline,
         # GNN training-data export
         "gnn_nodes": _q_gnn_nodes,
         "gnn_edges": _q_gnn_edges,
@@ -1303,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_stats": oo.q_graph_stats(),
         "fact_churn": oo.q_fact_churn(),
         "fact_diff": oo.q_fact_diff(DIFF_T1, DIFF_T2),
+        "entity_timeline": oo.q_entity_timeline(),
         "gnn_nodes": oo.q_gnn_nodes(),
         "gnn_edges": oo.q_gnn_edges(),
         "gnn_negatives": oo.q_gnn_negatives(n_neg=3),

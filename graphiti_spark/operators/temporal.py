@@ -217,3 +217,44 @@ def fact_diff(edges: DataFrame, t1: str, t2: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+def entity_timeline(edges: DataFrame) -> DataFrame:
+    """(group_id, name, seq, role, predicate, other, fact, valid_at,
+    invalid_at) — the per-entity chronological fact ledger: every
+    temporal assertion appears on BOTH endpoints' timelines (role =
+    'subject'|'object', ``other`` = the far endpoint), ordered by
+    (valid_at, fact identity) with a dense per-entity ``seq``. This is
+    the "everything we learned about X, in order" view a KG consumer
+    reads after point-in-time retrieval narrows WHEN — the reference
+    serves it per-entity via get_entity_edges (graphiti_core
+    EntityEdge queries); here it is one set-returning frame.
+
+    Scale shape: one union of two projections of the ledger (no
+    explode), then a single rank window partitioned by (group, name) —
+    per-entity fact counts are bounded by the entity's real-world
+    activity, and a hot entity's window is one partition's sort, not
+    a corpus sort.
+    """
+    def side(role: str, me: str, other: str) -> DataFrame:
+        return edges.select(
+            "group_id",
+            F.col(me).alias("name"),
+            F.lit(role).alias("role"),
+            "predicate",
+            F.col(other).alias("other"),
+            "fact",
+            "valid_at",
+            "invalid_at",
+        )
+
+    both = side("subject", "subj_name", "obj_name").unionByName(
+        side("object", "obj_name", "subj_name")
+    )
+    w = Window.partitionBy("group_id", "name").orderBy(
+        F.col("valid_at").asc_nulls_last(), "predicate", "other", "role"
+    )
+    return both.withColumn("seq", F.row_number().over(w).cast("long")).select(
+        "group_id", "name", "seq", "role", "predicate", "other", "fact",
+        "valid_at", "invalid_at",
+    )

@@ -2855,3 +2855,27 @@ r AS (
 SELECT lang, CAST(doc_id AS BIGINT) AS doc_id, CAST(rk AS BIGINT) AS draw_rank
 FROM r WHERE rk <= {n_per_stratum}
 """
+
+
+def q_entity_timeline() -> str:
+    """SQL twin of temporal.entity_timeline — every assertion on both
+    endpoints' chronologies with a dense per-entity seq."""
+    return f"""
+WITH {EDGES_CTE},
+sides AS (
+  SELECT group_id, subj_name AS name, 'subject' AS role, predicate,
+    obj_name AS other, fact, valid_at, invalid_at
+  FROM edges
+  UNION ALL
+  SELECT group_id, obj_name, 'object', predicate, subj_name, fact,
+    valid_at, invalid_at
+  FROM edges
+)
+SELECT group_id, name,
+  CAST(row_number() OVER (
+    PARTITION BY group_id, name
+    ORDER BY valid_at ASC NULLS LAST, predicate, other, role
+  ) AS BIGINT) AS seq,
+  role, predicate, other, fact, valid_at, invalid_at
+FROM sides
+"""

@@ -141,3 +141,28 @@ def test_negative_edges_plan_has_no_cartesian(spark):
     plan = negative_edges(nodes, edges, n_neg=2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_entity_timeline_both_roles_and_order(spark):
+    from graphiti_spark.operators.temporal import entity_timeline
+
+    edges = spark.createDataFrame(
+        [
+            ("g", "a", "p1", "b", "f1", "2016-01-01 00:00:00", None),
+            ("g", "b", "p2", "c", "f2", "2015-01-01 00:00:00", "2016-01-01 00:00:00"),
+        ],
+        "group_id string, subj_name string, predicate string, obj_name string,"
+        " fact string, valid_at string, invalid_at string",
+    ).selectExpr(
+        "group_id", "subj_name", "predicate", "obj_name", "fact",
+        "CAST(valid_at AS timestamp) AS valid_at",
+        "CAST(invalid_at AS timestamp) AS invalid_at",
+    )
+    out = entity_timeline(edges).collect()
+    # b appears on both timelines: as object of a-p1-b, subject of b-p2-c
+    b = sorted(
+        [(r.seq, r.role, r.predicate, r.other) for r in out if r.name == "b"]
+    )
+    assert b == [(1, "subject", "p2", "c"), (2, "object", "p1", "a")]
+    a = [(r.seq, r.role) for r in out if r.name == "a"]
+    assert a == [(1, "subject")]
