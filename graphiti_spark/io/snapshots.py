@@ -154,6 +154,13 @@ class SnapshotStore:
         partition_by: list[str] | None,
     ) -> dict:
         cur = self.current_version(name)
+        # the replay guard is MONOTONE: every manifest carries the full
+        # set of committed batch ids so far, so committed_batch_ids is
+        # one read of the newest manifest and survives compaction,
+        # rollback, and snapshot expiry
+        prior_ids = (
+            self._manifest(name, cur).get("batch_ids", []) if cur is not None else []
+        )
         return {
             "version": (cur or 0) + 1 if cur is not None else 1,
             "parent": cur,
@@ -162,6 +169,7 @@ class SnapshotStore:
             "schema": df.schema.json(),
             "partition_by": partition_by or [],
             "files": files,
+            "batch_ids": prior_ids,
         }
 
     # ------------------------------------------------------------------
@@ -205,18 +213,18 @@ class SnapshotStore:
             name, sorted(prior + files), df, "append", partition_by
         )
         if batch_id is not None:
-            m["batch_id"] = batch_id
+            m["batch_ids"] = sorted(set(m["batch_ids"]) | {batch_id})
         return self._publish(name, m)
 
     def committed_batch_ids(self, name: str) -> set[int]:
-        """Batch ids carried by the surviving manifests (the streaming
-        sink's replay guard)."""
-        out: set[int] = set()
-        for v in self.versions(name):
-            b = self._manifest(name, v).get("batch_id")
-            if b is not None:
-                out.add(b)
-        return out
+        """The streaming sink's replay guard: one read of the NEWEST
+        manifest — every manifest carries the cumulative batch-id set,
+        so the guard is O(1) per commit and survives compaction,
+        rollback, and snapshot expiry."""
+        cur = self.current_version(name)
+        if cur is None:
+            return set()
+        return set(self._manifest(name, cur).get("batch_ids", []))
 
     def commit_overwrite_partitions(
         self,
@@ -228,14 +236,20 @@ class SnapshotStore:
         """Partition-level replacement in ONE atomic snapshot (the
         TableIO.overwrite_partitions semantics, minus its cross-
         partition non-atomicity caveat — here the manifest swap IS
-        atomic across partitions): partitions in ``parts`` (default:
-        those present in ``df``) get df's content; every other
-        partition keeps the parent's files."""
+        atomic across partitions): every partition present in ``df``
+        PLUS every partition named in ``parts`` gets df's content
+        (a part in ``parts`` with no rows in ``df`` becomes empty);
+        every other partition keeps the parent's files."""
         files = self._stage_files(name, df, [partition_col])
         prefix = partition_col + "="
         written_parts = {f.split(os.sep, 1)[0] for f in files}
-        replaced = (
-            {f"{prefix}{p}" for p in parts} if parts is not None else written_parts
+        # every partition the batch WROTE is replaced too (TableIO.
+        # overwrite_partitions swaps expected|written) — otherwise a df
+        # carrying rows for a partition not named in ``parts`` would add
+        # its new files while the parent's files for that partition
+        # survive, duplicating those rows
+        replaced = written_parts | (
+            {f"{prefix}{p}" for p in parts} if parts is not None else set()
         )
         cur = self.current_version(name)
         prior = self._manifest(name, cur)["files"] if cur is not None else []
@@ -318,6 +332,11 @@ class SnapshotStore:
             "schema": src["schema"],
             "partition_by": src["partition_by"],
             "files": src["files"],
+            # replay guard stays monotone: ids come from the HEAD being
+            # rolled away from, not the older content — a replayed batch
+            # whose rows were undone must still be recognized, or it
+            # would re-append into the rolled-back table
+            "batch_ids": self._manifest(name, cur).get("batch_ids", []),
         }
         return self._publish(name, m)
 
@@ -353,6 +372,12 @@ class SnapshotStore:
         for dirpath, dirs, files in os.walk(base, topdown=False):
             if dirpath != base and not dirs and not files:
                 os.rmdir(dirpath)
+        # sweep staging dirs abandoned by crashes DURING _stage_files
+        # (siblings of the table dir, never reachable from a manifest)
+        for d in os.listdir(self.root):
+            if d.startswith(f"{name}.staging-"):
+                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                n_files += 1
         return {"expired_manifests": n_manifests, "deleted_files": n_files}
 
     def compact(self, name: str, target_files: int = 1) -> int:

@@ -1058,6 +1058,24 @@ def mixture_sample(
     )
 
 
+def _token_lines(toks: Column, line_words: int) -> Column:
+    """array<string> of fixed ``line_words``-token windows — the
+    corpus "line" notion shared by line_dedup and c4_filters (the
+    synthetic corpus has no newlines; real corpora split on newline
+    and the downstream machinery is identical). One definition so the
+    two ops can never diverge on what a line is."""
+    n_lines = F.ceil(F.size(toks) / F.lit(line_words)).cast("int")
+    return F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(
+                F.slice(toks, i * line_words + 1, line_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def line_dedup(documents: DataFrame, line_words: int = 8) -> DataFrame:
     """CCNet-style corpus-wide exact LINE dedup: every line keeps only
     its FIRST occurrence across the whole corpus (first = smallest
@@ -1076,19 +1094,12 @@ def line_dedup(documents: DataFrame, line_words: int = 8) -> DataFrame:
     bounded at ``line_words`` tokens; the per-doc rebuild aggregates
     (pos, line) structs map-side."""
     toks = tokenize(F.col("text"))
-    n_lines = F.ceil(F.size(toks) / F.lit(line_words)).cast("int")
-    lines = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_lines - 1),
-            lambda i: F.struct(
-                i.cast("long").alias("pos"),
-                F.array_join(
-                    F.slice(toks, i * line_words + 1, line_words), " "
-                ).alias("line"),
-            ),
+    lines = F.transform(
+        _token_lines(toks, line_words),
+        lambda l, i: F.struct(
+            i.cast("long").alias("pos"), l.alias("line")
         ),
-    ).otherwise(F.array().cast("array<struct<pos:long,line:string>>"))
+    )
     exploded = documents.select(
         F.col("doc_id").alias("_did"), F.explode(lines).alias("l")
     ).select("_did", F.col("l.pos").alias("pos"), F.col("l.line").alias("line"))
@@ -2662,15 +2673,7 @@ def c4_filters(
     banned = C4_BANNED if banned is None else banned
     toks = tokenize(F.col("text"))
     n_lines = F.ceil(F.size(toks) / F.lit(line_words)).cast("int")
-    lines = F.when(
-        F.size(toks) > 0,
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(n_lines, F.lit(1)) - 1),
-            lambda i: F.array_join(
-                F.slice(toks, i * line_words + 1, line_words), " "
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    lines = _token_lines(toks, line_words)
 
     def line_ok(line):
         ok = F.size(F.split(line, " ")) >= min_words_per_line

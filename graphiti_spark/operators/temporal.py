@@ -251,8 +251,17 @@ def entity_timeline(edges: DataFrame) -> DataFrame:
     both = side("subject", "subj_name", "obj_name").unionByName(
         side("object", "obj_name", "subj_name")
     )
+    # total order: (valid_at, predicate, other, role) alone can tie if
+    # the same pair re-asserts at one instant with differing fact text
+    # or invalid_at — fact + invalid_at close the key so seq is
+    # deterministic cross-engine
     w = Window.partitionBy("group_id", "name").orderBy(
-        F.col("valid_at").asc_nulls_last(), "predicate", "other", "role"
+        F.col("valid_at").asc_nulls_last(),
+        "predicate",
+        "other",
+        "role",
+        "fact",
+        F.col("invalid_at").asc_nulls_last(),
     )
     return both.withColumn("seq", F.row_number().over(w).cast("long")).select(
         "group_id", "name", "seq", "role", "predicate", "other", "fact",

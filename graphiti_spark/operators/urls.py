@@ -48,7 +48,9 @@ TRACKING_PARAMS = [
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
-_QUERY_RE = r"\?([^#]*)"
+# query = after the FIRST '?' that precedes any '#' — a '?' inside the
+# fragment must NOT resurrect as a query (RFC 3986 §3.4/§3.5)
+_QUERY_RE = r"^[^#?]*\?([^#]*)"
 
 
 def _keep_param(kv: Column) -> Column:
@@ -86,12 +88,19 @@ def canonical_urls(df: DataFrame, url_col: str = "url") -> DataFrame:
     query = F.regexp_extract(u, _QUERY_RE, 1)
     kept = F.filter(F.split(query, "&"), _keep_param)
     q = F.array_join(kept, "&")
-    canonical = F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    # a row with no recognizable scheme://host is NOT a canonical-izable
+    # absolute URL — surface NULL instead of collapsing every malformed
+    # row onto the same '://' key (url_dedup would then mass-merge
+    # unrelated documents)
+    canonical = F.when(
+        (scheme != "") & (host != ""),
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+        ),
     )
     return df.withColumn("host", host).withColumn("canonical_url", canonical)
 
@@ -102,9 +111,16 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     the collapse count. One partial-aggregated groupBy on the
     canonical string."""
     c = canonical_urls(df, url_col)
-    return c.groupBy("canonical_url").agg(
-        F.min(id_col).alias("keep_id"),
-        F.count(F.lit(1)).cast("long").alias("n_urls"),
+    # rows whose URL has no scheme://host canonicalize to NULL and are
+    # excluded — malformed/relative URLs are the caller's cleanup, not
+    # a dedup group
+    return (
+        c.where(F.col("canonical_url").isNotNull())
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+        )
     )
 
 
@@ -141,19 +157,21 @@ def domain_blocklist(
         )
     )
     c = canonical_urls(df, url_col).select(id_col, "host")
+    # suffix-match on the host WITHOUT its port — a blocklisted domain
+    # must not escape by serving on :8080 (the blocklist names domains,
+    # never ports)
+    bare = F.regexp_replace(F.col("host"), r":\d+$", "")
     sfx = c.select(
-        id_col, "host", F.explode(_host_suffixes(F.col("host"))).alias("sfx")
-    )
-    hits = (
-        sfx.join(bl, sfx.sfx == bl.blocked_domain, "inner")
-        .groupBy(id_col, "host")
-        .agg(F.max(F.length("blocked_domain")).alias("_l"))
+        id_col, "host", F.explode(_host_suffixes(bare)).alias("sfx")
     )
     best = (
         sfx.join(bl, sfx.sfx == bl.blocked_domain, "inner")
-        .select(id_col, "host", "blocked_domain", F.length("blocked_domain").alias("_l"))
-        .join(hits, [id_col, "host", "_l"])
-        .drop("_l")
+        .groupBy(id_col, "host")
+        .agg(
+            F.max_by("blocked_domain", F.length("blocked_domain")).alias(
+                "blocked_domain"
+            )
+        )
     )
     return (
         c.join(best, [id_col, "host"], "left")

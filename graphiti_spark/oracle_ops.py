@@ -2651,7 +2651,7 @@ p1 AS (
     regexp_replace(
       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
       '/+$', '') AS path,
-    regexp_extract(url, '\\?([^#]*)', 1) AS query
+    regexp_extract(url, '^[^#?]*\\?([^#]*)', 1) AS query
   FROM u
 ),
 p2 AS (
@@ -2669,8 +2669,10 @@ p2 AS (
 ),
 c AS (
   SELECT doc_id, url, host,
-    scheme || '://' || host || path
-      || CASE WHEN q <> '' THEN '?' || q ELSE '' END AS canonical_url
+    CASE WHEN scheme <> '' AND host <> '' THEN
+      scheme || '://' || host || path
+        || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+    END AS canonical_url
   FROM p2
 )"""
 
@@ -2689,7 +2691,7 @@ def q_url_dedup() -> str:
 WITH {_url_ctes()}
 SELECT canonical_url, CAST(MIN(doc_id) AS BIGINT) AS keep_id,
   CAST(COUNT(*) AS BIGINT) AS n_urls
-FROM c GROUP BY 1
+FROM c WHERE canonical_url IS NOT NULL GROUP BY 1
 """
 
 
@@ -2701,22 +2703,19 @@ def q_domain_blocklist(blocked: list[str]) -> str:
 WITH {_url_ctes()},
 sfx AS (
   SELECT doc_id, host, unnest(
-    list_transform(range(1, len(string_split(host, '.')) + 1),
+    list_transform(
+      range(1, len(string_split(regexp_replace(host, ':[0-9]+$', ''), '.')) + 1),
       i -> array_to_string(
-        list_slice(string_split(host, '.'), i, len(string_split(host, '.'))),
+        list_slice(string_split(regexp_replace(host, ':[0-9]+$', ''), '.'), i,
+                   len(string_split(regexp_replace(host, ':[0-9]+$', ''), '.'))),
         '.'))
   ) AS sfx
   FROM c
 ),
-hit AS (
-  SELECT doc_id, host, sfx AS blocked_domain, length(sfx) AS l
-  FROM sfx WHERE list_contains({bl}, sfx)
-),
 best AS (
-  SELECT h.doc_id, h.host, h.blocked_domain
-  FROM hit h
-  JOIN (SELECT doc_id, host, MAX(l) AS l FROM hit GROUP BY 1, 2) m
-    ON m.doc_id = h.doc_id AND m.host = h.host AND m.l = h.l
+  SELECT doc_id, host, max_by(sfx, length(sfx)) AS blocked_domain
+  FROM sfx WHERE list_contains({bl}, sfx)
+  GROUP BY 1, 2
 )
 SELECT CAST(c.doc_id AS BIGINT) AS doc_id, c.host, b.blocked_domain,
   b.blocked_domain IS NULL AS keep
@@ -2874,7 +2873,8 @@ sides AS (
 SELECT group_id, name,
   CAST(row_number() OVER (
     PARTITION BY group_id, name
-    ORDER BY valid_at ASC NULLS LAST, predicate, other, role
+    ORDER BY valid_at ASC NULLS LAST, predicate, other, role, fact,
+             invalid_at ASC NULLS LAST
   ) AS BIGINT) AS seq,
   role, predicate, other, fact, valid_at, invalid_at
 FROM sides

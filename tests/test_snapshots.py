@@ -205,3 +205,45 @@ def test_schema_evolution_on_read(spark, store):
     assert rows == {1: ("a", None), 2: ("b", "en")}
     # time travel to v1 sees the original schema
     assert store.read("t", 1).columns == ["id", "val"]
+
+
+def test_overwrite_partitions_never_duplicates_unlisted_written_parts(
+    spark, store
+):
+    store.commit_overwrite(
+        "t", _df(spark, [(1, 1, "a"), (2, 2, "b")]), partition_by=["part"]
+    )
+    # df carries rows for part=1 AND part=2 but parts names only [1]:
+    # part=2 must still be REPLACED (not doubled alongside v1's files)
+    store.commit_overwrite_partitions(
+        "t", _df(spark, [(10, 1, "A"), (20, 2, "B")]), "part", parts=[1]
+    )
+    assert _rows(store.read("t")) == [(10, 1, "A"), (20, 2, "B")]
+
+
+def test_replay_guard_survives_compact_and_expiry(spark, store):
+    store.commit_append("ev", _df(spark, [(1, 0, "a")]), batch_id=0)
+    store.commit_append("ev", _df(spark, [(2, 0, "b")]), batch_id=1)
+    store.compact("ev", target_files=1)
+    store.expire_snapshots("ev", keep_last=1)
+    # ids survived the compact manifest + expiry of the carriers
+    assert store.committed_batch_ids("ev") == {0, 1}
+    assert store.commit_append("ev", _df(spark, [(2, 0, "b")]), batch_id=1) is None
+    assert _rows(store.read("ev")) == [(1, 0, "a"), (2, 0, "b")]
+    # ...and survives rollback too (monotone guard)
+    store.commit_append("ev", _df(spark, [(3, 0, "c")]), batch_id=2)
+    store.rollback("ev", store.current_version("ev") - 1)
+    assert 2 in store.committed_batch_ids("ev")
+
+
+def test_expire_sweeps_abandoned_staging_dirs(spark, store):
+    import os
+
+    store.commit_overwrite("t", _df(spark, [(1, 0, "a")]))
+    # simulate a crash DURING the staged write (before any rename)
+    stale = store.path("t") + ".staging-deadbeef"
+    os.makedirs(stale)
+    open(os.path.join(stale, "part-00000.parquet"), "wb").write(b"x")
+    store.expire_snapshots("t", keep_last=1)
+    assert not os.path.exists(stale)
+    assert _rows(store.read("t")) == [(1, 0, "a")]

@@ -74,3 +74,41 @@ def test_blocklist_label_boundary_and_longest_match(spark):
     assert out[2] == (True, None)
     assert out[3] == (False, "news.b.org")  # not the shorter b.org
     assert out[4] == (True, None)
+
+
+def test_fragment_question_mark_is_not_a_query(spark):
+    # a '?' inside the fragment must not resurrect as a query
+    assert _canon(spark, "https://a.com/p#section?x=1") == "https://a.com/p"
+    # while a real query containing '?' keeps everything after the first
+    assert (
+        _canon(spark, "https://a.com/p?a=1?b=2#f") == "https://a.com/p?a=1?b=2"
+    )
+
+
+def test_malformed_urls_do_not_collapse(spark):
+    df = spark.createDataFrame(
+        [(1, "example.com/a"), (2, "other.org/b"), (3, "mailto:x@y.com"),
+         (4, "https://ok.org/x")],
+        "doc_id long, url string",
+    )
+    from graphiti_spark.operators.urls import canonical_urls, url_dedup
+
+    rows = {r.doc_id: r.canonical_url for r in canonical_urls(df).collect()}
+    assert rows[1] is None and rows[2] is None and rows[3] is None
+    assert rows[4] == "https://ok.org/x"
+    # dedup only groups valid canonical URLs — no mass-merge of junk
+    out = url_dedup(df).collect()
+    assert len(out) == 1 and out[0].canonical_url == "https://ok.org/x"
+
+
+def test_blocklist_matches_hosts_with_ports(spark):
+    df = spark.createDataFrame(
+        [(1, "http://ads.example.com:8080/x"), (2, "https://ok.org:8443/y")],
+        "doc_id long, url string",
+    )
+    out = {
+        r.doc_id: (r.keep, r.blocked_domain)
+        for r in domain_blocklist(df, ["example.com"]).collect()
+    }
+    assert out[1] == (False, "example.com")  # port can't dodge the list
+    assert out[2] == (True, None)
