@@ -226,6 +226,24 @@ def _q_gnn_negatives(spark, sf_dir):
     return negative_edges(out.nodes, out.edges, n_neg=3)
 
 
+def _q_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk corpus: md5-derived uniform walks over
+    the undirected canonical graph (gnn.random_walks)."""
+    from graphiti_spark.operators.gnn import random_walks
+
+    out = _graph(spark, sf_dir)
+    return random_walks(out.edges, walk_len=4, n_walks=2)
+
+
+def _q_skipgram_pairs(spark, sf_dir):
+    """Skip-gram co-occurrence counts from the walk corpus — the
+    node-embedding training pairs (gnn.skipgram_pairs)."""
+    from graphiti_spark.operators.gnn import random_walks, skipgram_pairs
+
+    out = _graph(spark, sf_dir)
+    return skipgram_pairs(random_walks(out.edges, walk_len=4, n_walks=2), window=2)
+
+
 def _q_temporal_split(spark, sf_dir):
     """Event-time train/valid/test split of the temporal assertions
     with inductive unseen-endpoint flags (gnn.temporal_edge_split)."""
@@ -1199,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gnn_edges": _q_gnn_edges,
         "gnn_negatives": _q_gnn_negatives,
         "temporal_split": _q_temporal_split,
+        "random_walks": _q_random_walks,
+        "skipgram_pairs": _q_skipgram_pairs,
         "semantic_dedup": _q_semantic_dedup,
         "lm_perplexity": _q_lm_perplexity,
         "kmeans": _q_kmeans,
@@ -1318,6 +1338,8 @@ def oracle_sql() -> dict[str, str]:
         "gnn_edges": oo.q_gnn_edges(),
         "gnn_negatives": oo.q_gnn_negatives(n_neg=3),
         "temporal_split": oo.q_temporal_split(SPLIT_TRAIN_END, SPLIT_VALID_END),
+        "random_walks": oo.q_random_walks(walk_len=4, n_walks=2),
+        "skipgram_pairs": oo.q_skipgram_pairs(walk_len=4, n_walks=2, window=2),
         "semantic_dedup": oo.q_semantic_dedup_keep_list(),
         "lm_perplexity": oo.q_lm_perplexity(),
         "kmeans": oo.q_kmeans_clusters(k=8, iters=4),

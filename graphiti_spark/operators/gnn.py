@@ -48,6 +48,8 @@ __all__ = [
     "edge_index",
     "negative_edges",
     "temporal_edge_split",
+    "random_walks",
+    "skipgram_pairs",
 ]
 
 
@@ -256,3 +258,146 @@ def temporal_edge_split(
         )
     )
     return out
+
+
+def _undirected_neighbors(edges: DataFrame) -> DataFrame:
+    """(group_id, src, dst, rk, deg) — the canonical undirected
+    adjacency with a deterministic per-source neighbor rank (ordered
+    by name) and the source degree. The indexable form a
+    deterministic walk needs: "neighbor #r of v" is well-defined and
+    engine-independent."""
+    e = edges.select(
+        "group_id",
+        F.col("subj_name").alias("a"),
+        F.col("obj_name").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    und = (
+        e.select("group_id", F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            e.select("group_id", F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("group_id", "src").orderBy("dst")
+    return und.select(
+        "group_id",
+        "src",
+        "dst",
+        (F.row_number().over(w) - 1).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("group_id", "src"))
+        .cast("long")
+        .alias("deg"),
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_len: int = 4,
+    n_walks: int = 2,
+) -> DataFrame:
+    """(group_id, start, walk, step, name) — DeepWalk-style uniform
+    random walks (Perozzi et al. 2014, arXiv:1403.6652) over the
+    undirected canonical graph, ``n_walks`` per start node of length
+    ``walk_len`` — except that every "random" step is derived from
+    md5('walk|' group '|' start '|' walk '|' step) mod deg(current),
+    so the whole corpus of walks is reproducible across runs,
+    partitionings, and engines (the DuckDB oracle replays every step
+    bit-for-bit), and resuming a 100 TB walk job re-draws identical
+    walks. Start nodes are those with ≥ 1 neighbor (an isolated node
+    has no walk); every reached node has degree ≥ 1 on the undirected
+    graph, so started walks always run to full length.
+
+    Scale shape: one join against the ranked adjacency per step (the
+    iterative hash-join propagation shape of pagerank/LPA — cut
+    lineage every few steps with localCheckpoint for long walks); the
+    adjacency is built once with two windows over the edge set.
+    """
+    nbr = _undirected_neighbors(edges)
+    deg = nbr.select("group_id", "src", "deg").distinct()
+    starts = deg.select(
+        "group_id",
+        F.col("src").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk"),
+    ).select(
+        "group_id", "start", "walk", F.col("start").alias("cur")
+    )
+    out = [
+        starts.select(
+            "group_id", "start", "walk",
+            F.lit(0).alias("step"), F.col("cur").alias("name"),
+        )
+    ]
+    frontier = starts
+    for t in range(1, walk_len + 1):
+        r = (
+            _md5_u32(
+                F.concat_ws(
+                    "|",
+                    F.lit("walk"),
+                    F.col("group_id"),
+                    F.col("start"),
+                    F.col("walk").cast("string"),
+                    F.lit(str(t)),
+                )
+            )
+            % F.col("deg")
+        )
+        stepped = (
+            frontier.join(
+                deg.select("group_id", F.col("src").alias("cur"), "deg"),
+                ["group_id", "cur"],
+            )
+            .withColumn("_r", r)
+            .join(
+                nbr.select(
+                    "group_id", F.col("src").alias("cur"),
+                    F.col("rk").alias("_r"), "dst",
+                ),
+                ["group_id", "cur", "_r"],
+            )
+            .select(
+                "group_id", "start", "walk", F.col("dst").alias("cur")
+            )
+        )
+        out.append(
+            stepped.select(
+                "group_id", "start", "walk",
+                F.lit(t).alias("step"), F.col("cur").alias("name"),
+            )
+        )
+        frontier = stepped
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.select(
+        "group_id", "start", F.col("walk").cast("int").alias("walk"),
+        F.col("step").cast("int").alias("step"), "name",
+    )
+
+
+def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(group_id, center, context, n_pairs) — skip-gram co-occurrence
+    counts from the walk corpus (the node2vec/DeepWalk training-pair
+    extraction): every (center, context) node pair whose steps lie
+    within ``window`` of each other on the same walk, aggregated to
+    counts (what a downstream embedding trainer consumes).
+
+    One self-join per walk keyed on (group, start, walk) with a step
+    band predicate, then a partial-aggregated count — the join key
+    includes the walk id, so it never crosses walks.
+    """
+    a = walks.select(
+        "group_id", "start", "walk",
+        F.col("step").alias("s1"), F.col("name").alias("center"),
+    )
+    b = walks.select(
+        "group_id", "start", "walk",
+        F.col("step").alias("s2"), F.col("name").alias("context"),
+    )
+    pairs = a.join(b, ["group_id", "start", "walk"]).where(
+        (F.col("s1") != F.col("s2"))
+        & (F.abs(F.col("s1") - F.col("s2")) <= window)
+    )
+    return pairs.groupBy("group_id", "center", "context").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

@@ -2879,3 +2879,72 @@ SELECT group_id, name,
   role, predicate, other, fact, valid_at, invalid_at
 FROM sides
 """
+
+
+def q_random_walks(walk_len: int = 4, n_walks: int = 2) -> str:
+    """SQL twin of gnn.random_walks — the walk loop unrolled to one
+    CTE per step, each replaying the md5-derived neighbor pick."""
+    steps = []
+    selects = ["SELECT group_id, start, CAST(walk AS INT) AS walk, "
+               "0 AS step, cur AS name FROM w0"]
+    for t in range(1, walk_len + 1):
+        h = _md5_u32_sql(
+            "'walk|' || p.group_id || '|' || p.start || '|' "
+            "|| CAST(p.walk AS VARCHAR) || '|' || '" + str(t) + "'"
+        )
+        steps.append(f"""w{t} AS (
+  SELECT p.group_id, p.start, p.walk, n.dst AS cur
+  FROM w{t - 1} p
+  JOIN deg d ON d.group_id = p.group_id AND d.src = p.cur
+  JOIN nbr n ON n.group_id = p.group_id AND n.src = p.cur
+    AND n.rk = {h} % d.deg
+)""")
+        selects.append(
+            f"SELECT group_id, start, CAST(walk AS INT) AS walk, "
+            f"{t} AS step, cur AS name FROM w{t}"
+        )
+    chain = ",\n".join(steps)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {EDGES_CTE},
+e AS (
+  SELECT DISTINCT group_id, subj_name AS a, obj_name AS b FROM edges
+  WHERE subj_name <> obj_name
+),
+und AS (
+  SELECT DISTINCT group_id, src, dst FROM (
+    SELECT group_id, a AS src, b AS dst FROM e
+    UNION ALL SELECT group_id, b, a FROM e
+  )
+),
+nbr AS (
+  SELECT group_id, src, dst,
+    CAST(row_number() OVER (PARTITION BY group_id, src ORDER BY dst) - 1
+      AS BIGINT) AS rk
+  FROM und
+),
+deg AS (SELECT group_id, src, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM und GROUP BY 1, 2),
+w0 AS (
+  SELECT d.group_id, d.src AS start, CAST(u.w AS BIGINT) AS walk,
+    d.src AS cur
+  FROM deg d, UNNEST(generate_series(0, {n_walks - 1})) AS u(w)
+),
+{chain}
+SELECT * FROM ({union})
+"""
+
+
+def q_skipgram_pairs(walk_len: int = 4, n_walks: int = 2, window: int = 2) -> str:
+    """SQL twin of gnn.skipgram_pairs over q_random_walks' corpus."""
+    walks = q_random_walks(walk_len=walk_len, n_walks=n_walks).strip()
+    return f"""
+WITH wk AS ({walks})
+SELECT a.group_id, a.name AS center, b.name AS context,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM wk a
+JOIN wk b ON b.group_id = a.group_id AND b.start = a.start
+  AND b.walk = a.walk AND b.step <> a.step
+  AND abs(b.step - a.step) <= {window}
+GROUP BY 1, 2, 3
+"""

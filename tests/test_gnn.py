@@ -166,3 +166,35 @@ def test_entity_timeline_both_roles_and_order(spark):
     assert b == [(1, "subject", "p2", "c"), (2, "object", "p1", "a")]
     a = [(r.seq, r.role) for r in out if r.name == "a"]
     assert a == [(1, "subject")]
+
+
+def test_random_walks_valid_and_deterministic(spark):
+    from graphiti_spark.operators.gnn import random_walks, skipgram_pairs
+
+    _, edges = _graph(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")])
+    walks = random_walks(edges, walk_len=3, n_walks=2).collect()
+    adj = {("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")}
+    und = adj | {(b, a) for a, b in adj}
+    byw = {}
+    for r in walks:
+        byw.setdefault((r.start, r.walk), {})[r.step] = r.name
+    for (start, _w), steps in byw.items():
+        # full length, starts at the start node, every hop is an edge
+        assert sorted(steps) == [0, 1, 2, 3]
+        assert steps[0] == start
+        for t in range(1, 4):
+            assert (steps[t - 1], steps[t]) in und
+    # 4 start nodes x 2 walks
+    assert len(byw) == 8
+    # derivation is a property of (group, start, walk, step) — layout-free
+    walks2 = random_walks(edges.repartition(5), walk_len=3, n_walks=2).collect()
+    assert sorted(map(tuple, walks)) == sorted(map(tuple, walks2))
+    # skip-gram pairs are symmetric in count space
+    sg = {
+        (r.center, r.context): r.n_pairs
+        for r in skipgram_pairs(
+            random_walks(edges, walk_len=3, n_walks=2), window=2
+        ).collect()
+    }
+    for (c, x), n in sg.items():
+        assert sg[(x, c)] == n
