@@ -247,3 +247,40 @@ def test_expire_sweeps_abandoned_staging_dirs(spark, store):
     store.expire_snapshots("t", keep_last=1)
     assert not os.path.exists(stale)
     assert _rows(store.read("t")) == [(1, 0, "a")]
+
+
+def test_graph_tables_get_transaction_time_travel(spark, store):
+    """Bi-temporal in BOTH dimensions: the edge ledger already carries
+    VALID time (valid_at/invalid_at); committing each batch's edges
+    through SnapshotStore adds TRANSACTION time — "what did the graph
+    say after batch 1" is a snapshot read, independent of any
+    event-time slice run on top of it."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.pipeline import run_pipeline
+    from graphiti_spark.synth import synthesize_episodes
+
+    eps = synthesize_episodes(spark, "/root/testdata/sf0.001")
+    half = eps.where(F.col("doc_id") < "doc-000250")
+    e1 = run_pipeline(spark, half).edges.select(
+        "group_id", "subj_name", "predicate", "obj_name", "valid_at", "invalid_at"
+    )
+    e2 = run_pipeline(spark, eps).edges.select(
+        "group_id", "subj_name", "predicate", "obj_name", "valid_at", "invalid_at"
+    )
+    store.commit_overwrite("edges", e1)
+    store.commit_overwrite("edges", e2)
+    # transaction-time travel: batch-1 state is intact after batch 2
+    assert store.read("edges", 1).count() == e1.count()
+    assert store.read("edges").count() == e2.count()
+    got = sorted(map(tuple, store.read("edges", 1).collect()))
+    assert got == sorted(map(tuple, e1.collect()))
+    # and VALID-time ops compose on any snapshot: an event-time slice
+    # of the historical snapshot (facts true mid-2019 as known after
+    # batch 1)
+    t = F.lit("2019-06-01 00:00:00").cast("timestamp")
+    sliced = store.read("edges", 1).where(
+        (F.col("valid_at") <= t)
+        & (F.col("invalid_at").isNull() | (F.col("invalid_at") > t))
+    )
+    assert 0 < sliced.count() < e1.count()
