@@ -360,6 +360,15 @@ def _q_graph_stats(spark, sf_dir):
     return graph_stats(out.nodes, out.edges)
 
 
+def _q_degree_histogram(spark, sf_dir):
+    """Per-tenant undirected-degree distribution incl. isolated nodes
+    (centrality.degree_histogram)."""
+    from graphiti_spark.operators.centrality import degree_histogram
+
+    out = _graph(spark, sf_dir)
+    return degree_histogram(out.nodes, out.edges)
+
+
 def _q_fact_churn(spark, sf_dir):
     """Monthly started/invalidated/expired lifecycle counts over the
     bi-temporal edge ledger."""
@@ -1209,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "personalized_pagerank": _q_personalized_pagerank,
         "link_prediction": _q_link_prediction,
         "graph_stats": _q_graph_stats,
+        "degree_histogram": _q_degree_histogram,
         "fact_churn": _q_fact_churn,
         "fact_diff": _q_fact_diff,
         "entity_timeline": _q_entity_timeline,
@@ -1331,6 +1341,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": oo.q_personalized_pagerank(PPR_SEEDS),
         "link_prediction": oo.q_link_prediction_ra(k=20),
         "graph_stats": oo.q_graph_stats(),
+        "degree_histogram": oo.q_degree_histogram(),
         "fact_churn": oo.q_fact_churn(),
         "fact_diff": oo.q_fact_diff(DIFF_T1, DIFF_T2),
         "entity_timeline": oo.q_entity_timeline(),

@@ -539,3 +539,42 @@ def graph_stats(nodes: DataFrame, edges: DataFrame) -> DataFrame:
             ).alias("avg_deg_micro"),
         )
     )
+
+
+def degree_histogram(nodes: DataFrame, edges: DataFrame) -> DataFrame:
+    """(group_id, degree, n_nodes) — the undirected-degree distribution
+    per tenant, including the zero-degree isolated entities (speakers
+    that never joined an edge): the power-law / hub-structure sheet
+    read next to graph_stats before choosing skew strategies.
+
+    Scale shape: degrees collapse through a partial-aggregated
+    groupBy(group, node) over the distinct undirected pair set, then
+    the histogram groupBy runs on (group, degree) — a tiny key space.
+    Isolated nodes enter via one left join against the node set.
+    """
+    e = edges.select(
+        "group_id",
+        F.col("subj_name").alias("a"),
+        F.col("obj_name").alias("b"),
+    ).where(F.col("a") != F.col("b"))
+    und = (
+        e.select("group_id", F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
+        .distinct()
+    )
+    deg = (
+        und.select("group_id", F.col("x").alias("name"))
+        .unionByName(und.select("group_id", F.col("y").alias("name")))
+        .groupBy("group_id", "name")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    all_deg = (
+        nodes.select("group_id", "name")
+        .distinct()
+        .join(deg, ["group_id", "name"], "left")
+        .select(
+            "group_id", "name", F.coalesce("degree", F.lit(0)).alias("degree")
+        )
+    )
+    return all_deg.groupBy("group_id", "degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )

@@ -2948,3 +2948,28 @@ JOIN wk b ON b.group_id = a.group_id AND b.start = a.start
   AND abs(b.step - a.step) <= {window}
 GROUP BY 1, 2, 3
 """
+
+
+def q_degree_histogram() -> str:
+    """SQL twin of centrality.degree_histogram (undirected degrees,
+    zero-degree nodes included)."""
+    return f"""
+WITH {EDGES_CTE},
+gnodes AS (SELECT DISTINCT group_id, canonical_name AS name FROM canon_map),
+e AS (
+  SELECT DISTINCT group_id,
+    LEAST(subj_name, obj_name) AS x, GREATEST(subj_name, obj_name) AS y
+  FROM edges WHERE subj_name <> obj_name
+),
+deg AS (
+  SELECT group_id, name, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT group_id, x AS name FROM e
+    UNION ALL SELECT group_id, y FROM e
+  ) GROUP BY 1, 2
+)
+SELECT g.group_id, COALESCE(d.degree, 0) AS degree,
+  CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM gnodes g
+LEFT JOIN deg d ON d.group_id = g.group_id AND d.name = g.name
+GROUP BY 1, 2
+"""

@@ -232,3 +232,18 @@ def test_graph_stats_crafted(spark):
     assert r.max_deg == 2            # a (undirected)
     # sum_deg = 2+1+1 = 4 over 4 nodes -> exactly 1.0 in micro-units
     assert r.avg_deg_micro == 1000000
+
+
+def test_degree_histogram_counts_isolated_nodes(spark):
+    from graphiti_spark.operators.centrality import degree_histogram
+
+    # triangle a-b-c (+ reverse dup b->a collapsing), isolated z
+    nodes, edges = _graph(
+        spark, [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a")],
+        names=["a", "b", "c", "z"],
+    )
+    out = {
+        (r.degree): r.n_nodes
+        for r in degree_histogram(nodes, edges).collect()
+    }
+    assert out == {2: 3, 0: 1}

@@ -5,6 +5,8 @@ label-boundary blocklist semantics get crafted-input pins."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from graphiti_spark.operators.urls import (
     canonical_urls,
     domain_blocklist,
@@ -112,3 +114,32 @@ def test_blocklist_matches_hosts_with_ports(spark):
     }
     assert out[1] == (False, "example.com")  # port can't dodge the list
     assert out[2] == (True, None)
+
+
+def test_canonicalization_is_idempotent(spark):
+    """canonical(canonical(u)) == canonical(u): the canonical form is a
+    fixed point, so re-canonicalizing stored canonical URLs (a common
+    accident in multi-stage pipelines) never changes keys. One seeded
+    constructed batch spanning every rule instead of per-example
+    hypothesis (Spark round-trips are too slow per example)."""
+    import itertools
+
+    rows = []
+    i = 0
+    for scheme, sub, port, path, q, frag in itertools.product(
+        ["https", "HTTP"], ["", "www.", "api."], ["", ":443", ":8080"],
+        ["/p", "/p/", ""], ["", "?utm_a=1", "?id=2&fbclid=x", "?id=2"],
+        ["", "#f", "#f?fake=1"],
+    ):
+        rows.append((i, f"{scheme}://{sub}Host{i % 7}.example.com{port}{path}{q}{frag}"))
+        i += 1
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    from graphiti_spark.operators.urls import canonical_urls
+
+    once = canonical_urls(df).select(
+        "doc_id", F.col("canonical_url").alias("url")
+    )
+    twice = canonical_urls(once).select("doc_id", "canonical_url")
+    a = {r.doc_id: r.url for r in once.collect()}
+    b = {r.doc_id: r.canonical_url for r in twice.collect()}
+    assert a == b
