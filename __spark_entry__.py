@@ -235,6 +235,15 @@ def _q_random_walks(spark, sf_dir):
     return random_walks(out.edges, walk_len=4, n_walks=2)
 
 
+def _q_biased_walks(spark, sf_dir):
+    """node2vec second-order biased walks (integer weights, md5
+    cumulative pick — gnn.biased_walks)."""
+    from graphiti_spark.operators.gnn import biased_walks
+
+    out = _graph(spark, sf_dir)
+    return biased_walks(out.edges, walk_len=3, n_walks=1)
+
+
 def _q_skipgram_pairs(spark, sf_dir):
     """Skip-gram co-occurrence counts from the walk corpus — the
     node-embedding training pairs (gnn.skipgram_pairs)."""
@@ -1228,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gnn_negatives": _q_gnn_negatives,
         "temporal_split": _q_temporal_split,
         "random_walks": _q_random_walks,
+        "biased_walks": _q_biased_walks,
         "skipgram_pairs": _q_skipgram_pairs,
         "semantic_dedup": _q_semantic_dedup,
         "lm_perplexity": _q_lm_perplexity,
@@ -1350,6 +1360,7 @@ def oracle_sql() -> dict[str, str]:
         "gnn_negatives": oo.q_gnn_negatives(n_neg=3),
         "temporal_split": oo.q_temporal_split(SPLIT_TRAIN_END, SPLIT_VALID_END),
         "random_walks": oo.q_random_walks(walk_len=4, n_walks=2),
+        "biased_walks": oo.q_biased_walks(walk_len=3, n_walks=1),
         "skipgram_pairs": oo.q_skipgram_pairs(walk_len=4, n_walks=2, window=2),
         "semantic_dedup": oo.q_semantic_dedup_keep_list(),
         "lm_perplexity": oo.q_lm_perplexity(),

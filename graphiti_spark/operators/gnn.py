@@ -50,6 +50,7 @@ __all__ = [
     "temporal_edge_split",
     "random_walks",
     "skipgram_pairs",
+    "biased_walks",
 ]
 
 
@@ -400,4 +401,140 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     )
     return pairs.groupBy("group_id", "center", "context").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+
+
+def biased_walks(
+    edges: DataFrame,
+    walk_len: int = 3,
+    n_walks: int = 1,
+    w_return: int = 1,
+    w_near: int = 4,
+    w_far: int = 1,
+) -> DataFrame:
+    """(group_id, start, walk, step, name) — node2vec second-order
+    biased walks (Grover & Leskovec 2016, arXiv:1607.00653) with
+    INTEGER edge weights replacing the 1/p, 1, 1/q return/BFS/DFS
+    bias (w_return : w_near : w_far ≡ 1/p : 1 : 1/q scaled to
+    integers), so the cumulative-weight draw — md5-derived mod the
+    total neighbor weight — is exact and the DuckDB oracle replays
+    every step bit-for-bit. Step 1 is uniform (no previous node).
+
+    Scale shape: each biased step scans the CURRENT node's neighbor
+    list (one join on cur + a per-walk cumulative window + one
+    membership left-join against the adjacency for the
+    "neighbor-of-previous" test), so a step costs O(Σ deg(cur)) rows
+    — a hub visit fans its full degree out, unlike the uniform walk's
+    O(1) rank pick (the weight depends on `prev`, so an index can't
+    answer it directly). Production mitigation at 100 TB: precompute
+    per-(v,prev) alias tables for the hub set, or cap hub degree with
+    the link_prediction max_deg discipline; kept exact here because
+    correctness is oracle-gated.
+    """
+    nbr = _undirected_neighbors(edges)
+    deg = nbr.select("group_id", "src", "deg").distinct()
+    starts = deg.select(
+        "group_id",
+        F.col("src").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk"),
+    )
+    out = [
+        starts.select(
+            "group_id", "start", "walk",
+            F.lit(0).alias("step"), F.col("start").alias("name"),
+        )
+    ]
+    # step 1: uniform rank pick (identical to random_walks)
+    r1 = (
+        _md5_u32(
+            F.concat_ws(
+                "|", F.lit("n2v"), F.col("group_id"), F.col("start"),
+                F.col("walk").cast("string"), F.lit("1"),
+            )
+        )
+        % F.col("deg")
+    )
+    frontier = (
+        starts.join(
+            deg.select("group_id", F.col("src").alias("start"), "deg"),
+            ["group_id", "start"],
+        )
+        .withColumn("_r", r1)
+        .join(
+            nbr.select(
+                "group_id", F.col("src").alias("start"),
+                F.col("rk").alias("_r"), "dst",
+            ),
+            ["group_id", "start", "_r"],
+        )
+        .select(
+            "group_id", "start", "walk",
+            F.col("start").alias("prev"), F.col("dst").alias("cur"),
+        )
+    )
+    out.append(
+        frontier.select(
+            "group_id", "start", "walk",
+            F.lit(1).alias("step"), F.col("cur").alias("name"),
+        )
+    )
+    adj = nbr.select(
+        "group_id", F.col("src").alias("x"), F.col("dst").alias("p"),
+        F.lit(True).alias("near"),
+    )
+    for t in range(2, walk_len + 1):
+        cand = frontier.join(
+            nbr.select("group_id", F.col("src").alias("cur"), "rk", "dst"),
+            ["group_id", "cur"],
+        ).join(
+            adj.select(
+                "group_id", F.col("x").alias("dst"), F.col("p").alias("prev"),
+                "near",
+            ),
+            ["group_id", "dst", "prev"],
+            "left",
+        ).select(
+            "group_id", "start", "walk", "prev", "cur", "rk", "dst",
+            F.when(F.col("dst") == F.col("prev"), F.lit(w_return))
+            .when(F.col("near"), F.lit(w_near))
+            .otherwise(F.lit(w_far))
+            .cast("long")
+            .alias("w"),
+        )
+        wpart = Window.partitionBy("group_id", "start", "walk")
+        worder = wpart.orderBy("rk")
+        cum = F.sum("w").over(
+            worder.rowsBetween(Window.unboundedPreceding, 0)
+        )
+        total = F.sum("w").over(wpart)
+        r = (
+            _md5_u32(
+                F.concat_ws(
+                    "|", F.lit("n2v"), F.col("group_id"), F.col("start"),
+                    F.col("walk").cast("string"), F.lit(str(t)),
+                )
+            )
+            % total
+        )
+        frontier = (
+            cand.withColumn("_cum", cum)
+            .withColumn("_r", r)
+            .where((F.col("_cum") - F.col("w") <= F.col("_r")) & (F.col("_r") < F.col("_cum")))
+            .select(
+                "group_id", "start", "walk",
+                F.col("cur").alias("prev"), F.col("dst").alias("cur"),
+            )
+        )
+        out.append(
+            frontier.select(
+                "group_id", "start", "walk",
+                F.lit(t).alias("step"), F.col("cur").alias("name"),
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.select(
+        "group_id", "start", F.col("walk").cast("int").alias("walk"),
+        F.col("step").cast("int").alias("step"), "name",
     )

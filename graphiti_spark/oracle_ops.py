@@ -2973,3 +2973,93 @@ FROM gnodes g
 LEFT JOIN deg d ON d.group_id = g.group_id AND d.name = g.name
 GROUP BY 1, 2
 """
+
+
+def q_biased_walks(
+    walk_len: int = 3,
+    n_walks: int = 1,
+    w_return: int = 1,
+    w_near: int = 4,
+    w_far: int = 1,
+) -> str:
+    """SQL twin of gnn.biased_walks — the node2vec second-order loop
+    unrolled, each step replaying the integer cumulative-weight pick."""
+    chain = []
+    selects = [
+        "SELECT group_id, start, CAST(walk AS INT) AS walk, 0 AS step, "
+        "start AS name FROM w0",
+        "SELECT group_id, start, CAST(walk AS INT) AS walk, 1 AS step, "
+        "cur AS name FROM f1",
+    ]
+    for t in range(2, walk_len + 1):
+        h = _md5_u32_sql(
+            "'n2v|' || group_id || '|' || start || '|' "
+            "|| CAST(walk AS VARCHAR) || '|' || '" + str(t) + "'"
+        )
+        chain.append(f"""c{t} AS (
+  SELECT f.group_id, f.start, f.walk, f.prev, f.cur, n.rk, n.dst,
+    CAST(CASE WHEN n.dst = f.prev THEN {w_return}
+         WHEN EXISTS (SELECT 1 FROM und u
+                      WHERE u.group_id = f.group_id AND u.src = n.dst
+                        AND u.dst = f.prev) THEN {w_near}
+         ELSE {w_far} END AS BIGINT) AS w
+  FROM f{t - 1} f
+  JOIN nbr n ON n.group_id = f.group_id AND n.src = f.cur
+),
+bp{t} AS (
+  SELECT *,
+    SUM(w) OVER (PARTITION BY group_id, start, walk ORDER BY rk
+                 ROWS UNBOUNDED PRECEDING) AS cum,
+    SUM(w) OVER (PARTITION BY group_id, start, walk) AS total
+  FROM c{t}
+),
+f{t} AS (
+  SELECT group_id, start, walk, cur AS prev, dst AS cur
+  FROM bp{t}
+  WHERE {h} % total >= cum - w AND {h} % total < cum
+)""")
+        selects.append(
+            f"SELECT group_id, start, CAST(walk AS INT) AS walk, {t} AS step, "
+            f"cur AS name FROM f{t}"
+        )
+    h1 = _md5_u32_sql(
+        "'n2v|' || s.group_id || '|' || s.start || '|' "
+        "|| CAST(s.walk AS VARCHAR) || '|' || '1'"
+    )
+    chain_sql = ",\n".join(chain)
+    if chain_sql:
+        chain_sql = ",\n" + chain_sql
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {EDGES_CTE},
+e AS (
+  SELECT DISTINCT group_id, subj_name AS a, obj_name AS b FROM edges
+  WHERE subj_name <> obj_name
+),
+und AS (
+  SELECT DISTINCT group_id, src, dst FROM (
+    SELECT group_id, a AS src, b AS dst FROM e
+    UNION ALL SELECT group_id, b, a FROM e
+  )
+),
+nbr AS (
+  SELECT group_id, src, dst,
+    CAST(row_number() OVER (PARTITION BY group_id, src ORDER BY dst) - 1
+      AS BIGINT) AS rk
+  FROM und
+),
+deg AS (SELECT group_id, src, CAST(COUNT(*) AS BIGINT) AS deg
+        FROM und GROUP BY 1, 2),
+w0 AS (
+  SELECT d.group_id, d.src AS start, CAST(u.w AS BIGINT) AS walk
+  FROM deg d, UNNEST(generate_series(0, {n_walks - 1})) AS u(w)
+),
+f1 AS (
+  SELECT s.group_id, s.start, s.walk, s.start AS prev, n.dst AS cur
+  FROM w0 s
+  JOIN deg d ON d.group_id = s.group_id AND d.src = s.start
+  JOIN nbr n ON n.group_id = s.group_id AND n.src = s.start
+    AND n.rk = {h1} % d.deg
+){chain_sql}
+SELECT * FROM ({union})
+"""

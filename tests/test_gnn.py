@@ -198,3 +198,50 @@ def test_random_walks_valid_and_deterministic(spark):
     }
     for (c, x), n in sg.items():
         assert sg[(x, c)] == n
+
+
+def test_biased_walks_validity_and_bias(spark):
+    from graphiti_spark.operators.gnn import biased_walks
+
+    # path graph a-b-c-d: from b with prev a, w_near can only apply to
+    # neighbors adjacent to a (none besides a itself on a path), so
+    # steps alternate between return (w_return) and forward (w_far)
+    _, edges = _graph(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+    walks = biased_walks(edges, walk_len=3, n_walks=2).collect()
+    und = {("a", "b"), ("b", "c"), ("c", "d")}
+    und |= {(b, a) for a, b in und}
+    byw = {}
+    for r in walks:
+        byw.setdefault((r.start, r.walk), {})[r.step] = r.name
+    for (start, _w), steps in byw.items():
+        assert sorted(steps) == [0, 1, 2, 3]
+        assert steps[0] == start
+        for t in range(1, 4):
+            assert (steps[t - 1], steps[t]) in und
+    assert len(byw) == 8  # 4 start nodes x 2 walks
+    # determinism under repartitioning
+    walks2 = biased_walks(edges.repartition(5), walk_len=3, n_walks=2).collect()
+    assert sorted(map(tuple, walks)) == sorted(map(tuple, walks2))
+
+
+def test_biased_walks_weights_steer(spark):
+    from graphiti_spark.operators.gnn import biased_walks
+
+    # star + triangle: from hub h with prev a, neighbors are a (return),
+    # b (adjacent to a → near), c..f (far). With w_near huge the pick
+    # from (prev=a, cur=h) must be b whenever the draw lands in the
+    # near mass — verify the extreme: w_near so large every step-2 pick
+    # from h goes to the unique common neighbor b.
+    pairs = [("a", "h"), ("b", "h"), ("a", "b"),
+             ("c", "h"), ("d", "h"), ("e", "h"), ("f", "h")]
+    _, edges = _graph(spark, pairs)
+    walks = biased_walks(
+        edges, walk_len=2, n_walks=4, w_return=1, w_near=10**6, w_far=1
+    ).collect()
+    byw = {}
+    for r in walks:
+        byw.setdefault((r.start, r.walk), {})[r.step] = r.name
+    for (start, _w), steps in byw.items():
+        if start == "a" and steps[1] == "h":
+            # from h with prev a: near-mass dominance → b
+            assert steps[2] == "b"
