@@ -195,6 +195,10 @@ PPR_SEEDS = [("g0", "Globex"), ("g0", "J. Smith"), ("g1", "Globex")]
 # shared literals so engine and oracle draw the same boundaries)
 SPLIT_TRAIN_END = "2019-01-01 00:00:00"
 SPLIT_VALID_END = "2022-01-01 00:00:00"
+# eval cutoff for link_pred_eval: early enough that post-cutoff pairs
+# include genuinely NEW pairs (later cutoffs leave an empty test set —
+# the fixture re-asserts most pairs across years)
+EVAL_TRAIN_END = "2016-01-01 00:00:00"
 DIFF_T1 = "2017-06-01 00:00:00"
 DIFF_T2 = "2022-06-01 00:00:00"
 
@@ -251,6 +255,41 @@ def _q_skipgram_pairs(spark, sf_dir):
 
     out = _graph(spark, sf_dir)
     return skipgram_pairs(random_walks(out.edges, walk_len=4, n_walks=2), window=2)
+
+
+def _q_link_pred_eval(spark, sf_dir):
+    """Filtered MRR / Hits@10 of the RA link-prediction proposer
+    against the post-cutoff future edges: train graph = assertions
+    before SPLIT_TRAIN_END, candidates = link_prediction_ra top-50 per
+    group on the train graph, test = new undirected pairs asserted
+    after the cutoff (gnn.ranking_metrics)."""
+    from graphiti_spark.operators.centrality import link_prediction_ra
+    from graphiti_spark.operators.gnn import ranking_metrics
+
+    out = _graph(spark, sf_dir)
+    te = F.lit(EVAL_TRAIN_END).cast("timestamp")
+    train = out.edges.where(F.col("valid_at").isNull() | (F.col("valid_at") < te))
+    tr_und = train.select(
+        "group_id",
+        F.least("subj_name", "obj_name").alias("src"),
+        F.greatest("subj_name", "obj_name").alias("dst"),
+    ).distinct()
+    test = (
+        out.edges.where(F.col("valid_at") >= te)
+        .select(
+            "group_id",
+            F.least("subj_name", "obj_name").alias("src"),
+            F.greatest("subj_name", "obj_name").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .join(tr_und, ["group_id", "src", "dst"], "left_anti")
+    )
+    cand = link_prediction_ra(out.nodes, train, k=50).select(
+        "group_id", F.col("a").alias("src"), F.col("b").alias("dst"),
+        F.col("ra_micro").alias("score"),
+    )
+    return ranking_metrics(cand, test, k=10)
 
 
 def _q_temporal_split(spark, sf_dir):
@@ -1236,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gnn_edges": _q_gnn_edges,
         "gnn_negatives": _q_gnn_negatives,
         "temporal_split": _q_temporal_split,
+        "link_pred_eval": _q_link_pred_eval,
         "random_walks": _q_random_walks,
         "biased_walks": _q_biased_walks,
         "skipgram_pairs": _q_skipgram_pairs,
@@ -1359,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "gnn_edges": oo.q_gnn_edges(),
         "gnn_negatives": oo.q_gnn_negatives(n_neg=3),
         "temporal_split": oo.q_temporal_split(SPLIT_TRAIN_END, SPLIT_VALID_END),
+        "link_pred_eval": oo.q_link_pred_eval(EVAL_TRAIN_END, k_cand=50, k=10),
         "random_walks": oo.q_random_walks(walk_len=4, n_walks=2),
         "biased_walks": oo.q_biased_walks(walk_len=3, n_walks=1),
         "skipgram_pairs": oo.q_skipgram_pairs(walk_len=4, n_walks=2, window=2),

@@ -51,6 +51,7 @@ __all__ = [
     "random_walks",
     "skipgram_pairs",
     "biased_walks",
+    "ranking_metrics",
 ]
 
 
@@ -537,4 +538,69 @@ def biased_walks(
     return res.select(
         "group_id", "start", F.col("walk").cast("int").alias("walk"),
         F.col("step").cast("int").alias("step"), "name",
+    )
+
+
+def ranking_metrics(
+    candidates: DataFrame,
+    test: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """(group_id, n_test, n_ranked, mrr_micro, hits_at_k) — filtered
+    ranking evaluation for link prediction: each test edge's true
+    destination is ranked within its source's scored candidate list
+    (score DESC, name ASC on ties — total order), then aggregated to
+    mean reciprocal rank (integer micro-units, floor(1e6/rank)
+    averaged with floor division) and Hits@k. Test edges whose
+    destination is absent from the candidate list are counted in
+    ``n_test`` but not ranked (``n_ranked`` discloses coverage — the
+    honest number; silently scoring them rank-∞ or dropping them
+    silently both misreport).
+
+    ``candidates``: (group_id, src, dst, score) with integer scores
+    (e.g. link_prediction_ra's ra_micro); ``test``: (group_id, src,
+    dst) held-out true edges (e.g. temporal_edge_split's test rows).
+
+    Scale shape: one join to fetch the true score + one
+    (test × per-src candidates) join bounded by the top-k candidate
+    list length, then partial-agg counts — never corpus × corpus.
+    """
+    c = candidates.select(
+        "group_id", "src", F.col("dst").alias("cand"), F.col("score").cast("long")
+    )
+    t = test.select("group_id", "src", "dst").distinct()
+    truth = t.join(
+        c.select(
+            "group_id", "src", F.col("cand").alias("dst"),
+            F.col("score").alias("s_true"),
+        ),
+        ["group_id", "src", "dst"],
+    )
+    pairs = truth.join(c, ["group_id", "src"])
+    better = (
+        (F.col("score") > F.col("s_true"))
+        | ((F.col("score") == F.col("s_true")) & (F.col("cand") < F.col("dst")))
+    )
+    ranks = pairs.groupBy("group_id", "src", "dst").agg(
+        (F.sum(F.when(better, 1).otherwise(0)) + 1).cast("long").alias("rank")
+    )
+    per_group = ranks.groupBy("group_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ranked"),
+        F.sum(F.expr("1000000 DIV rank")).cast("long").alias("_rr_sum"),
+        F.sum(F.when(F.col("rank") <= k, 1).otherwise(0))
+        .cast("long")
+        .alias("hits_at_k"),
+    )
+    totals = t.groupBy("group_id").agg(F.count(F.lit(1)).cast("long").alias("n_test"))
+    return (
+        totals.join(per_group, "group_id", "left")
+        .select(
+            "group_id",
+            "n_test",
+            F.coalesce("n_ranked", F.lit(0)).alias("n_ranked"),
+            F.coalesce(
+                F.expr("_rr_sum DIV n_ranked"), F.lit(0)
+            ).cast("long").alias("mrr_micro"),
+            F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+        )
     )

@@ -3063,3 +3063,98 @@ f1 AS (
 ){chain_sql}
 SELECT * FROM ({union})
 """
+
+
+def q_link_pred_eval(
+    train_end: str = "2019-01-01 00:00:00",
+    k_cand: int = 50,
+    k: int = 10,
+    scale: int = 10**6,
+) -> str:
+    """SQL twin of the link_pred_eval driver query: RA proposer fitted
+    on the pre-cutoff train graph, filtered MRR/Hits@k against the
+    post-cutoff new undirected pairs (gnn.ranking_metrics
+    arithmetic, integer micro-units throughout)."""
+    return f"""
+WITH {EDGES_CTE},
+tr AS (SELECT * FROM edges
+       WHERE valid_at IS NULL OR valid_at < TIMESTAMP '{train_end}'),
+und AS (
+  SELECT DISTINCT group_id,
+    LEAST(subj_name, obj_name) AS a, GREATEST(subj_name, obj_name) AS b
+  FROM tr WHERE subj_name <> obj_name
+),
+deg AS (
+  SELECT group_id, name, COUNT(*) AS deg FROM (
+    SELECT group_id, a AS name FROM und
+    UNION ALL SELECT group_id, b FROM und
+  ) GROUP BY 1, 2
+),
+adj AS (
+  SELECT u.group_id, u.a AS z, u.b AS n, d.deg
+  FROM und u JOIN deg d ON d.group_id = u.group_id AND d.name = u.a
+  UNION ALL
+  SELECT u.group_id, u.b, u.a, d.deg
+  FROM und u JOIN deg d ON d.group_id = u.group_id AND d.name = u.b
+),
+rap AS (
+  SELECT l.group_id, l.n AS a, r.n AS b,
+    COUNT(*) AS n_common,
+    SUM(CAST({scale} AS BIGINT) // l.deg) AS ra_micro
+  FROM adj l JOIN adj r ON r.group_id = l.group_id AND r.z = l.z
+  WHERE l.n < r.n
+  GROUP BY 1, 2, 3
+),
+missing AS (
+  SELECT p.* FROM rap p
+  LEFT JOIN und u ON u.group_id = p.group_id AND u.a = p.a AND u.b = p.b
+  WHERE u.a IS NULL
+),
+cand AS (
+  SELECT group_id, a AS src, b AS dst,
+    CAST(ra_micro AS BIGINT) AS score
+  FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY group_id ORDER BY ra_micro DESC, n_common DESC, a, b
+    ) AS rk FROM missing
+  ) WHERE rk <= {k_cand}
+),
+test AS (
+  SELECT DISTINCT e.group_id,
+    LEAST(e.subj_name, e.obj_name) AS src,
+    GREATEST(e.subj_name, e.obj_name) AS dst
+  FROM edges e
+  LEFT JOIN und u ON u.group_id = e.group_id
+    AND u.a = LEAST(e.subj_name, e.obj_name)
+    AND u.b = GREATEST(e.subj_name, e.obj_name)
+  WHERE e.valid_at >= TIMESTAMP '{train_end}'
+    AND e.subj_name <> e.obj_name AND u.a IS NULL
+),
+truth AS (
+  SELECT t.group_id, t.src, t.dst, c.score AS s_true
+  FROM test t
+  JOIN cand c ON c.group_id = t.group_id AND c.src = t.src AND c.dst = t.dst
+),
+ranks AS (
+  SELECT tr2.group_id, tr2.src, tr2.dst,
+    CAST(1 + SUM(CASE WHEN c.score > tr2.s_true
+          OR (c.score = tr2.s_true AND c.dst < tr2.dst) THEN 1 ELSE 0 END)
+      AS BIGINT) AS rank
+  FROM truth tr2
+  JOIN cand c ON c.group_id = tr2.group_id AND c.src = tr2.src
+  GROUP BY 1, 2, 3
+),
+pg AS (
+  SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_ranked,
+    CAST(SUM(1000000 // rank) AS BIGINT) AS rr_sum,
+    CAST(SUM(CASE WHEN rank <= {k} THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k
+  FROM ranks GROUP BY 1
+),
+tot AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS n_test FROM test GROUP BY 1)
+SELECT t.group_id, t.n_test,
+  CAST(COALESCE(p.n_ranked, 0) AS BIGINT) AS n_ranked,
+  CAST(CASE WHEN p.n_ranked IS NULL THEN 0
+       ELSE p.rr_sum // p.n_ranked END AS BIGINT) AS mrr_micro,
+  CAST(COALESCE(p.hits_at_k, 0) AS BIGINT) AS hits_at_k
+FROM tot t LEFT JOIN pg p ON p.group_id = t.group_id
+"""

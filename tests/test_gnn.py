@@ -245,3 +245,30 @@ def test_biased_walks_weights_steer(spark):
         if start == "a" and steps[1] == "h":
             # from h with prev a: near-mass dominance → b
             assert steps[2] == "b"
+
+
+def test_ranking_metrics_arithmetic(spark):
+    from graphiti_spark.operators.gnn import ranking_metrics
+
+    cand = spark.createDataFrame(
+        [("g", "s", "x", 90), ("g", "s", "y", 50), ("g", "s", "z", 50),
+         ("g", "s", "w", 10)],
+        "group_id string, src string, dst string, score long",
+    )
+    test = spark.createDataFrame(
+        # y ties z at 50 → y ranks 2 (z does not beat y: 'y' < 'z');
+        # w ranks 4; 'absent' is unranked but counted
+        [("g", "s", "y"), ("g", "s", "w"), ("g", "s", "absent")],
+        "group_id string, src string, dst string",
+    )
+    r = ranking_metrics(cand, test, k=3).collect()[0]
+    assert (r.n_test, r.n_ranked) == (3, 2)
+    # rr_sum = 1e6//2 + 1e6//4 = 750000 → mrr = 750000 // 2
+    assert r.mrr_micro == 375000
+    assert r.hits_at_k == 1  # only rank-2 y within k=3
+    # a group with no ranked rows still reports zeros
+    t2 = spark.createDataFrame(
+        [("h", "s", "q")], "group_id string, src string, dst string"
+    )
+    r2 = ranking_metrics(cand, t2, k=3).where("group_id = 'h'").collect()[0]
+    assert (r2.n_test, r2.n_ranked, r2.mrr_micro, r2.hits_at_k) == (1, 0, 0, 0)
