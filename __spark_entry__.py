@@ -257,6 +257,16 @@ def _q_skipgram_pairs(spark, sf_dir):
     return skipgram_pairs(random_walks(out.edges, walk_len=4, n_walks=2), window=2)
 
 
+def _q_sampled_neighborhood(spark, sf_dir):
+    """GraphSAGE fanout-sampled 2-hop neighborhoods of the PPR seed
+    entities (gnn.sampled_neighborhood; md5-ranked draws)."""
+    from graphiti_spark.operators.gnn import sampled_neighborhood
+
+    out = _graph(spark, sf_dir)
+    seeds = spark.createDataFrame(PPR_SEEDS, "group_id string, name string")
+    return sampled_neighborhood(out.edges, seeds, fanouts=(3, 2))
+
+
 def _q_link_pred_eval(spark, sf_dir):
     """Filtered MRR / Hits@10 of the RA link-prediction proposer
     against the post-cutoff future edges: train graph = assertions
@@ -1276,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gnn_negatives": _q_gnn_negatives,
         "temporal_split": _q_temporal_split,
         "link_pred_eval": _q_link_pred_eval,
+        "sampled_neighborhood": _q_sampled_neighborhood,
         "random_walks": _q_random_walks,
         "biased_walks": _q_biased_walks,
         "skipgram_pairs": _q_skipgram_pairs,
@@ -1400,6 +1411,7 @@ def oracle_sql() -> dict[str, str]:
         "gnn_negatives": oo.q_gnn_negatives(n_neg=3),
         "temporal_split": oo.q_temporal_split(SPLIT_TRAIN_END, SPLIT_VALID_END),
         "link_pred_eval": oo.q_link_pred_eval(EVAL_TRAIN_END, k_cand=50, k=10),
+        "sampled_neighborhood": oo.q_sampled_neighborhood(PPR_SEEDS, fanouts=(3, 2)),
         "random_walks": oo.q_random_walks(walk_len=4, n_walks=2),
         "biased_walks": oo.q_biased_walks(walk_len=3, n_walks=1),
         "skipgram_pairs": oo.q_skipgram_pairs(walk_len=4, n_walks=2, window=2),

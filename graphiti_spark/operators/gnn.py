@@ -52,6 +52,7 @@ __all__ = [
     "skipgram_pairs",
     "biased_walks",
     "ranking_metrics",
+    "sampled_neighborhood",
 ]
 
 
@@ -603,4 +604,61 @@ def ranking_metrics(
             ).cast("long").alias("mrr_micro"),
             F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
         )
+    )
+
+
+def sampled_neighborhood(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: tuple[int, ...] | list[int] = (3, 2),
+) -> DataFrame:
+    """(group_id, seed, hop, src, dst) — GraphSAGE-style fanout-
+    sampled k-hop neighborhoods (Hamilton et al. 2017,
+    arXiv:1706.02216): per seed, hop h keeps at most ``fanouts[h-1]``
+    neighbors of each frontier node, chosen as the smallest
+    md5('sage|' group '|' seed '|' hop '|' src '|' dst) — a uniform
+    without-replacement draw that is reproducible across runs,
+    partitionings, and engines, so a 100 TB mini-batch epoch re-draws
+    identical subgraphs and the DuckDB oracle replays every hop.
+
+    Scale shape: each hop is one join frontier⋈adjacency followed by
+    a per-(seed, src) rank that compiles to WindowGroupLimit — a hub
+    on the frontier forwards ``fanout`` rows per task, not its full
+    degree; the frontier for the next hop is the distinct sampled
+    destination set. This bounded fanout is exactly why SAGE sampling
+    exists — the full k-hop neighborhood of a hub would be the whole
+    graph.
+    """
+    nbr = _undirected_neighbors(edges).select("group_id", "src", "dst")
+    frontier = seeds.select(
+        "group_id", F.col("name").alias("seed"), F.col("name").alias("src")
+    ).distinct()
+    out = []
+    for hop, s in enumerate(fanouts, 1):
+        cand = frontier.join(nbr, ["group_id", "src"])
+        h = _md5_u32(
+            F.concat_ws(
+                "|", F.lit("sage"), F.col("group_id"), F.col("seed"),
+                F.lit(str(hop)), F.col("src"), F.col("dst"),
+            )
+        )
+        w = Window.partitionBy("group_id", "seed", "src").orderBy(
+            h.asc(), "dst"
+        )
+        samp = (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= s)
+            .select(
+                "group_id", "seed", F.lit(hop).alias("hop"), "src", "dst"
+            )
+        )
+        out.append(samp)
+        frontier = samp.select(
+            "group_id", "seed", F.col("dst").alias("src")
+        ).distinct()
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.select(
+        "group_id", "seed", F.col("hop").cast("int").alias("hop"), "src", "dst"
     )

@@ -3158,3 +3158,57 @@ SELECT t.group_id, t.n_test,
   CAST(COALESCE(p.hits_at_k, 0) AS BIGINT) AS hits_at_k
 FROM tot t LEFT JOIN pg p ON p.group_id = t.group_id
 """
+
+
+def q_sampled_neighborhood(
+    seeds: list = None,
+    fanouts: tuple = (3, 2),
+) -> str:
+    """SQL twin of gnn.sampled_neighborhood — per-hop md5-ranked
+    fanout sampling, one unrolled CTE pair per hop."""
+    values = ", ".join(f"('{g}', '{n}')" for g, n in seeds)
+    chain = []
+    selects = []
+    prev_frontier = "sf0"
+    for hop, s in enumerate(fanouts, 1):
+        h = _md5_u32_sql(
+            "'sage|' || f.group_id || '|' || f.seed || '|' || '"
+            + str(hop) + "' || '|' || n.src || '|' || n.dst"
+        )
+        chain.append(f"""sh{hop} AS (
+  SELECT f.group_id, f.seed, n.src, n.dst,
+    row_number() OVER (
+      PARTITION BY f.group_id, f.seed, n.src
+      ORDER BY {h}, n.dst
+    ) AS rn
+  FROM {prev_frontier} f
+  JOIN nbr n ON n.group_id = f.group_id AND n.src = f.src
+),
+sk{hop} AS (SELECT group_id, seed, src, dst FROM sh{hop} WHERE rn <= {s}),
+sf{hop} AS (SELECT DISTINCT group_id, seed, dst AS src FROM sk{hop})""")
+        selects.append(
+            f"SELECT group_id, seed, {hop} AS hop, src, dst FROM sk{hop}"
+        )
+        prev_frontier = f"sf{hop}"
+    chain_sql = ",\n".join(chain)
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH {EDGES_CTE},
+e AS (
+  SELECT DISTINCT group_id, subj_name AS a, obj_name AS b FROM edges
+  WHERE subj_name <> obj_name
+),
+und AS (
+  SELECT DISTINCT group_id, src, dst FROM (
+    SELECT group_id, a AS src, b AS dst FROM e
+    UNION ALL SELECT group_id, b, a FROM e
+  )
+),
+nbr AS (SELECT group_id, src, dst FROM und),
+sf0 AS (
+  SELECT DISTINCT v.g AS group_id, v.n AS seed, v.n AS src
+  FROM (VALUES {values}) AS v(g, n)
+),
+{chain_sql}
+SELECT * FROM ({union})
+"""

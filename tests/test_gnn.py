@@ -272,3 +272,46 @@ def test_ranking_metrics_arithmetic(spark):
     )
     r2 = ranking_metrics(cand, t2, k=3).where("group_id = 'h'").collect()[0]
     assert (r2.n_test, r2.n_ranked, r2.mrr_micro, r2.hits_at_k) == (1, 0, 0, 0)
+
+
+def test_sampled_neighborhood_fanout_and_determinism(spark):
+    from graphiti_spark.operators.gnn import sampled_neighborhood
+
+    # star: hub h with 6 leaves; seed at h, fanout (3, 2)
+    pairs = [("h", x) for x in "abcdef"]
+    _, edges = _graph(spark, pairs)
+    seeds = spark.createDataFrame([("g", "h")], "group_id string, name string")
+    out = sampled_neighborhood(edges, seeds, fanouts=(3, 2)).collect()
+    hop1 = [r for r in out if r.hop == 1]
+    hop2 = [r for r in out if r.hop == 2]
+    # fanout caps respected: 3 of 6 hub neighbors at hop 1
+    assert len(hop1) == 3 and all(r.src == "h" for r in hop1)
+    # hop 2 expands only the SAMPLED frontier, ≤ 2 per frontier node
+    frontier = {r.dst for r in hop1}
+    per_src = {}
+    for r in hop2:
+        assert r.src in frontier
+        per_src[r.src] = per_src.get(r.src, 0) + 1
+    assert all(c <= 2 for c in per_src.values())
+    # every sampled edge is a real undirected edge
+    und = {p for p in pairs} | {(b, a) for a, b in pairs}
+    assert all((r.src, r.dst) in und for r in out)
+    # deterministic under repartitioning
+    out2 = sampled_neighborhood(
+        edges.repartition(5), seeds, fanouts=(3, 2)
+    ).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_sampled_neighborhood_plan_window_group_limit(spark):
+    from graphiti_spark.operators.gnn import sampled_neighborhood
+
+    _, edges = _graph(spark, [("h", x) for x in "abcdef"])
+    seeds = spark.createDataFrame([("g", "h")], "group_id string, name string")
+    plan = (
+        sampled_neighborhood(edges, seeds, fanouts=(3,))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the per-(seed, src) fanout cap compiles to a map-side top-n — a
+    # hub forwards `fanout` rows per task, not its degree
+    assert "WindowGroupLimit" in plan
