@@ -315,3 +315,54 @@ def test_interleave_profile_streams_map_only(spark, tmp_path_factory):
         r.doc_id: tuple(r) for r in spark.read.parquet(out_dir).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_sessionization_matches_batch(spark, tmp_path_factory):
+    """Native session_window over a real stream produces the SAME
+    sessions (aligned on (user_id, session_start)) as the batch
+    lag/run-sum sessionize for on-time data — the gap rule, aggregate
+    arithmetic, and boundaries all agree."""
+    from graphiti_spark.operators.events import sessionize
+    from graphiti_spark.streaming.sessions import session_agg
+
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").cache()
+    batch = {
+        (r.user_id, r.session_start): (
+            r.session_end, r.n_events, r.n_errors, r.value_cents, r.max_k
+        )
+        for r in sessionize(events).collect()
+    }
+    # batch-mode session_agg (withWatermark no-op) must agree first
+    inline = {
+        (r.user_id, r.session_start): (
+            r.session_end, r.n_events, r.n_errors, r.value_cents, r.max_k
+        )
+        for r in session_agg(events).collect()
+    }
+    assert inline == batch
+
+    # now the real streaming path: two arrivals, complete-mode sink
+    in_dir = str(tmp_path_factory.mktemp("sess_in"))
+    events.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    events.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    q = (
+        session_agg(stream)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r.user_id, r.session_start): (
+            r.session_end, r.n_events, r.n_errors, r.value_cents, r.max_k
+        )
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    assert streamed == batch
