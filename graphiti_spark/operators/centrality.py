@@ -552,27 +552,18 @@ def degree_histogram(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     the histogram groupBy runs on (group, degree) — a tiny key space.
     Isolated nodes enter via one left join against the node set.
     """
-    e = edges.select(
-        "group_id",
-        F.col("subj_name").alias("a"),
-        F.col("obj_name").alias("b"),
-    ).where(F.col("a") != F.col("b"))
-    und = (
-        e.select("group_id", F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y"))
-        .distinct()
-    )
-    deg = (
-        und.select("group_id", F.col("x").alias("name"))
-        .unionByName(und.select("group_id", F.col("y").alias("name")))
-        .groupBy("group_id", "name")
-        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
-    )
+    _und, deg = _undirected_degrees(edges)
     all_deg = (
         nodes.select("group_id", "name")
         .distinct()
-        .join(deg, ["group_id", "name"], "left")
+        .join(
+            deg.select("group_id", "name", F.col("deg").alias("degree")),
+            ["group_id", "name"],
+            "left",
+        )
         .select(
-            "group_id", "name", F.coalesce("degree", F.lit(0)).alias("degree")
+            "group_id", "name",
+            F.coalesce("degree", F.lit(0)).cast("long").alias("degree"),
         )
     )
     return all_deg.groupBy("group_id", "degree").agg(

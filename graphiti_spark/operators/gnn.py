@@ -293,6 +293,79 @@ def _undirected_neighbors(edges: DataFrame) -> DataFrame:
     )
 
 
+def _walk_starts(deg: DataFrame, n_walks: int) -> DataFrame:
+    """(group_id, start, walk, cur=start) — n_walks walk slots per
+    start node. n_walks < 1 raises: F.sequence(0, n_walks-1) would
+    DESCEND for negative bounds (Spark semantics), silently emitting
+    walks the DuckDB oracle's generate_series would not."""
+    if n_walks < 1:
+        raise ValueError(f"n_walks must be >= 1, got {n_walks}")
+    return deg.select(
+        "group_id",
+        F.col("src").alias("start"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk"),
+    ).select("group_id", "start", "walk", F.col("start").alias("cur"))
+
+
+def _uniform_step(
+    frontier: DataFrame, nbr: DataFrame, deg: DataFrame, salt: str, t: int
+) -> DataFrame:
+    """One uniform walk step shared by random_walks and biased_walks'
+    first hop: md5('<salt>|' g '|' start '|' walk '|' t) mod
+    deg(cur) picks the ranked neighbor. Returns (group_id, start,
+    walk, prev, cur)."""
+    r = (
+        _md5_u32(
+            F.concat_ws(
+                "|",
+                F.lit(salt),
+                F.col("group_id"),
+                F.col("start"),
+                F.col("walk").cast("string"),
+                F.lit(str(t)),
+            )
+        )
+        % F.col("deg")
+    )
+    return (
+        frontier.join(
+            deg.select("group_id", F.col("src").alias("cur"), "deg"),
+            ["group_id", "cur"],
+        )
+        .withColumn("_r", r)
+        .join(
+            nbr.select(
+                "group_id", F.col("src").alias("cur"),
+                F.col("rk").alias("_r"), "dst",
+            ),
+            ["group_id", "cur", "_r"],
+        )
+        .select(
+            "group_id", "start", "walk",
+            F.col("cur").alias("prev"), F.col("dst").alias("cur"),
+        )
+    )
+
+
+def _assemble_walks(steps: list[DataFrame]) -> DataFrame:
+    """Union per-step (group_id, start, walk, step, name) frames into
+    the walk-corpus output shape."""
+    res = steps[0]
+    for df in steps[1:]:
+        res = res.unionByName(df)
+    return res.select(
+        "group_id", "start", F.col("walk").cast("int").alias("walk"),
+        F.col("step").cast("int").alias("step"), "name",
+    )
+
+
+def _step_rows(frame: DataFrame, t: int) -> DataFrame:
+    return frame.select(
+        "group_id", "start", "walk",
+        F.lit(t).alias("step"), F.col("cur").alias("name"),
+    )
+
+
 def random_walks(
     edges: DataFrame,
     walk_len: int = 4,
@@ -317,65 +390,12 @@ def random_walks(
     """
     nbr = _undirected_neighbors(edges)
     deg = nbr.select("group_id", "src", "deg").distinct()
-    starts = deg.select(
-        "group_id",
-        F.col("src").alias("start"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk"),
-    ).select(
-        "group_id", "start", "walk", F.col("start").alias("cur")
-    )
-    out = [
-        starts.select(
-            "group_id", "start", "walk",
-            F.lit(0).alias("step"), F.col("cur").alias("name"),
-        )
-    ]
-    frontier = starts
+    frontier = _walk_starts(deg, n_walks)
+    out = [_step_rows(frontier, 0)]
     for t in range(1, walk_len + 1):
-        r = (
-            _md5_u32(
-                F.concat_ws(
-                    "|",
-                    F.lit("walk"),
-                    F.col("group_id"),
-                    F.col("start"),
-                    F.col("walk").cast("string"),
-                    F.lit(str(t)),
-                )
-            )
-            % F.col("deg")
-        )
-        stepped = (
-            frontier.join(
-                deg.select("group_id", F.col("src").alias("cur"), "deg"),
-                ["group_id", "cur"],
-            )
-            .withColumn("_r", r)
-            .join(
-                nbr.select(
-                    "group_id", F.col("src").alias("cur"),
-                    F.col("rk").alias("_r"), "dst",
-                ),
-                ["group_id", "cur", "_r"],
-            )
-            .select(
-                "group_id", "start", "walk", F.col("dst").alias("cur")
-            )
-        )
-        out.append(
-            stepped.select(
-                "group_id", "start", "walk",
-                F.lit(t).alias("step"), F.col("cur").alias("name"),
-            )
-        )
-        frontier = stepped
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res.select(
-        "group_id", "start", F.col("walk").cast("int").alias("walk"),
-        F.col("step").cast("int").alias("step"), "name",
-    )
+        frontier = _uniform_step(frontier, nbr, deg, "walk", t)
+        out.append(_step_rows(frontier, t))
+    return _assemble_walks(out)
 
 
 def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
@@ -435,51 +455,12 @@ def biased_walks(
     """
     nbr = _undirected_neighbors(edges)
     deg = nbr.select("group_id", "src", "deg").distinct()
-    starts = deg.select(
-        "group_id",
-        F.col("src").alias("start"),
-        F.explode(F.sequence(F.lit(0), F.lit(n_walks - 1))).alias("walk"),
-    )
-    out = [
-        starts.select(
-            "group_id", "start", "walk",
-            F.lit(0).alias("step"), F.col("start").alias("name"),
-        )
-    ]
-    # step 1: uniform rank pick (identical to random_walks)
-    r1 = (
-        _md5_u32(
-            F.concat_ws(
-                "|", F.lit("n2v"), F.col("group_id"), F.col("start"),
-                F.col("walk").cast("string"), F.lit("1"),
-            )
-        )
-        % F.col("deg")
-    )
-    frontier = (
-        starts.join(
-            deg.select("group_id", F.col("src").alias("start"), "deg"),
-            ["group_id", "start"],
-        )
-        .withColumn("_r", r1)
-        .join(
-            nbr.select(
-                "group_id", F.col("src").alias("start"),
-                F.col("rk").alias("_r"), "dst",
-            ),
-            ["group_id", "start", "_r"],
-        )
-        .select(
-            "group_id", "start", "walk",
-            F.col("start").alias("prev"), F.col("dst").alias("cur"),
-        )
-    )
-    out.append(
-        frontier.select(
-            "group_id", "start", "walk",
-            F.lit(1).alias("step"), F.col("cur").alias("name"),
-        )
-    )
+    starts = _walk_starts(deg, n_walks)
+    out = [_step_rows(starts, 0)]
+    # step 1: uniform rank pick (same mechanics as random_walks, its
+    # own salt) — shared via _uniform_step
+    frontier = _uniform_step(starts, nbr, deg, "n2v", 1)
+    out.append(_step_rows(frontier, 1))
     adj = nbr.select(
         "group_id", F.col("src").alias("x"), F.col("dst").alias("p"),
         F.lit(True).alias("near"),
@@ -527,19 +508,8 @@ def biased_walks(
                 F.col("cur").alias("prev"), F.col("dst").alias("cur"),
             )
         )
-        out.append(
-            frontier.select(
-                "group_id", "start", "walk",
-                F.lit(t).alias("step"), F.col("cur").alias("name"),
-            )
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res.select(
-        "group_id", "start", F.col("walk").cast("int").alias("walk"),
-        F.col("step").cast("int").alias("step"), "name",
-    )
+        out.append(_step_rows(frontier, t))
+    return _assemble_walks(out)
 
 
 def ranking_metrics(
@@ -629,6 +599,8 @@ def sampled_neighborhood(
     exists — the full k-hop neighborhood of a hub would be the whole
     graph.
     """
+    if not fanouts:
+        raise ValueError("fanouts must be non-empty")
     nbr = _undirected_neighbors(edges).select("group_id", "src", "dst")
     frontier = seeds.select(
         "group_id", F.col("name").alias("seed"), F.col("name").alias("src")

@@ -3161,12 +3161,20 @@ FROM tot t LEFT JOIN pg p ON p.group_id = t.group_id
 
 
 def q_sampled_neighborhood(
-    seeds: list = None,
+    seeds: list,
     fanouts: tuple = (3, 2),
 ) -> str:
     """SQL twin of gnn.sampled_neighborhood — per-hop md5-ranked
-    fanout sampling, one unrolled CTE pair per hop."""
-    values = ", ".join(f"('{g}', '{n}')" for g, n in seeds)
+    fanout sampling, one unrolled CTE pair per hop. ``seeds`` is
+    required; names are quote-escaped into the VALUES list (entity
+    names are free text)."""
+    if not seeds or not fanouts:
+        raise ValueError("seeds and fanouts must be non-empty")
+
+    def q(x: str) -> str:
+        return x.replace("'", "''")
+
+    values = ", ".join(f"('{q(g)}', '{q(n)}')" for g, n in seeds)
     chain = []
     selects = []
     prev_frontier = "sf0"

@@ -5,6 +5,7 @@ semantic invariants get crafted-graph checks."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from graphiti_spark.operators.gnn import (
@@ -315,3 +316,22 @@ def test_sampled_neighborhood_plan_window_group_limit(spark):
     # the per-(seed, src) fanout cap compiles to a map-side top-n — a
     # hub forwards `fanout` rows per task, not its degree
     assert "WindowGroupLimit" in plan
+
+
+def test_walk_degenerate_params_raise(spark):
+    from graphiti_spark.operators.gnn import (
+        biased_walks,
+        random_walks,
+        sampled_neighborhood,
+    )
+
+    _, edges = _graph(spark, [("a", "b")])
+    seeds = spark.createDataFrame([("g", "a")], "group_id string, name string")
+    # n_walks=0 would make F.sequence(0, -1) DESCEND and silently emit
+    # walks the oracle's generate_series never would — must raise
+    with pytest.raises(ValueError):
+        random_walks(edges, walk_len=2, n_walks=0)
+    with pytest.raises(ValueError):
+        biased_walks(edges, walk_len=2, n_walks=0)
+    with pytest.raises(ValueError):
+        sampled_neighborhood(edges, seeds, fanouts=())

@@ -349,7 +349,15 @@ def test_streaming_sessionization_matches_batch(spark, tmp_path_factory):
     events.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
         "append"
     ).parquet(in_dir)
-    stream = spark.readStream.schema(events.schema).parquet(in_dir)
+    # one file per trigger => the session-window STATE MERGE across
+    # micro-batches is genuinely exercised (without this, availableNow
+    # consumes both files in a single batch and the test degenerates
+    # to the batch-mode comparison above)
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
     q = (
         session_agg(stream)
         .writeStream.format("memory")
