@@ -241,11 +241,14 @@ def _q_random_walks(spark, sf_dir):
 
 def _q_biased_walks(spark, sf_dir):
     """node2vec second-order biased walks (integer weights, md5
-    cumulative pick — gnn.biased_walks)."""
+    cumulative pick — gnn.biased_walks). max_deg=3 binds on the
+    fixture graph (max degree 5), so the hub-cap path — md5-sampled
+    candidate subset per over-cap source — is exercised and
+    value-oracled end to end, not just the exact path."""
     from graphiti_spark.operators.gnn import biased_walks
 
     out = _graph(spark, sf_dir)
-    return biased_walks(out.edges, walk_len=3, n_walks=1)
+    return biased_walks(out.edges, walk_len=3, n_walks=1, max_deg=3)
 
 
 def _q_skipgram_pairs(spark, sf_dir):
@@ -1413,7 +1416,7 @@ def oracle_sql() -> dict[str, str]:
         "link_pred_eval": oo.q_link_pred_eval(EVAL_TRAIN_END, k_cand=50, k=10),
         "sampled_neighborhood": oo.q_sampled_neighborhood(PPR_SEEDS, fanouts=(3, 2)),
         "random_walks": oo.q_random_walks(walk_len=4, n_walks=2),
-        "biased_walks": oo.q_biased_walks(walk_len=3, n_walks=1),
+        "biased_walks": oo.q_biased_walks(walk_len=3, n_walks=1, max_deg=3),
         "skipgram_pairs": oo.q_skipgram_pairs(walk_len=4, n_walks=2, window=2),
         "semantic_dedup": oo.q_semantic_dedup_keep_list(),
         "lm_perplexity": oo.q_lm_perplexity(),

@@ -426,6 +426,40 @@ def skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
     )
 
 
+def capped_neighbors(nbr: DataFrame, max_deg: int) -> DataFrame:
+    """(group_id, src, dst, rk) — the biased-step candidate adjacency
+    with hub degrees capped at ``max_deg``. Sources at or below the
+    cap keep their full neighbor list and original rank untouched
+    (byte-identical to the uncapped adjacency), so the cap is a no-op
+    on graphs with no hub. Sources above the cap keep a deterministic
+    md5-sampled subset: neighbors re-ranked by
+    md5('cap|' g '|' src '|' dst) (dst tie-break), first ``max_deg``
+    kept — an unbiased sample that any engine (and the DuckDB oracle)
+    replays exactly. The re-rank window costs one pass over deg(hub)
+    rows ONCE per job, not per walk-step — the whole point.
+    """
+    keep = nbr.where(F.col("deg") <= max_deg).select(
+        "group_id", "src", "dst", "rk"
+    )
+    hw = Window.partitionBy("group_id", "src").orderBy("hrk", "dst")
+    hubs = (
+        nbr.where(F.col("deg") > max_deg)
+        .withColumn(
+            "hrk",
+            _md5_u32(
+                F.concat_ws(
+                    "|", F.lit("cap"), F.col("group_id"),
+                    F.col("src"), F.col("dst"),
+                )
+            ),
+        )
+        .withColumn("crk", (F.row_number().over(hw) - 1).cast("long"))
+        .where(F.col("crk") < max_deg)
+        .select("group_id", "src", "dst", F.col("crk").alias("rk"))
+    )
+    return keep.unionByName(hubs)
+
+
 def biased_walks(
     edges: DataFrame,
     walk_len: int = 3,
@@ -433,6 +467,7 @@ def biased_walks(
     w_return: int = 1,
     w_near: int = 4,
     w_far: int = 1,
+    max_deg: int | None = 64,
 ) -> DataFrame:
     """(group_id, start, walk, step, name) — node2vec second-order
     biased walks (Grover & Leskovec 2016, arXiv:1607.00653) with
@@ -444,14 +479,20 @@ def biased_walks(
 
     Scale shape: each biased step scans the CURRENT node's neighbor
     list (one join on cur + a per-walk cumulative window + one
-    membership left-join against the adjacency for the
-    "neighbor-of-previous" test), so a step costs O(Σ deg(cur)) rows
-    — a hub visit fans its full degree out, unlike the uniform walk's
-    O(1) rank pick (the weight depends on `prev`, so an index can't
-    answer it directly). Production mitigation at 100 TB: precompute
-    per-(v,prev) alias tables for the hub set, or cap hub degree with
-    the link_prediction max_deg discipline; kept exact here because
-    correctness is oracle-gated.
+    membership equi-join against the adjacency for the
+    "neighbor-of-previous" test — the equi-join never fans out), so a
+    step costs O(Σ min(deg(cur), max_deg)) rows. **Hub safety**
+    (output contract): ``max_deg`` (default 64) caps the candidate
+    list of any node whose degree exceeds it to a deterministic
+    md5-sampled subset built ONCE via :func:`capped_neighbors` — a
+    walk sitting on a 10⁶-degree celebrity entity fans max_deg rows
+    per step, not deg. Nodes at or below the cap are byte-identical
+    to the exact uncapped walk, so on hub-free graphs the cap is
+    invisible; ``max_deg=None`` opts into the exact O(deg) form.
+    Step 1's uniform pick and the w_near membership test always use
+    the FULL adjacency (both are O(1)-per-walk equi-joins — no fanout
+    to cap). The DuckDB oracle (oracle_ops.q_biased_walks) composes
+    the identical cap, so capped walks stay fully value-oracled.
     """
     nbr = _undirected_neighbors(edges)
     deg = nbr.select("group_id", "src", "deg").distinct()
@@ -465,6 +506,10 @@ def biased_walks(
         "group_id", F.col("src").alias("x"), F.col("dst").alias("p"),
         F.lit(True).alias("near"),
     )
+    if max_deg is not None:
+        if max_deg < 1:
+            raise ValueError(f"max_deg must be >= 1 or None, got {max_deg}")
+        nbr = capped_neighbors(nbr, max_deg)
     for t in range(2, walk_len + 1):
         cand = frontier.join(
             nbr.select("group_id", F.col("src").alias("cur"), "rk", "dst"),

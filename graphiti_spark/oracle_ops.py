@@ -2981,9 +2981,16 @@ def q_biased_walks(
     w_return: int = 1,
     w_near: int = 4,
     w_far: int = 1,
+    max_deg: int | None = 64,
 ) -> str:
     """SQL twin of gnn.biased_walks — the node2vec second-order loop
-    unrolled, each step replaying the integer cumulative-weight pick."""
+    unrolled, each step replaying the integer cumulative-weight pick.
+    ``max_deg`` composes gnn.capped_neighbors' hub cap: sources above
+    the cap get an md5-re-ranked (dst tie-break) first-max_deg subset
+    as their biased-step candidate list; sources at/below keep their
+    exact ranked list, so the SQL is byte-identical to the uncapped
+    twin on hub-free graphs. Step 1 and the w_near membership test
+    use the full adjacency, exactly as the Spark side does."""
     chain = []
     selects = [
         "SELECT group_id, start, CAST(walk AS INT) AS walk, 0 AS step, "
@@ -3004,7 +3011,7 @@ def q_biased_walks(
                         AND u.dst = f.prev) THEN {w_near}
          ELSE {w_far} END AS BIGINT) AS w
   FROM f{t - 1} f
-  JOIN nbr n ON n.group_id = f.group_id AND n.src = f.cur
+  JOIN nbrcap n ON n.group_id = f.group_id AND n.src = f.cur
 ),
 bp{t} AS (
   SELECT *,
@@ -3026,6 +3033,25 @@ f{t} AS (
         "'n2v|' || s.group_id || '|' || s.start || '|' "
         "|| CAST(s.walk AS VARCHAR) || '|' || '1'"
     )
+    if max_deg is None:
+        capped = "SELECT group_id, src, dst, rk FROM nbr"
+    else:
+        hcap = _md5_u32_sql(
+            "'cap|' || n.group_id || '|' || n.src || '|' || n.dst"
+        )
+        capped = f"""
+  SELECT n.group_id, n.src, n.dst, n.rk
+  FROM nbr n JOIN deg d ON d.group_id = n.group_id AND d.src = n.src
+  WHERE d.deg <= {max_deg}
+  UNION ALL
+  SELECT group_id, src, dst, rk FROM (
+    SELECT n.group_id, n.src, n.dst,
+      CAST(row_number() OVER (PARTITION BY n.group_id, n.src
+        ORDER BY {hcap}, n.dst) - 1 AS BIGINT) AS rk
+    FROM nbr n JOIN deg d ON d.group_id = n.group_id AND d.src = n.src
+    WHERE d.deg > {max_deg}
+  ) WHERE rk < {max_deg}
+"""
     chain_sql = ",\n".join(chain)
     if chain_sql:
         chain_sql = ",\n" + chain_sql
@@ -3050,6 +3076,7 @@ nbr AS (
 ),
 deg AS (SELECT group_id, src, CAST(COUNT(*) AS BIGINT) AS deg
         FROM und GROUP BY 1, 2),
+nbrcap AS ({capped}),
 w0 AS (
   SELECT d.group_id, d.src AS start, CAST(u.w AS BIGINT) AS walk
   FROM deg d, UNNEST(generate_series(0, {n_walks - 1})) AS u(w)
