@@ -56,15 +56,73 @@ __all__ = [
 ]
 
 
-def node_index(nodes: DataFrame) -> DataFrame:
+def node_index(
+    nodes: DataFrame, strategy: str = "window", n_parts: int | None = None
+) -> DataFrame:
     """(group_id, name, node_idx) — contiguous 0-based node ids per
     group, ordered by name (the only deterministic total order the
-    canonical node set carries everywhere)."""
-    w = Window.partitionBy("group_id").orderBy("name")
-    return nodes.select("group_id", "name").distinct().select(
-        "group_id",
-        "name",
-        (F.row_number().over(w) - 1).cast("long").alias("node_idx"),
+    canonical node set carries everywhere).
+
+    ``strategy="window"`` (default): one ``row_number`` window per
+    group — simple and oracle-checkable, but each tenant's full entity
+    set funnels through ONE task (fine while entity vocab ≪ corpus).
+
+    ``strategy="offset"``: the two-pass per-partition-offset scheme
+    for billion-entity tenants. Pass 0 range-partitions the distinct
+    (group, name) set by (group_id, name) into ``n_parts`` and PINS it
+    with persist() — both passes must observe the identical partition
+    layout (range boundaries come from sampling; an unpersisted
+    recompute could redraw them between passes). Pass 1 collects the
+    bounded (partition x group) count matrix (n_parts x n_groups rows
+    — driver-side by construction, never O(rows)) and prefix-sums it
+    into per-(group, partition) starting offsets, exploiting that
+    range partitioning makes every name in partition i sort before
+    every name in partition j>i. Pass 2 broadcast-joins the offsets
+    back and ranks WITHIN (partition, group) — parallelism is
+    n_parts x n_groups instead of n_groups, and no single-partition
+    global sort appears in the plan (pinned by
+    tests/test_gnn.py::test_node_index_offset_strategy). Output is
+    byte-equal to the window form by construction: offset + local rank
+    is exactly the global per-group rank. The persisted pass-0 frame
+    stays cached while the returned DataFrame is live (it is the
+    node vocabulary — small relative to the corpus).
+    """
+    base = nodes.select("group_id", "name").distinct()
+    if strategy == "window":
+        w = Window.partitionBy("group_id").orderBy("name")
+        return base.select(
+            "group_id",
+            "name",
+            (F.row_number().over(w) - 1).cast("long").alias("node_idx"),
+        )
+    if strategy != "offset":
+        raise ValueError(f"strategy must be window|offset, got {strategy!r}")
+    spark = nodes.sparkSession
+    if n_parts is None:
+        n_parts = spark.sparkContext.defaultParallelism
+    ranged = (
+        base.repartitionByRange(n_parts, "group_id", "name")
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ranged.groupBy("_pid", "group_id").count().collect()
+    offs, running = [], {}
+    for r in sorted(counts, key=lambda r: (r["group_id"], r["_pid"])):
+        offs.append((r["group_id"], r["_pid"], running.get(r["group_id"], 0)))
+        running[r["group_id"]] = running.get(r["group_id"], 0) + r["count"]
+    off_df = spark.createDataFrame(
+        offs, "group_id string, _pid int, _off long"
+    )
+    lw = Window.partitionBy("_pid", "group_id").orderBy("name")
+    return (
+        ranged.join(F.broadcast(off_df), ["group_id", "_pid"])
+        .select(
+            "group_id",
+            "name",
+            (F.col("_off") + F.row_number().over(lw) - 1)
+            .cast("long")
+            .alias("node_idx"),
+        )
     )
 
 

@@ -447,3 +447,32 @@ def test_biased_walks_cap_is_noop_below_cap(spark):
     assert sorted(map(tuple, capped)) == sorted(map(tuple, exact))
     with pytest.raises(ValueError):
         biased_walks(edges, walk_len=2, n_walks=1, max_deg=0)
+
+
+def test_node_index_offset_strategy_matches_window_and_parallelizes(spark):
+    from graphiti_spark.operators.gnn import node_index
+
+    # enough names across two groups to span multiple range partitions
+    names = [f"n{i:03d}" for i in range(37)]
+    nodes = spark.createDataFrame(
+        [(g, n) for g in ("g0", "g1") for n in names]
+        + [("g1", "extra")],  # asymmetric groups
+        "group_id string, name string",
+    )
+    win = node_index(nodes).collect()
+    off = node_index(nodes, strategy="offset", n_parts=5)
+    assert sorted(map(tuple, off.collect())) == sorted(map(tuple, win))
+    # the scale property: ranking runs per (partition, group), never
+    # one global per-group sort — the window spec must lead with the
+    # physical partition id
+    plan = off._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(_pid" in plan
+    assert "windowspecdefinition(group_id" not in plan
+    # window form really is the single-funnel shape (the contrast)
+    wplan = node_index(nodes)._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(group_id" in wplan
+    with pytest.raises(ValueError):
+        node_index(nodes, strategy="zigzag")
+    # empty input: both strategies agree on the empty frame
+    empty = spark.createDataFrame([], "group_id string, name string")
+    assert node_index(empty, strategy="offset", n_parts=3).count() == 0
