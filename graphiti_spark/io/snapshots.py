@@ -60,6 +60,28 @@ __all__ = ["SnapshotStore"]
 _MANIFEST_DIR = "_manifests"
 
 
+def _unescape_path_name(s: str) -> str:
+    """Invert Spark's hive partition-path escaping (percent-encoded
+    ``%XX`` for ':' '/' '%' control chars etc. —
+    ExternalCatalogUtils.unescapePathName): decoding the directory
+    name Spark actually wrote is drift-proof, where re-implementing
+    the ESCAPE char set here could silently diverge from the engine."""
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "%" and i + 3 <= len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 class SnapshotStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -240,6 +262,19 @@ class SnapshotStore:
         PLUS every partition named in ``parts`` gets df's content
         (a part in ``parts`` with no rows in ``df`` becomes empty);
         every other partition keeps the parent's files."""
+        cur = self.current_version(name)
+        prior_m = self._manifest(name, cur) if cur is not None else None
+        if prior_m is not None and prior_m["partition_by"] != [partition_col]:
+            # a parent committed unpartitioned (or on another column)
+            # has root-level / differently-named files no part= filter
+            # can replace — keeping them would silently duplicate rows
+            raise ValueError(
+                f"snapshot {name!r} is partitioned by "
+                f"{prior_m['partition_by']!r}; overwrite_partitions on "
+                f"[{partition_col!r}] would keep the parent's files "
+                "alongside the replacement. Re-commit the table "
+                "partitioned by the same column first."
+            )
         files = self._stage_files(name, df, [partition_col])
         prefix = partition_col + "="
         written_parts = {f.split(os.sep, 1)[0] for f in files}
@@ -247,13 +282,21 @@ class SnapshotStore:
         # overwrite_partitions swaps expected|written) — otherwise a df
         # carrying rows for a partition not named in ``parts`` would add
         # its new files while the parent's files for that partition
-        # survive, duplicating those rows
-        replaced = written_parts | (
-            {f"{prefix}{p}" for p in parts} if parts is not None else set()
-        )
-        cur = self.current_version(name)
-        prior = self._manifest(name, cur)["files"] if cur is not None else []
-        kept = [f for f in prior if f.split(os.sep, 1)[0] not in replaced]
+        # survive, duplicating those rows. Named ``parts`` are matched
+        # by UNESCAPING the hive directory names Spark wrote (Spark
+        # percent-escapes ':' '/' '%' etc. in partition values) rather
+        # than interpolating f"part={p}" — a raw-value comparison would
+        # silently miss any value Spark escaped and keep stale rows.
+        want = {str(p) for p in parts} if parts is not None else set()
+        prior = prior_m["files"] if prior_m is not None else []
+        kept = []
+        for f in prior:
+            d = f.split(os.sep, 1)[0]
+            if d in written_parts:
+                continue
+            if d.startswith(prefix) and _unescape_path_name(d[len(prefix):]) in want:
+                continue
+            kept.append(f)
         m = self._next_manifest(
             name, sorted(kept + files), df, "overwrite_partitions", [partition_col]
         )
@@ -373,12 +416,26 @@ class SnapshotStore:
             if dirpath != base and not dirs and not files:
                 os.rmdir(dirpath)
         # sweep staging dirs abandoned by crashes DURING _stage_files
-        # (siblings of the table dir, never reachable from a manifest)
+        # (siblings of the table dir, never reachable from a manifest).
+        # Reported under their own keys — a swept dir may hold many
+        # files, so folding "1 per dir" into deleted_files would
+        # under-count (and conflate) the space actually reclaimed.
+        n_staging_dirs = 0
+        n_staging_files = 0
         for d in os.listdir(self.root):
             if d.startswith(f"{name}.staging-"):
-                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
-                n_files += 1
-        return {"expired_manifests": n_manifests, "deleted_files": n_files}
+                path = os.path.join(self.root, d)
+                n_staging_files += sum(
+                    len(fs) for _, _, fs in os.walk(path)
+                )
+                shutil.rmtree(path, ignore_errors=True)
+                n_staging_dirs += 1
+        return {
+            "expired_manifests": n_manifests,
+            "deleted_files": n_files,
+            "swept_staging_dirs": n_staging_dirs,
+            "swept_staging_files": n_staging_files,
+        }
 
     def compact(self, name: str, target_files: int = 1) -> int:
         """Small-file compaction: rewrite the current snapshot's rows

@@ -284,3 +284,60 @@ def test_graph_tables_get_transaction_time_travel(spark, store):
         & (F.col("invalid_at").isNull() | (F.col("invalid_at") > t))
     )
     assert 0 < sliced.count() < e1.count()
+
+
+def test_overwrite_partitions_rejects_mismatched_parent_layout(spark, store):
+    # parent committed UNPARTITIONED: its root-level files can't be
+    # replaced by any part= filter — proceeding would duplicate rows
+    store.commit_overwrite("t", _df(spark, [(1, 0, "a"), (2, 1, "b")]))
+    with pytest.raises(ValueError, match="partitioned by"):
+        store.commit_overwrite_partitions("t", _df(spark, [(9, 1, "z")]), "part")
+    # parent partitioned by a DIFFERENT column: same refusal
+    sdf = spark.createDataFrame(
+        [(1, 0, "x"), (2, 1, "y")], "id long, part long, val string"
+    )
+    store.commit_overwrite("u", sdf, partition_by=["val"])
+    with pytest.raises(ValueError, match="partitioned by"):
+        store.commit_overwrite_partitions("u", sdf, "part")
+    # no parent at all: first commit via overwrite_partitions is fine
+    v = store.commit_overwrite_partitions("w", sdf, "part")
+    assert v == 1
+    assert _rows(store.read("w")) == [(1, 0, "x"), (2, 1, "y")]
+
+
+def test_overwrite_partitions_matches_spark_escaped_part_values(spark, store):
+    # partition values Spark percent-escapes in directory names (':',
+    # '/', '%'): naming them in ``parts`` must still replace them
+    df = spark.createDataFrame(
+        [(1, "a:b", "x"), (2, "c/d", "y"), (3, "plain", "z")],
+        "id long, part string, val string",
+    )
+    store.commit_overwrite("t", df, partition_by=["part"])
+    # sanity: the value really was escaped on disk
+    dirs = {
+        d for d in os.listdir(os.path.join(store.root, "t"))
+        if d.startswith("part=")
+    }
+    assert "part=a:b" not in dirs and any("%3A" in d for d in dirs)
+    empty = spark.createDataFrame([], "id long, part string, val string")
+    store.commit_overwrite_partitions("t", empty, "part", parts=["a:b", "c/d"])
+    assert sorted((r.id, r.part, r.val) for r in store.read("t").collect()) == [
+        (3, "plain", "z")
+    ]
+
+
+def test_expire_snapshots_reports_staging_sweeps_separately(spark, store):
+    store.commit_overwrite("t", _df(spark, [(1, 0, "a")]))
+    # an abandoned staging dir (crash mid-_stage_files) with several
+    # files inside — simulated directly since a completed stage cleans
+    # itself up
+    stag = os.path.join(store.root, "t.staging-deadbeef")
+    os.makedirs(stag)
+    for i in range(3):
+        with open(os.path.join(stag, f"part-{i}.parquet"), "w") as f:
+            f.write("x")
+    res = store.expire_snapshots("t", keep_last=5)
+    assert res["swept_staging_dirs"] == 1
+    assert res["swept_staging_files"] >= 3
+    # deleted_files counts only manifest-tracked parquet GC, not dirs
+    assert res["deleted_files"] == 0
