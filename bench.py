@@ -222,6 +222,23 @@ def run_bench(sf_dir: str, cpus: int, replicas: int) -> dict:
     triple_recall = round(n_tp / max(n_expected, 1), 6)
     queries["triple_pr_check"] = round(time.perf_counter() - t, 3)
 
+    # Measurement isolation: the headline pipeline is done being
+    # measured (nothing below reads `out`), so release its cached
+    # stages BEFORE timing the read path. Round 4's ×1200 scale probe
+    # showed bm25_index_build super-linear IN-BENCH (4.0→5.96→28.6 s
+    # across ×300/×600/×1200) while the isolated A/B measured it
+    # sub-linear — root-caused to heap pressure from the 12M-triple
+    # run's still-pinned stage caches, not index scaling. Dropping
+    # them here makes the in-bench number measure the index, not the
+    # neighbor's garbage.
+    for _df in (out.triples_raw, out.uuid_map, out.entities, out.edges,
+                out.mentions):
+        try:
+            _df.unpersist()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
+
     # Read path (NOT counted in the headline total, which stays the
     # round-1-comparable write pipeline): persisted BM25 index build +
     # one query against it (zero per-query driver actions; term-bucket

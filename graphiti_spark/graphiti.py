@@ -188,84 +188,126 @@ class GraphitiSpark:
             if u is None
         ]
         if new_names:
-            from .functions.similarity import hash_embed_udf
-            from .operators.incremental import entity_band_rows, upart_col
-            from .operators.ontology import enrich_nodes_with_stats
-
-            base = (
-                self.spark.createDataFrame(
-                    [(group_id, n) for n in dict.fromkeys(new_names)],
-                    "group_id string, name string",
-                )
-                .withColumn("uuid", entity_uuid(F.col("group_id"), F.col("name")))
-                .withColumn("name_embedding", hash_embed_udf(F.col("name")))
-                .withColumn(
-                    "created_at", F.lit(self.batch_time).cast("timestamp")
-                )
-            )
-            stats = (
-                self.io.read("node_stats")
-                if self.io.exists("node_stats")
-                else self.spark.createDataFrame(
-                    [], "entity_uuid string, n_episodes long"
-                )
-            )
-            new_nodes = enrich_nodes_with_stats(
-                base.select(
-                    "group_id", "uuid", "name", "name_embedding", "created_at"
-                ),
-                stats,
-            )
-            node_pcol = None
-            if self.io.exists("nodes"):
-                cols = self.nodes.columns
-                if "npart" in cols:
-                    new_nodes = new_nodes.withColumn(
-                        "npart", upart_col(F.col("uuid"))
-                    )
-                    node_pcol = "npart"
-                new_nodes = new_nodes.select(*cols)
-            self.io.merge_upsert(
-                "nodes", new_nodes, key_cols=["uuid"], partition_col=node_pcol
-            )
-            if self.io.exists("uuid_map"):
-                map_cols = self.io.read("uuid_map").columns
-                map_rows = base.select(
-                    "group_id", "name", "uuid",
-                    F.col("uuid").alias("canonical_uuid"),
-                    F.col("name").alias("canonical_name"),
-                )
-                map_pcol = None
-                if "upart" in map_cols:
-                    map_rows = map_rows.withColumn(
-                        "upart", upart_col(F.col("uuid"))
-                    )
-                    map_pcol = "upart"
-                self.io.merge_upsert(
-                    "uuid_map",
-                    map_rows.select(*map_cols),
-                    key_cols=["uuid"],
-                    partition_col=map_pcol,
-                )
-            if self.io.exists("entity_bands"):
-                # keep the LSH band index complete so the restricted
-                # incremental resolver can find these manual nodes
-                self.io.append(
-                    "entity_bands",
-                    entity_band_rows(base.select("group_id", "uuid", "name")),
-                    partition_by=["kpart"],
-                )
-            if self.search_indexes:
-                from .operators.search import SearchIndex
-
-                SearchIndex(self.io, "ft_nodes").merge(
-                    base.select("uuid", "name"), "uuid", "name"
-                )
+            self._upsert_entities(group_id, new_names)
         if self.search_indexes:
             from .operators.search import SearchIndex
 
             SearchIndex(self.io, "ft_edges").merge(
                 row.select("uuid", "fact"), "uuid", "fact"
+            )
+
+    def save_entity_node(
+        self,
+        group_id: str,
+        name: str,
+        summary: str | None = None,
+    ) -> str:
+        """The server's entity-node upsert (graph_service/routers/
+        ingest.py:72-84 → zep_graphiti save_entity_node): create or
+        refresh one entity node with the standard enrichment (labels,
+        typed attributes, stat-or-given summary), registered in the
+        uuid_map and LSH band index so later batches resolve against
+        it. Uuid is content-derived (deterministic), returned."""
+        from pyspark.sql import functions as F
+
+        from .schemas import entity_uuid
+
+        self._upsert_entities(group_id, [name], summary=summary)
+        return (
+            self.spark.range(1)
+            .select(entity_uuid(F.lit(group_id), F.lit(name)).alias("u"))
+            .collect()[0]
+            .u
+        )
+
+    def _upsert_entities(
+        self,
+        group_id: str,
+        new_names: list[str],
+        summary: str | None = None,
+    ) -> None:
+        """Shared node-upsert path for add_triplet endpoints and
+        save_entity_node: enrich → merge nodes/uuid_map → extend the
+        entity band index → refresh the node fulltext index."""
+        from pyspark.sql import functions as F
+
+        from .functions.similarity import hash_embed_udf
+        from .operators.incremental import entity_band_rows, upart_col
+        from .operators.ontology import enrich_nodes_with_stats
+        from .schemas import entity_uuid
+
+        base = (
+            self.spark.createDataFrame(
+                [(group_id, n) for n in dict.fromkeys(new_names)],
+                "group_id string, name string",
+            )
+            .withColumn("uuid", entity_uuid(F.col("group_id"), F.col("name")))
+            .withColumn("name_embedding", hash_embed_udf(F.col("name")))
+            .withColumn(
+                "created_at", F.lit(self.batch_time).cast("timestamp")
+            )
+        )
+        stats = (
+            self.io.read("node_stats")
+            if self.io.exists("node_stats")
+            else self.spark.createDataFrame(
+                [], "entity_uuid string, n_episodes long"
+            )
+        )
+        new_nodes = enrich_nodes_with_stats(
+            base.select(
+                "group_id", "uuid", "name", "name_embedding", "created_at"
+            ),
+            stats,
+        )
+        if summary is not None:
+            # caller-provided summary wins over the stat sentence (the
+            # server's save_entity_node passes one through)
+            new_nodes = new_nodes.withColumn("summary", F.lit(summary))
+        node_pcol = None
+        if self.io.exists("nodes"):
+            cols = self.nodes.columns
+            if "npart" in cols:
+                new_nodes = new_nodes.withColumn(
+                    "npart", upart_col(F.col("uuid"))
+                )
+                node_pcol = "npart"
+            new_nodes = new_nodes.select(*cols)
+        self.io.merge_upsert(
+            "nodes", new_nodes, key_cols=["uuid"], partition_col=node_pcol
+        )
+        if self.io.exists("uuid_map"):
+            map_cols = self.io.read("uuid_map").columns
+            map_rows = base.select(
+                "group_id", "name", "uuid",
+                F.col("uuid").alias("canonical_uuid"),
+                F.col("name").alias("canonical_name"),
+            )
+            map_pcol = None
+            if "upart" in map_cols:
+                map_rows = map_rows.withColumn(
+                    "upart", upart_col(F.col("uuid"))
+                )
+                map_pcol = "upart"
+            self.io.merge_upsert(
+                "uuid_map",
+                map_rows.select(*map_cols),
+                key_cols=["uuid"],
+                partition_col=map_pcol,
+            )
+        if self.io.exists("entity_bands"):
+            # keep the LSH band index complete so the restricted
+            # incremental resolver can find these manual nodes
+            self.io.append(
+                "entity_bands",
+                entity_band_rows(base.select("group_id", "uuid", "name")),
+                partition_by=["kpart"],
+            )
+        if self.search_indexes:
+            from .operators.search import SearchIndex
+
+            SearchIndex(self.io, "ft_nodes").merge(
+                base.select("uuid", "name"), "uuid", "name"
             )
 
     def remove_episode(self, doc_id: str) -> None:

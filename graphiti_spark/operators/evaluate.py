@@ -152,3 +152,165 @@ def triple_prf(
         .cast("long")
         .alias("f1_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# E2E graph-vs-baseline comparison — the reference's LLM-judged eval
+# harness (tests/evals/eval_e2e_graph_building.py:105-180) as an
+# engine operator: per-episode candidate-vs-baseline grading with a
+# pluggable judge, deterministic by default, LLM-backed via the
+# llm_transport adapter.
+# ---------------------------------------------------------------------------
+
+
+def compare_graphs(
+    cand_nodes: DataFrame,
+    cand_edges: DataFrame,
+    base_nodes: DataFrame,
+    base_edges: DataFrame,
+    judge=None,
+    f1_threshold_micro: int = 800_000,
+    overlap_threshold_micro: int = 800_000,
+) -> DataFrame:
+    """(group_id, doc_id, edge_f1_micro, node_recall_micro,
+    summary_overlap_micro, candidate_is_worse) — per-episode grading of
+    a candidate graph against a baseline, mirroring the reference's
+    eval loop (eval_e2e_graph_building.py:151-178: per episode, a
+    judge decides ``candidate_is_worse``; aggregate with
+    :func:`graph_eval_score`).
+
+    Input contract (AddEpisodeResults flattened to frames): nodes
+    frames carry (group_id, doc_id, name, summary); edges frames carry
+    (group_id, doc_id, subj_name, predicate, obj_name). A doc present
+    in only one input still yields a row (full outer spine) — a
+    vanished episode must move the score, not escape it.
+
+    Deterministic default judge (the engine twin of the reference's
+    LLM prompt, prompts/eval.py eval_add_episode_results):
+
+    - ``edge_f1_micro``: set-F1 of candidate vs baseline triples per
+      episode (exact triple_prf arithmetic, integer micro-units);
+    - ``node_recall_micro``: fraction of the baseline's node names the
+      candidate kept;
+    - ``summary_overlap_micro``: mean, over name-matched nodes, of
+      |token(cand_summary) ∩ token(base_summary)| / |token(base)|
+      (1e6 when the baseline summary is empty);
+    - ``candidate_is_worse`` = edge F1 below ``f1_threshold_micro`` OR
+      either node metric below ``overlap_threshold_micro``.
+
+    ``judge``: pluggable override with the UdfCrossEncoder contract
+    shape — ``judge(per_episode_df) -> DataFrame`` replacing
+    ``candidate_is_worse`` (see :class:`UdfGraphJudge` for the
+    client/LLM-backed form riding llm_transport.HttpLLMClient).
+
+    Scale shape: distinct + three keyed joins + one per-episode agg —
+    everything keyed by (group_id, doc_id), so skew follows the
+    document distribution; no windows, no collects, no cross joins.
+    """
+    by = ["group_id", "doc_id"]
+    prf = triple_prf(
+        cand_edges, base_edges,
+        keys=["subj_name", "predicate", "obj_name"], by=by,
+    ).select(*by, F.col("f1_micro").alias("edge_f1_micro"))
+
+    bn = base_nodes.select(*by, "name", F.col("summary").alias("_bs")).distinct()
+    cn = cand_nodes.select(*by, "name", F.col("summary").alias("_cs")).distinct()
+    toks = lambda c: F.array_distinct(  # noqa: E731
+        F.filter(F.split(F.lower(F.coalesce(c, F.lit(""))), r"[^a-z0-9]+"),
+                 lambda t: t != "")
+    )
+    matched = bn.join(cn, by + ["name"], "left").select(
+        *by,
+        F.lit(1).alias("_n_base"),
+        F.when(F.col("_cs").isNotNull(), 1).otherwise(0).alias("_n_hit"),
+        F.when(
+            F.col("_cs").isNull(), F.lit(None).cast("long")
+        ).when(
+            F.size(toks(F.col("_bs"))) == 0, F.lit(1_000_000)
+        ).otherwise(
+            (F.lit(1_000_000) * F.size(F.array_intersect(
+                toks(F.col("_cs")), toks(F.col("_bs"))
+            ))).cast("long") / F.size(toks(F.col("_bs")))
+        ).cast("long").alias("_ov"),
+    )
+    nodes_score = matched.groupBy(*by).agg(
+        F.expr("1000000 * sum(_n_hit) DIV sum(_n_base)")
+        .cast("long").alias("node_recall_micro"),
+        F.coalesce(F.avg("_ov").cast("long"), F.lit(0))
+        .alias("summary_overlap_micro"),
+    )
+    # full spine: every episode either side mentions
+    per_ep = prf.join(nodes_score, by, "full").select(
+        *by,
+        F.coalesce("edge_f1_micro", F.lit(0)).alias("edge_f1_micro"),
+        # no baseline nodes for the doc -> node metrics are vacuously
+        # perfect (nothing to preserve)
+        F.coalesce("node_recall_micro", F.lit(1_000_000))
+        .alias("node_recall_micro"),
+        F.coalesce("summary_overlap_micro", F.lit(1_000_000))
+        .alias("summary_overlap_micro"),
+    )
+    if judge is not None:
+        return judge(per_ep)
+    return per_ep.withColumn(
+        "candidate_is_worse",
+        (F.col("edge_f1_micro") < f1_threshold_micro)
+        | (F.col("node_recall_micro") < overlap_threshold_micro)
+        | (F.col("summary_overlap_micro") < overlap_threshold_micro),
+    )
+
+
+def graph_eval_score(per_episode: DataFrame, by=("group_id",)) -> DataFrame:
+    """(by..., n_episodes, n_not_worse, score_micro) — the reference's
+    aggregate: mean over episodes of NOT candidate_is_worse
+    (eval_e2e_graph_building.py:170-178 scores 1 per episode unless
+    the judge flags it), per group in integer micro-units."""
+    by = list(by)
+    return per_episode.groupBy(*by).agg(
+        F.count(F.lit(1)).cast("long").alias("n_episodes"),
+        F.sum(F.when(~F.col("candidate_is_worse"), 1).otherwise(0))
+        .cast("long").alias("n_not_worse"),
+    ).select(
+        *by, "n_episodes", "n_not_worse",
+        F.expr("1000000 * n_not_worse DIV n_episodes").cast("long")
+        .alias("score_micro"),
+    )
+
+
+class UdfGraphJudge:
+    """Client-backed judge for :func:`compare_graphs` — the slot the
+    reference fills with an LLM comparing candidate vs baseline per
+    episode (eval_e2e_graph_building.py:160-169 +
+    EvalAddEpisodeResults' ``candidate_is_worse`` response model).
+
+    ``client(contexts: list[dict]) -> list[bool]`` receives one dict
+    per episode — the per-episode metric row as plain values — and
+    returns ``candidate_is_worse`` per input, Arrow-batched
+    executor-side (never a driver loop). Wire a live LLM through
+    llm_transport.HttpLLMClient exactly like
+    TransportCrossEncoderClient: one small-model call per episode
+    returning ``{"candidate_is_worse": bool}``. The client must be
+    deterministic per context for resumed runs to agree."""
+
+    def __init__(self, client):
+        self.client = client
+
+    def __call__(self, per_episode: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        client = self.client
+        cols = [c for c in per_episode.columns]
+
+        def _judge(ctx: pd.Series) -> pd.Series:
+            import json as _json
+
+            return pd.Series(
+                client([_json.loads(x) for x in ctx]),
+                index=ctx.index, dtype="bool",
+            )
+
+        _judge.__annotations__ = {"ctx": pd.Series, "return": pd.Series}
+        udf = pandas_udf(_judge, "boolean")
+        ctx = F.to_json(F.struct(*[F.col(c) for c in cols]))
+        return per_episode.withColumn("candidate_is_worse", udf(ctx))
