@@ -1262,12 +1262,65 @@ def _q_triple_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_graph_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's E2E eval harness
+    (tests/evals/eval_e2e_graph_building.py:105-180) as a driver row:
+    per-episode candidate-vs-baseline grading through
+    evaluate.compare_graphs' deterministic judge. Baseline = this
+    run's extracted triples; candidate = the same graph
+    deterministically damaged (md5-dropped edges 1-in-5, dropped
+    nodes 1-in-11, drifted summaries 1-in-3), so the oracle replays
+    the whole harness — damage, token overlap, thresholds — exactly."""
+    from graphiti_spark.operators.docops import _md5_u32
+    from graphiti_spark.operators.evaluate import compare_graphs
+
+    out = _graph(spark, sf_dir)
+    be = out.triples_raw.select(
+        "group_id", "doc_id", "subj_name", "predicate", "obj_name"
+    ).distinct()
+    names = (
+        be.select("group_id", "doc_id", F.col("subj_name").alias("name"))
+        .unionByName(
+            be.select("group_id", "doc_id", F.col("obj_name").alias("name"))
+        )
+        .distinct()
+    )
+    bn = names.withColumn(
+        "summary",
+        F.concat(F.col("name"), F.lit(" appears in "), F.col("doc_id")),
+    )
+    ce = be.where(
+        _md5_u32(
+            F.concat_ws(
+                "|", F.lit("ev"), "group_id", "doc_id", "subj_name",
+                "predicate", "obj_name",
+            )
+        ) % 5 != 0
+    )
+    cn = bn.where(
+        _md5_u32(F.concat_ws("|", F.lit("evn"), "group_id", "doc_id", "name"))
+        % 11 != 0
+    ).withColumn(
+        "summary",
+        F.when(
+            _md5_u32(
+                F.concat_ws("|", F.lit("evs"), "group_id", "doc_id", "name")
+            ) % 3 == 0,
+            F.concat(
+                F.col("name"), F.lit(" drifted entirely "), F.col("doc_id")
+            ),
+        ).otherwise(F.col("summary")),
+    )
+    return compare_graphs(cn, ce, bn, be)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline stages
         "spans": _q_spans,
         "triples_raw": _q_triples_raw,
         "triple_prf": _q_triple_prf,
+        "graph_eval": _q_graph_eval,
         "mentions_by_name": _q_mentions_by_name,
         "uuid_map": _q_uuid_map,
         "nodes": _q_nodes,
@@ -1388,6 +1441,7 @@ def oracle_sql() -> dict[str, str]:
         "spans": oracle.q_spans(),
         "triples_raw": oracle.q_triples_raw(),
         "triple_prf": oracle.q_triple_prf(),
+        "graph_eval": oo.q_graph_eval(),
         "mentions_by_name": oracle.q_mentions_raw(),
         "uuid_map": oracle.q_uuid_map(),
         "nodes": oracle.q_nodes(),

@@ -445,3 +445,34 @@ def embed_udf_from_client(make_client: Callable[[], TransportEmbedderClient]):
 
     _embed.__annotations__ = {"texts": pd.Series, "return": pd.Series}
     return pandas_udf(_embed, "array<float>")
+
+
+class TransportGraphJudgeClient:
+    """E2E-eval judge slot (tests/evals/eval_e2e_graph_building.py:
+    160-169): ``client(contexts) -> list[bool]`` for
+    ``operators.evaluate.UdfGraphJudge``. One small-model call per
+    episode context, response ``{"candidate_is_worse": bool}`` — the
+    reference's EvalAddEpisodeResults response model."""
+
+    SYSTEM = (
+        "Given per-episode metrics comparing a candidate knowledge "
+        "graph against a baseline, decide if the candidate is worse. "
+        'Respond with a JSON object: {"candidate_is_worse": false}'
+    )
+
+    def __init__(self, client: HttpLLMClient, model_size: str = "small"):
+        self.client = client
+        self.model_size = model_size
+
+    def __call__(self, contexts: list[dict]) -> list[bool]:
+        resps = self.client.generate_many(
+            [
+                [
+                    {"role": "system", "content": self.SYSTEM},
+                    {"role": "user", "content": json.dumps(c, sort_keys=True)},
+                ]
+                for c in contexts
+            ],
+            self.model_size,
+        )
+        return [bool(r["candidate_is_worse"]) for r in resps]

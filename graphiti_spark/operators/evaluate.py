@@ -228,15 +228,19 @@ def compare_graphs(
         ).when(
             F.size(toks(F.col("_bs"))) == 0, F.lit(1_000_000)
         ).otherwise(
-            (F.lit(1_000_000) * F.size(F.array_intersect(
-                toks(F.col("_cs")), toks(F.col("_bs"))
-            ))).cast("long") / F.size(toks(F.col("_bs")))
+            # explicit FLOOR, not a double->long cast: Spark truncates
+            # that cast where DuckDB rounds — floor agrees everywhere
+            F.floor(
+                (F.lit(1_000_000) * F.size(F.array_intersect(
+                    toks(F.col("_cs")), toks(F.col("_bs"))
+                ))).cast("double") / F.size(toks(F.col("_bs")))
+            )
         ).cast("long").alias("_ov"),
     )
     nodes_score = matched.groupBy(*by).agg(
         F.expr("1000000 * sum(_n_hit) DIV sum(_n_base)")
         .cast("long").alias("node_recall_micro"),
-        F.coalesce(F.avg("_ov").cast("long"), F.lit(0))
+        F.coalesce(F.floor(F.avg("_ov")).cast("long"), F.lit(0))
         .alias("summary_overlap_micro"),
     )
     # full spine: every episode either side mentions

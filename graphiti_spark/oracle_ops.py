@@ -3247,3 +3247,88 @@ sf0 AS (
 {chain_sql}
 SELECT * FROM ({union})
 """
+
+
+def q_graph_eval(
+    f1_thr: int = 800_000, ov_thr: int = 800_000
+) -> str:
+    """SQL twin of the graph_eval driver query: candidate-vs-baseline
+    per-episode grading (evaluate.compare_graphs default judge). The
+    baseline is the fixture triple set per doc; the candidate is the
+    same set deterministically damaged — md5-dropped edges (1 in 5),
+    md5-dropped nodes (1 in 11), md5-drifted summaries (1 in 3) — so
+    the whole harness, damage included, replays bit-for-bit."""
+    tok = (
+        "list_filter(list_distinct(string_split_regex(lower({s}), "
+        "'[^a-z0-9]+')), x -> x <> '')"
+    )
+    h_ev = _md5_u32_sql(
+        "'ev|' || group_id || '|' || doc_id || '|' || subj_name || '|' "
+        "|| predicate || '|' || obj_name"
+    )
+    h_evn = _md5_u32_sql("'evn|' || group_id || '|' || doc_id || '|' || name")
+    h_evs = _md5_u32_sql("'evs|' || group_id || '|' || doc_id || '|' || name")
+    tb = tok.format(s="b.summary")
+    tc = tok.format(s="c.summary")
+    return f"""
+WITH {FACTS_CTE},
+ev_be AS (
+  SELECT DISTINCT group_id, doc_id, subj_name, predicate, obj_name FROM facts
+),
+ev_bn AS (
+  SELECT group_id, doc_id, name,
+    name || ' appears in ' || doc_id AS summary
+  FROM (SELECT DISTINCT group_id, doc_id, subj_name AS name FROM ev_be
+        UNION SELECT DISTINCT group_id, doc_id, obj_name FROM ev_be)
+),
+ev_ce AS (SELECT * FROM ev_be WHERE {h_ev} % 5 <> 0),
+ev_cn AS (
+  SELECT group_id, doc_id, name,
+    CASE WHEN {h_evs} % 3 = 0
+         THEN name || ' drifted entirely ' || doc_id
+         ELSE name || ' appears in ' || doc_id END AS summary
+  FROM ev_bn WHERE {h_evn} % 11 <> 0
+),
+ev_ng AS (SELECT group_id, doc_id, COUNT(*) AS n_g FROM ev_be GROUP BY 1, 2),
+ev_ne AS (SELECT group_id, doc_id, COUNT(*) AS n_e FROM ev_ce GROUP BY 1, 2),
+ev_tp AS (
+  SELECT group_id, doc_id, COUNT(*) AS n_tp
+  FROM ev_ce JOIN ev_be USING (group_id, doc_id, subj_name, predicate, obj_name)
+  GROUP BY 1, 2
+),
+ev_prf AS (
+  SELECT g.group_id, g.doc_id,
+    CAST(2000000 * COALESCE(t.n_tp, 0)
+         // (COALESCE(e.n_e, 0) + g.n_g) AS BIGINT) AS edge_f1_micro
+  FROM ev_ng g
+  LEFT JOIN ev_ne e USING (group_id, doc_id)
+  LEFT JOIN ev_tp t USING (group_id, doc_id)
+),
+ev_matched AS (
+  SELECT b.group_id, b.doc_id, 1 AS n_base,
+    CASE WHEN c.name IS NOT NULL THEN 1 ELSE 0 END AS n_hit,
+    CASE WHEN c.name IS NULL THEN NULL
+         WHEN len({tb}) = 0 THEN 1000000
+         ELSE CAST(FLOOR(1000000.0 * len(list_intersect({tc}, {tb}))
+                         / len({tb})) AS BIGINT)
+    END AS ov
+  FROM ev_bn b
+  LEFT JOIN ev_cn c USING (group_id, doc_id, name)
+),
+ev_nsc AS (
+  SELECT group_id, doc_id,
+    CAST(1000000 * SUM(n_hit) // SUM(n_base) AS BIGINT) AS node_recall_micro,
+    CAST(COALESCE(FLOOR(AVG(ov)), 0) AS BIGINT) AS summary_overlap_micro
+  FROM ev_matched GROUP BY 1, 2
+)
+SELECT p.group_id, p.doc_id,
+  COALESCE(p.edge_f1_micro, 0) AS edge_f1_micro,
+  COALESCE(n.node_recall_micro, 1000000) AS node_recall_micro,
+  COALESCE(n.summary_overlap_micro, 1000000) AS summary_overlap_micro,
+  (COALESCE(p.edge_f1_micro, 0) < {f1_thr}
+   OR COALESCE(n.node_recall_micro, 1000000) < {ov_thr}
+   OR COALESCE(n.summary_overlap_micro, 1000000) < {ov_thr})
+  AS candidate_is_worse
+FROM ev_prf p
+FULL JOIN ev_nsc n USING (group_id, doc_id)
+"""
