@@ -424,8 +424,6 @@ class TransportEmbedderClient:
         dim = self.client.config.embedding_dim
         return [[float(x) for x in v[:dim]] for v in vecs]
 
-    __call__ = None  # explicit: use create_batch (EmbedderClient shape)
-
 
 def embed_udf_from_client(make_client: Callable[[], TransportEmbedderClient]):
     """Wrap a transport embedder in an Arrow-batched pandas UDF
