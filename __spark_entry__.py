@@ -1314,6 +1314,15 @@ def _q_graph_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compare_graphs(cn, ce, bn, be)
 
 
+def _q_graph_eval_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The eval harness's aggregate (eval_e2e_graph_building.py:170-178
+    mean-not-worse score) per group over the same deterministic
+    candidate damage as graph_eval."""
+    from graphiti_spark.operators.evaluate import graph_eval_score
+
+    return graph_eval_score(_q_graph_eval(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # KG pipeline stages
@@ -1321,6 +1330,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_raw": _q_triples_raw,
         "triple_prf": _q_triple_prf,
         "graph_eval": _q_graph_eval,
+        "graph_eval_score": _q_graph_eval_score,
         "mentions_by_name": _q_mentions_by_name,
         "uuid_map": _q_uuid_map,
         "nodes": _q_nodes,
@@ -1442,6 +1452,7 @@ def oracle_sql() -> dict[str, str]:
         "triples_raw": oracle.q_triples_raw(),
         "triple_prf": oracle.q_triple_prf(),
         "graph_eval": oo.q_graph_eval(),
+        "graph_eval_score": oo.q_graph_eval_score(),
         "mentions_by_name": oracle.q_mentions_raw(),
         "uuid_map": oracle.q_uuid_map(),
         "nodes": oracle.q_nodes(),

@@ -3332,3 +3332,22 @@ SELECT p.group_id, p.doc_id,
 FROM ev_prf p
 FULL JOIN ev_nsc n USING (group_id, doc_id)
 """
+
+
+def q_graph_eval_score(
+    f1_thr: int = 800_000, ov_thr: int = 800_000
+) -> str:
+    """SQL twin of graph_eval_score over q_graph_eval's per-episode
+    frame (the reference's mean-not-worse aggregate)."""
+    inner = q_graph_eval(f1_thr=f1_thr, ov_thr=ov_thr).strip()
+    return f"""
+WITH ev_per_ep AS ({inner})
+SELECT group_id,
+  CAST(COUNT(*) AS BIGINT) AS n_episodes,
+  CAST(SUM(CASE WHEN candidate_is_worse THEN 0 ELSE 1 END) AS BIGINT)
+    AS n_not_worse,
+  CAST(1000000 * SUM(CASE WHEN candidate_is_worse THEN 0 ELSE 1 END)
+       // COUNT(*) AS BIGINT) AS score_micro
+FROM ev_per_ep
+GROUP BY group_id
+"""
