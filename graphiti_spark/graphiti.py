@@ -207,18 +207,16 @@ class GraphitiSpark:
         refresh one entity node with the standard enrichment (labels,
         typed attributes, stat-or-given summary), registered in the
         uuid_map and LSH band index so later batches resolve against
-        it. Uuid is content-derived (deterministic), returned."""
-        from pyspark.sql import functions as F
-
-        from .schemas import entity_uuid
+        it. Uuid is content-derived (deterministic), returned —
+        computed driver-side (the python twin of schemas.entity_uuid;
+        kept in sync like oracle.py's SQL twin) rather than paying a
+        Spark job for one literal hash on the synchronous HTTP path."""
+        import hashlib
 
         self._upsert_entities(group_id, [name], summary=summary)
-        return (
-            self.spark.range(1)
-            .select(entity_uuid(F.lit(group_id), F.lit(name)).alias("u"))
-            .collect()[0]
-            .u
-        )
+        return hashlib.sha256(
+            f"entity|{group_id}|{name.lower()}".encode()
+        ).hexdigest()
 
     def _upsert_entities(
         self,

@@ -178,9 +178,11 @@ class HttpLLMClient:
         try:
             with open(self._cache_path(key)) as f:
                 return json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
+        except (OSError, json.JSONDecodeError):
             # a torn concurrent write is impossible (os.replace), but a
-            # hand-damaged entry degrades to a miss, never a crash
+            # missing/damaged/unreadable entry degrades to a MISS,
+            # never a crash — the cache is an optimization, and a
+            # broken cache mount must not take the request path down
             return None
 
     def _cache_set(self, key: str, value: dict) -> None:
@@ -233,7 +235,23 @@ class HttpLLMClient:
                 self.stats.calls += 1
                 body = self.transport(payload)
                 response = json.loads(body)  # JSONDecodeError -> retry
-                self._cache_set(key, response)
+                if not isinstance(response, dict):
+                    # valid JSON but not an object ('null', '[]', a
+                    # bare string) is a CONTRACT violation, not a
+                    # transient wire fault: fail fast rather than
+                    # retry-billing — and never cache it (a cached
+                    # null would read back as a miss forever)
+                    raise ValueError(
+                        f"transport returned non-object JSON: {body[:80]!r}"
+                    )
+                try:
+                    self._cache_set(key, response)
+                except OSError:
+                    # cache write is best-effort: a full/read-only
+                    # cache mount must not discard a PAID response —
+                    # failing here would make the task retry re-bill,
+                    # the exact thing the cache exists to prevent
+                    pass
                 return response
             except BaseException as e:
                 last = e

@@ -67,25 +67,32 @@ def node_index(
     group — simple and oracle-checkable, but each tenant's full entity
     set funnels through ONE task (fine while entity vocab ≪ corpus).
 
-    ``strategy="offset"``: the two-pass per-partition-offset scheme
-    for billion-entity tenants. Pass 0 range-partitions the distinct
-    (group, name) set by (group_id, name) into ``n_parts`` and PINS it
-    with persist() — both passes must observe the identical partition
-    layout (range boundaries come from sampling; an unpersisted
-    recompute could redraw them between passes). Pass 1 collects the
-    bounded (partition x group) count matrix (n_parts x n_groups rows
-    — driver-side by construction, never O(rows)) and prefix-sums it
-    into per-(group, partition) starting offsets, exploiting that
-    range partitioning makes every name in partition i sort before
-    every name in partition j>i. Pass 2 broadcast-joins the offsets
-    back and ranks WITHIN (partition, group) — parallelism is
+    ``strategy="offset"``: the two-pass per-bucket-offset scheme for
+    billion-entity tenants. Pass 0 derives up to ``n_parts - 1``
+    GLOBAL name-range boundaries from a deterministic md5-ranked name
+    sample (a distributed top-k — TakeOrderedAndProject, never a full
+    sort) and assigns each row an order-preserving bucket by
+    broadcast-comparing against those boundary literals. Because the
+    boundaries are literals fixed in the plan and the bucket is a pure
+    function of the name, EVERY recomputation — task retry, executor
+    loss, lineage replay — reproduces the identical layout (a
+    spark_partition_id()-based scheme would not survive that: range
+    re-sampling can move rows between physical partitions after the
+    counts were collected, silently corrupting ids; nothing needs
+    persist() here). Pass 1 collects the bounded (bucket x group)
+    count matrix (n_parts x n_groups rows — driver-side by
+    construction, never O(rows)) and prefix-sums per-(group, bucket)
+    starting offsets, exploiting that every name in bucket i sorts
+    before every name in bucket j>i. Pass 2 broadcast-joins the
+    offsets back and ranks WITHIN (bucket, group) — parallelism is
     n_parts x n_groups instead of n_groups, and no single-partition
-    global sort appears in the plan (pinned by
+    per-group sort appears in the plan (pinned by
     tests/test_gnn.py::test_node_index_offset_strategy). Output is
-    byte-equal to the window form by construction: offset + local rank
-    is exactly the global per-group rank. The persisted pass-0 frame
-    stays cached while the returned DataFrame is live (it is the
-    node vocabulary — small relative to the corpus).
+    byte-equal to the window form by construction: offset + local
+    rank is exactly the global per-group rank. Boundary skew bound:
+    the sample is the ``64 * n_parts`` md5-smallest names (uniform
+    over the vocabulary), so expected bucket size is within a small
+    factor of n/n_parts.
     """
     base = nodes.select("group_id", "name").distinct()
     if strategy == "window":
@@ -100,22 +107,34 @@ def node_index(
     spark = nodes.sparkSession
     if n_parts is None:
         n_parts = spark.sparkContext.defaultParallelism
-    ranged = (
-        base.repartitionByRange(n_parts, "group_id", "name")
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    counts = ranged.groupBy("_pid", "group_id").count().collect()
+    samp = [
+        r.name
+        for r in base.select("name")
+        .distinct()
+        .orderBy(
+            _md5_u32(F.concat_ws("|", F.lit("nb"), F.col("name"))), "name"
+        )
+        .limit(64 * n_parts)
+        .collect()
+    ]
+    samp.sort()
+    step = max(1, len(samp) // n_parts)
+    bounds = sorted(set(samp[step::step]))[: n_parts - 1]
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.when(F.col("name") > F.lit(b), 1).otherwise(0)
+    bucketed = base.withColumn("_bkt", bucket.cast("int"))
+    counts = bucketed.groupBy("_bkt", "group_id").count().collect()
     offs, running = [], {}
-    for r in sorted(counts, key=lambda r: (r["group_id"], r["_pid"])):
-        offs.append((r["group_id"], r["_pid"], running.get(r["group_id"], 0)))
+    for r in sorted(counts, key=lambda r: (r["group_id"], r["_bkt"])):
+        offs.append((r["group_id"], r["_bkt"], running.get(r["group_id"], 0)))
         running[r["group_id"]] = running.get(r["group_id"], 0) + r["count"]
     off_df = spark.createDataFrame(
-        offs, "group_id string, _pid int, _off long"
+        offs, "group_id string, _bkt int, _off long"
     )
-    lw = Window.partitionBy("_pid", "group_id").orderBy("name")
+    lw = Window.partitionBy("_bkt", "group_id").orderBy("name")
     return (
-        ranged.join(F.broadcast(off_df), ["group_id", "_pid"])
+        bucketed.join(F.broadcast(off_df), ["group_id", "_bkt"])
         .select(
             "group_id",
             "name",

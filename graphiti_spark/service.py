@@ -47,8 +47,9 @@ from __future__ import annotations
 import hashlib
 import queue
 import threading
+import time
 import traceback
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from datetime import datetime, timezone
 from typing import Callable
 
@@ -72,8 +73,12 @@ class IngestWorker:
         self.queue: queue.Queue[IngestJob | None] = queue.Queue()
         self.errors: list[dict] = []
         self.processed = 0
-        self._idle = threading.Event()
-        self._idle.set()
+        # serializes ALL graph writes: the queue drain holds it per
+        # job, and the synchronous write endpoints (/entity-node,
+        # DELETE /episode) take it too — the table merge path assumes
+        # one writer at a time, and a handler thread racing the worker
+        # would commit from a stale parent snapshot (lost update)
+        self.write_lock = threading.RLock()
         self._thread: threading.Thread | None = None
 
     def start(self) -> None:
@@ -88,9 +93,9 @@ class IngestWorker:
             if job is None:
                 self.queue.task_done()
                 break
-            self._idle.clear()
             try:
-                job.run()
+                with self.write_lock:
+                    job.run()
             except Exception as e:  # recorded, queue keeps draining
                 self.errors.append(
                     {
@@ -103,22 +108,29 @@ class IngestWorker:
             finally:
                 self.processed += 1
                 self.queue.task_done()
-                if self.queue.unfinished_tasks == 0:
-                    self._idle.set()
 
     def submit(self, job: IngestJob) -> None:
         if self._thread is None:
             self.start()
-        self._idle.clear()
         self.queue.put(job)
 
     def flush(self, timeout: float | None = None) -> bool:
         """Block until every job submitted so far has finished; True if
-        drained within ``timeout``."""
+        drained within ``timeout``. Drain state is read under the
+        queue's own ``all_tasks_done`` condition — a separate idle
+        Event would race submit() (set-after-clear) and report drained
+        with a job still pending."""
         if timeout is None:
             self.queue.join()
             return True
-        return self._idle.wait(timeout)
+        deadline = time.monotonic() + timeout
+        with self.queue.all_tasks_done:
+            while self.queue.unfinished_tasks:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    return False
+                self.queue.all_tasks_done.wait(remaining)
+            return True
 
     def stop(self) -> None:
         if self._thread is None:
@@ -238,15 +250,19 @@ def create_app(graph, worker: IngestWorker | None = None):
     @app.post("/entity-node")
     def add_entity_node():
         body = request.get_json(force=True)
-        uuid = graph.save_entity_node(
-            body["group_id"], body["name"], summary=body.get("summary")
-        )
+        # synchronous write endpoints take the same lock the queue
+        # drain holds per job — one graph writer at a time
+        with worker.write_lock:
+            uuid = graph.save_entity_node(
+                body["group_id"], body["name"], summary=body.get("summary")
+            )
         return jsonify({"uuid": uuid, "group_id": body["group_id"],
                         "name": body["name"]}), 201
 
     @app.delete("/episode/<doc_id>")
     def delete_episode(doc_id):
-        graph.remove_episode(doc_id)
+        with worker.write_lock:
+            graph.remove_episode(doc_id)
         return jsonify({"message": "Episode deleted", "success": True})
 
     @app.get("/queue-status")
@@ -273,7 +289,13 @@ def create_app(graph, worker: IngestWorker | None = None):
 
     def _run_search(query: str, group_ids, max_facts: int,
                     center_uuid: str | None = None):
-        res = graph.search(query, group_ids=group_ids,
+        from graphiti_spark.search_api import LaneConfig, SearchConfig
+
+        # thread max_facts through as the lane limit (the reference
+        # passes it as num_results, retrieve.py:19-22) — the default
+        # config would silently cap results at DEFAULT_SEARCH_LIMIT
+        config = SearchConfig(edges=LaneConfig(limit=max_facts))
+        res = graph.search(query, config=config, group_ids=group_ids,
                            center_uuid=center_uuid)
         if res.edges is None:
             return []

@@ -466,7 +466,7 @@ def test_node_index_offset_strategy_matches_window_and_parallelizes(spark):
     # one global per-group sort — the window spec must lead with the
     # physical partition id
     plan = off._jdf.queryExecution().executedPlan().toString()
-    assert "windowspecdefinition(_pid" in plan
+    assert "windowspecdefinition(_bkt" in plan
     assert "windowspecdefinition(group_id" not in plan
     # window form really is the single-funnel shape (the contrast)
     wplan = node_index(nodes)._jdf.queryExecution().executedPlan().toString()

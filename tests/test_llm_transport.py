@@ -498,3 +498,33 @@ def test_udf_summarizer_and_cross_encoder_through_spark(spark):
     scored = {r.id: r.score for r in ce.score(df, "text", "red fox").collect()}
     assert scored[1] == 1.0
     assert scored[2] == 0.0
+
+
+def test_non_object_json_fails_fast_and_is_never_cached(tmp_path):
+    cfg = TransportConfig(cache_dir=str(tmp_path))
+    for body in ("null", "[]", '"ok"'):
+        calls = {"n": 0}
+
+        def t(payload, body=body):
+            calls["n"] += 1
+            return body
+
+        c = HttpLLMClient(t, cfg, sleep=NO_SLEEP)
+        with pytest.raises(ValueError, match="non-object JSON"):
+            c.generate(MSGS)
+        assert calls["n"] == 1  # contract violation: no retry-billing
+    # nothing cached: a cached null would read back as a miss forever
+    assert list(tmp_path.glob("*.json")) == []
+
+
+def test_cache_write_failure_does_not_discard_paid_response(tmp_path):
+    # cache_dir is a FILE -> every cache write raises OSError; the
+    # paid response must still come back (task retry would re-bill)
+    blocker = tmp_path / "blocked"
+    blocker.write_text("x")
+    cfg = TransportConfig(cache_dir=str(blocker))
+    t = CountingTransport(EchoServer())
+    c = HttpLLMClient(t, cfg, sleep=NO_SLEEP)
+    out = c.generate(MSGS, "small")
+    assert out == {"summary": "SUM[hi]"}
+    assert t.calls == 1

@@ -224,3 +224,36 @@ def test_episodes_frame_idempotent_doc_ids(spark):
     b = episodes_frame_from_messages(spark, "g", msgs).collect()[0]
     assert a.doc_id == b.doc_id  # content-derived when no uuid given
     assert a.spans[0].text == "a(user): hello world"
+
+
+def test_search_max_facts_threads_through_to_the_lane_limit(served):
+    graph, app, client = served
+    q = {"query": "works for", "group_ids": ["g0"]}
+    two = client.post("/search", json={**q, "max_facts": 2}).get_json()["facts"]
+    many = client.post("/search", json={**q, "max_facts": 50}).get_json()["facts"]
+    assert len(two) == 2
+    # more than the old silent DEFAULT_SEARCH_LIMIT=10 cap would allow,
+    # when the corpus has them
+    assert len(many) > len(two)
+
+
+def test_sync_write_endpoints_serialize_with_the_queue(served):
+    graph, app, client = served
+    order = []
+    worker = app.extensions["ingest_worker"]
+
+    def slow_job():
+        order.append("job-start")
+        time.sleep(0.5)
+        order.append("job-end")
+
+    worker.submit(IngestJob(group_id="g0", run=slow_job, label="slow"))
+    time.sleep(0.1)  # let the worker take the write lock
+    r = client.post(
+        "/entity-node", json={"group_id": "g0", "name": "Race Test"}
+    )
+    order.append("entity-done")
+    assert r.status_code == 201
+    client.post("/flush", json={"timeout": 60})
+    # the synchronous write waited for the queued job's lock
+    assert order == ["job-start", "job-end", "entity-done"]
