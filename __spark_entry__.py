@@ -633,6 +633,19 @@ def _q_stratified_sample(spark, sf_dir):
     return stratified_sample(_docs(spark, sf_dir), n_per_stratum=40)
 
 
+def _q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher Appendix-A quality rules (docops.gopher_rules) over the
+    documents table — integer micro-unit metrics + per-rule keep.
+    min_required_stops=1: the fixture corpus is keyword soup (at most
+    'the'/'a' from the required list), so the default 2 would make
+    keep vacuously false; 1 makes the verdict split on real content."""
+    from graphiti_spark.operators.docops import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_rules(docs, min_required_stops=1)
+
+
+
 def _q_c4_filters(spark, sf_dir):
     """C4 heuristic line/doc filters with reason codes
     (docops.c4_filters — zero-shuffle array algebra)."""
@@ -1386,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_summary": _q_split_summary,
         "curate": _q_curate,
         "c4_filters": _q_c4_filters,
+        "gopher_rules": _q_gopher_rules,
         "stratified_sample": _q_stratified_sample,
         "chunk_documents": _q_chunk_documents,
         "leakage_safe_split": _q_leakage_safe_split,
@@ -1503,6 +1517,7 @@ def oracle_sql() -> dict[str, str]:
         "split_summary": oo.q_split_summary(),
         "curate": oo.q_curate(),
         "c4_filters": oo.q_c4_filters(),
+        "gopher_rules": oo.q_gopher_rules(min_stops=1),
         "stratified_sample": oo.q_stratified_sample(),
         "chunk_documents": oo.q_chunk_documents(),
         "leakage_safe_split": oo.q_leakage_safe_split(),

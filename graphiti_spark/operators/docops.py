@@ -2735,3 +2735,122 @@ def stratified_sample(
         .where(F.col("_rk") <= n_per_stratum)
         .select(*cols, id_col, (F.col("_rk")).cast("long").alias("draw_rank"))
     )
+
+
+def gopher_rules(
+    documents: DataFrame,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len_micro: int = 3_000_000,
+    max_mean_word_len_micro: int = 10_000_000,
+    max_symbol_ratio_micro: int = 100_000,
+    max_bullet_frac_micro: int = 900_000,
+    max_ellipsis_frac_micro: int = 300_000,
+    min_alpha_frac_micro: int = 800_000,
+    min_required_stops: int = 2,
+) -> DataFrame:
+    """(doc_id, n_words, mean_word_len_micro, symbol_ratio_micro,
+    bullet_frac_micro, ellipsis_frac_micro, alpha_frac_micro,
+    n_required_stops, keep) — the Gopher document-quality rule set
+    (Rae et al. 2021, arXiv:2112.11446 Appendix A), the standard
+    heuristic gate Gopher/MassiveText-style pipelines apply before
+    dedup: word-count band, mean-word-length band, symbol-to-word
+    ratio (# and ellipsis), bullet-started and ellipsis-ended line
+    fractions, fraction of words with an alphabetic character, and
+    the ≥2-of-8 required-stop-word test. Complements
+    :func:`c4_filters` (the other canonical rule set) — both are
+    whole-document verdicts with per-rule evidence columns.
+
+    Every metric is an integer micro-unit via ``DIV`` (never a
+    float), so the DuckDB oracle (oracle_ops.q_gopher_rules) is
+    bit-exact. Whitespace words, like the paper (not the fulltext
+    tokenizer — '#' and '...' must stay attached for the symbol
+    counts).
+
+    Scale shape: pure column algebra in the scan — zero shuffles,
+    zero Python; the whole rule set is one whole-stage-codegen
+    projection over the corpus.
+    """
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    words_l = F.transform(words, F.lower)
+    lines = F.filter(
+        F.split(F.col("text"), r"\n"), lambda x: F.trim(x) != ""
+    )
+    txt = F.col("text")
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / 3
+        + (F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit(""))))
+    ).cast("long")
+    req = ["and", "be", "have", "of", "that", "the", "to", "with"]
+    counts = documents.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(words, F.length), F.lit(0), lambda a, x: a + x
+        ).cast("long").alias("_sum_len"),
+        (n_hash.cast("long") + n_ell).alias("_n_sym"),
+        F.size(lines).cast("long").alias("_n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.ltrim(x).startswith("-")
+                | F.ltrim(x).startswith("*")
+                | F.ltrim(x).startswith("•"),
+            )
+        ).cast("long").alias("_n_bullet"),
+        F.size(
+            F.filter(
+                lines,
+                lambda x: F.rtrim(x).endswith("...")
+                | F.rtrim(x).endswith("…"),
+            )
+        ).cast("long").alias("_n_ell_line"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+        ).cast("long").alias("_n_alpha"),
+        sum(
+            [
+                F.when(F.array_contains(words_l, w), 1).otherwise(0)
+                for w in req
+            ],
+            F.lit(0),
+        ).cast("long").alias("n_required_stops"),
+    )
+    micro = counts.select(
+        "doc_id",
+        "n_words",
+        F.expr(
+            "CASE WHEN n_words > 0 THEN 1000000 * _sum_len DIV n_words "
+            "ELSE 0 END"
+        ).cast("long").alias("mean_word_len_micro"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN 1000000 * _n_sym DIV n_words "
+            "ELSE 0 END"
+        ).cast("long").alias("symbol_ratio_micro"),
+        F.expr(
+            "CASE WHEN _n_lines > 0 THEN 1000000 * _n_bullet DIV _n_lines "
+            "ELSE 0 END"
+        ).cast("long").alias("bullet_frac_micro"),
+        F.expr(
+            "CASE WHEN _n_lines > 0 THEN 1000000 * _n_ell_line DIV _n_lines "
+            "ELSE 0 END"
+        ).cast("long").alias("ellipsis_frac_micro"),
+        F.expr(
+            "CASE WHEN n_words > 0 THEN 1000000 * _n_alpha DIV n_words "
+            "ELSE 0 END"
+        ).cast("long").alias("alpha_frac_micro"),
+        "n_required_stops",
+    )
+    return micro.withColumn(
+        "keep",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len_micro") >= min_mean_word_len_micro)
+        & (F.col("mean_word_len_micro") <= max_mean_word_len_micro)
+        & (F.col("symbol_ratio_micro") <= max_symbol_ratio_micro)
+        & (F.col("bullet_frac_micro") <= max_bullet_frac_micro)
+        & (F.col("ellipsis_frac_micro") <= max_ellipsis_frac_micro)
+        & (F.col("alpha_frac_micro") >= min_alpha_frac_micro)
+        & (F.col("n_required_stops") >= min_required_stops),
+    )

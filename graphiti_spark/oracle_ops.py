@@ -3351,3 +3351,81 @@ SELECT group_id,
 FROM ev_per_ep
 GROUP BY group_id
 """
+
+
+def q_gopher_rules(
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mwl: int = 3_000_000,
+    max_mwl: int = 10_000_000,
+    max_sym: int = 100_000,
+    max_bullet: int = 900_000,
+    max_ellipsis: int = 300_000,
+    min_alpha: int = 800_000,
+    min_stops: int = 2,
+) -> str:
+    """SQL twin of docops.gopher_rules — the Gopher Appendix-A rule
+    set in exact integer micro-units (whitespace words; # and
+    ellipsis symbol counts; bullet/ellipsis line fractions; required
+    stop-word test)."""
+    return f"""
+WITH gp_w AS (
+  SELECT doc_id, text,
+    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+    list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
+  FROM documents
+),
+gp_c AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+    CAST(len(words) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(words, w -> len(w))), 0)
+      AS BIGINT) AS sum_len,
+    CAST(len(text) - len(replace(text, '#', ''))
+      + (len(text) - len(replace(text, '...', ''))) // 3
+      + (len(text) - len(replace(text, '…', ''))) AS BIGINT) AS n_sym,
+    CAST(len(lines) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(lines, l ->
+      starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')
+      OR starts_with(ltrim(l), '•'))) AS BIGINT) AS n_bullet,
+    CAST(len(list_filter(lines, l ->
+      ends_with(rtrim(l), '...') OR ends_with(rtrim(l), '…')))
+      AS BIGINT) AS n_ell_line,
+    CAST(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+      AS BIGINT) AS n_alpha,
+    CAST((CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'and') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'be') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'have') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'of') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'that') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'the') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'to') THEN 1 ELSE 0 END)
+       + (CASE WHEN list_contains(list_transform(words, w -> lower(w)), 'with') THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_required_stops
+  FROM gp_w
+),
+gp_m AS (
+  SELECT doc_id, n_words,
+    CAST(CASE WHEN n_words > 0 THEN 1000000 * sum_len // n_words
+         ELSE 0 END AS BIGINT) AS mean_word_len_micro,
+    CAST(CASE WHEN n_words > 0 THEN 1000000 * n_sym // n_words
+         ELSE 0 END AS BIGINT) AS symbol_ratio_micro,
+    CAST(CASE WHEN n_lines > 0 THEN 1000000 * n_bullet // n_lines
+         ELSE 0 END AS BIGINT) AS bullet_frac_micro,
+    CAST(CASE WHEN n_lines > 0 THEN 1000000 * n_ell_line // n_lines
+         ELSE 0 END AS BIGINT) AS ellipsis_frac_micro,
+    CAST(CASE WHEN n_words > 0 THEN 1000000 * n_alpha // n_words
+         ELSE 0 END AS BIGINT) AS alpha_frac_micro,
+    n_required_stops
+  FROM gp_c
+)
+SELECT *,
+  (n_words >= {min_words} AND n_words <= {max_words}
+   AND mean_word_len_micro >= {min_mwl}
+   AND mean_word_len_micro <= {max_mwl}
+   AND symbol_ratio_micro <= {max_sym}
+   AND bullet_frac_micro <= {max_bullet}
+   AND ellipsis_frac_micro <= {max_ellipsis}
+   AND alpha_frac_micro >= {min_alpha}
+   AND n_required_stops >= {min_stops}) AS keep
+FROM gp_m
+"""

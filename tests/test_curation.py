@@ -862,3 +862,35 @@ def test_stratified_sample_plan_window_group_limit(spark):
         stratified_sample(docs, 5)._jdf.queryExecution().executedPlan().toString()
     )
     assert "WindowGroupLimit" in plan  # map-side top-n per stratum
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    from graphiti_spark.operators.docops import gopher_rules
+
+    good = "the quick brown fox jumps over " * 10 + "lazy dogs sleep today"
+    rows = [
+        (0, good),                                   # passes everything
+        (1, "the cat sat"),                          # too few words
+        (2, ("the " + "a " * 60).strip()),           # mean word len < 3
+        (3, good.replace("fox", "fox###########")),  # symbol ratio (#)
+        (4, good.replace("fox", "fox... now...")),   # symbol ratio (...)
+        (5, "\n".join(["- the point here now"] * 20)),  # bullet lines
+        (6, "\n".join(["the line trails off..."] * 20)),  # ellipsis lines
+        (7, ("the " + "123 456 789 " * 20).strip()),  # alpha fraction
+        (8, good.replace("the", "ze").replace("over", "uber")),  # no stops
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_rules(df, min_words=20,
+                                             min_required_stops=1).collect()}
+    assert out[0].keep is True
+    assert out[1].keep is False and out[1].n_words < 20
+    assert out[2].keep is False and out[2].mean_word_len_micro < 3_000_000
+    assert out[3].keep is False and out[3].symbol_ratio_micro > 100_000
+    assert out[4].keep is False and out[4].symbol_ratio_micro > 100_000
+    assert out[5].keep is False and out[5].bullet_frac_micro == 1_000_000
+    assert out[6].keep is False and out[6].ellipsis_frac_micro == 1_000_000
+    assert out[7].keep is False and out[7].alpha_frac_micro < 800_000
+    assert out[8].keep is False and out[8].n_required_stops == 0
+    # empty corpus edge: typed empty frame, no crash
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert gopher_rules(empty).count() == 0
