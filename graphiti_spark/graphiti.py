@@ -555,11 +555,16 @@ class GraphitiSpark:
         center_uuid: str | None = None,
         bfs_origins: list[str] | None = None,
         cross_encoder: CrossEncoder | None = None,
+        filters=None,
     ) -> SearchResults:
         """The 4-lane hybrid search over the graph tables; defaults to
         EDGE_HYBRID_SEARCH_RRF like the reference's simple ``search``
         (graphiti.py:739-742). Uses the persisted fulltext indexes when
-        the facade maintains them."""
+        the facade maintains them. ``filters``: an optional
+        operators.filters.SearchFilters applied to the lane INPUTS
+        (the reference passes SearchFilters into search(), search.py
+        filters pre-ranking) — so a label filter constrains the
+        candidate pool rather than post-truncating ranked output."""
         config = config or EDGE_HYBRID_SEARCH_RRF()
         indexes = {}
         if self.search_indexes:
@@ -576,11 +581,21 @@ class GraphitiSpark:
         communities = (
             self.table("communities") if self.io.exists("communities") else None
         )
+        nodes = self.nodes
+        edges = self.edges
+        if filters is not None:
+            from .operators.filters import (
+                apply_edge_filters,
+                apply_node_filters,
+            )
+
+            nodes = apply_node_filters(nodes, filters)
+            edges = apply_edge_filters(edges, filters)
         return _search(
             query,
             config,
-            nodes=self.nodes,
-            edges=with_fact_embeddings(self.edges),
+            nodes=nodes,
+            edges=with_fact_embeddings(edges),
             episodes_text=episode_content(self.episodes),
             communities=communities,
             mentions=self.mentions,

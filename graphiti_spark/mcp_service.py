@@ -41,11 +41,7 @@ from datetime import datetime, timezone
 
 PROTOCOL_VERSION = "2024-11-05"
 
-_TABLES = [
-    "episodes", "nodes", "edges", "mentions", "uuid_map", "duplicates",
-    "communities", "community_members", "node_stats", "metrics",
-    "entity_bands", "lineage",
-]
+
 
 
 def _text_result(obj) -> dict:
@@ -75,8 +71,12 @@ class McpServer:
     def handle(self, msg: dict) -> dict | None:
         mid = msg.get("id")
         method = msg.get("method", "")
+        # JSON-RPC 2.0: ANY id-less message is a notification — it is
+        # executed but gets NO response (an orphan {"id": null, ...}
+        # desynchronizes strict request/response clients)
+        is_notification = "id" not in msg or method.startswith("notifications/")
         if method.startswith("notifications/"):
-            return None  # notifications get no response
+            return None
         try:
             if method == "initialize":
                 result = {
@@ -97,15 +97,21 @@ class McpServer:
                     params.get("name", ""), params.get("arguments", {}) or {}
                 )
             else:
+                if is_notification:
+                    return None
                 return {
                     "jsonrpc": "2.0", "id": mid,
                     "error": {"code": -32601,
                               "message": f"Method not found: {method}"},
                 }
+            if is_notification:
+                return None
             return {"jsonrpc": "2.0", "id": mid, "result": result}
         except Exception as e:
             # tool-level failures are MCP tool errors, not protocol
             # errors (the reference returns ErrorResponse objects)
+            if is_notification:
+                return None
             return {
                 "jsonrpc": "2.0", "id": mid,
                 "result": {
@@ -114,20 +120,36 @@ class McpServer:
                 },
             }
 
-    def serve_stdio(self, stdin=None, stdout=None) -> None:  # pragma: no cover
+    def serve_stdio(self, stdin=None, stdout=None) -> None:
         """MCP stdio transport: newline-delimited JSON-RPC. Blocks
-        until stdin closes. (Excluded from coverage — the framing is
-        5 lines; everything it calls is tested through handle().)"""
+        until stdin closes; drains the ingest queue before returning
+        (episodes acked as queued must not vanish with the daemon
+        thread at process exit). A malformed line yields a JSON-RPC
+        -32700 parse-error response and the loop keeps serving — one
+        bad client write must not take the server (and its queue)
+        down."""
         stdin = stdin or sys.stdin
         stdout = stdout or sys.stdout
-        for line in stdin:
-            line = line.strip()
-            if not line:
-                continue
-            resp = self.handle(json.loads(line))
-            if resp is not None:
-                stdout.write(json.dumps(resp) + "\n")
-                stdout.flush()
+        try:
+            for line in stdin:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    msg = json.loads(line)
+                except json.JSONDecodeError as e:
+                    resp = {
+                        "jsonrpc": "2.0", "id": None,
+                        "error": {"code": -32700,
+                                  "message": f"Parse error: {e}"},
+                    }
+                else:
+                    resp = self.handle(msg)
+                if resp is not None:
+                    stdout.write(json.dumps(resp) + "\n")
+                    stdout.flush()
+        finally:
+            self.worker.flush()
 
     # ------------------------------------------------------------------
     # tools
@@ -221,29 +243,18 @@ class McpServer:
         return _fact_result(row.asDict())
 
     def _tool_search_memory_facts(self, a: dict) -> dict:
-        import pyspark.sql.functions as F
+        from graphiti_spark.service import run_fact_search
 
-        from graphiti_spark.search_api import LaneConfig, SearchConfig
-
-        limit = int(a.get("max_facts", 10))
-        res = self.graph.search(
-            a["query"],
-            config=SearchConfig(edges=LaneConfig(limit=limit)),
-            group_ids=a.get("group_ids"),
+        # shared with the HTTP surface: max_facts as the lane limit,
+        # node-distance reranker when centered (the reference swaps to
+        # EDGE_HYBRID_SEARCH_NODE_DISTANCE, graphiti_mcp_server.py:
+        # 937-941), ranked ids hydrated off the edges ledger
+        facts = run_fact_search(
+            self.graph, a["query"], a.get("group_ids"),
+            int(a.get("max_facts", 10)),
             center_uuid=a.get("center_node_uuid"),
         )
-        if res.edges is None:
-            return {"message": "Facts retrieved successfully", "facts": []}
-        hits = res.edges.select(F.col("id").alias("uuid"), "score").limit(limit)
-        rows = (
-            self.graph.edges.join(hits, "uuid")
-            .orderBy(F.col("score").desc(), "uuid")
-            .collect()
-        )
-        return {
-            "message": "Facts retrieved successfully",
-            "facts": [self._fact(r) for r in rows],
-        }
+        return {"message": "Facts retrieved successfully", "facts": facts}
 
     def _tool_search_memory_nodes(self, a: dict) -> dict:
         import pyspark.sql.functions as F
@@ -253,6 +264,8 @@ class McpServer:
             NODE_HYBRID_SEARCH_RRF,
         )
 
+        from graphiti_spark.operators.filters import SearchFilters
+
         limit = int(a.get("max_nodes", 10))
         center = a.get("center_node_uuid")
         # recipe choice mirrors graphiti_mcp_server.py:861-866
@@ -261,17 +274,20 @@ class McpServer:
             else NODE_HYBRID_SEARCH_RRF()
         )
         config.nodes.limit = limit
+        entity = a.get("entity") or ""
+        # the label filter constrains the CANDIDATE POOL pre-ranking
+        # (the reference passes SearchFilters(node_labels=[entity])
+        # into the search, :867-869) — filtering after top-k would
+        # return [] whenever other-typed nodes outrank every match
+        filters = SearchFilters(node_labels=[entity]) if entity else None
         res = self.graph.search(
             a["query"], config=config, group_ids=a.get("group_ids"),
-            center_uuid=center,
+            center_uuid=center, filters=filters,
         )
         if res.nodes is None:
             return {"message": "Nodes retrieved successfully", "nodes": []}
         hits = res.nodes.select(F.col("id").alias("uuid"), "score").limit(limit)
         nodes = self.graph.nodes.join(hits, "uuid")
-        entity = a.get("entity") or ""
-        if entity:
-            nodes = nodes.where(F.array_contains(F.col("labels"), entity))
         rows = nodes.orderBy(F.col("score").desc(), "uuid").collect()
         return {
             "message": "Nodes retrieved successfully",
@@ -311,9 +327,11 @@ class McpServer:
             .select("doc_id", "group_id", "name", "source", "valid_at")
             .collect()
         )
+        from graphiti_spark.service import _iso
+
         return [
             {"uuid": r.doc_id, "group_id": r.group_id, "name": r.name,
-             "source": r.source, "valid_at": str(r.valid_at)}
+             "source": r.source, "valid_at": _iso(r.valid_at)}
             for r in rows
         ]
 
@@ -332,10 +350,19 @@ class McpServer:
         return {"message": f"Episode with UUID {a['uuid']} deleted"}
 
     def _tool_clear_graph(self, a: dict) -> dict:
+        import os
+
+        # enumerate the root instead of a hand-maintained table list:
+        # a fixed list silently strands whatever it forgot (the
+        # fulltext ft_* postings/stats/ledger tables, episode_edges) —
+        # stale index state a post-clear search would still rank
+        # against
         with self.worker.write_lock:
-            for t in _TABLES:
-                if self.graph.io.exists(t):
-                    self.graph.io.drop(t)
+            root = self.graph.io.root
+            if os.path.isdir(root):
+                for t in sorted(os.listdir(root)):
+                    if os.path.isdir(os.path.join(root, t)):
+                        self.graph.io.drop(t)
         return {"message": "Graph cleared successfully"}
 
     def _tool_get_status(self, a: dict) -> dict:

@@ -2771,7 +2771,12 @@ def gopher_rules(
     zero Python; the whole rule set is one whole-stage-codegen
     projection over the corpus.
     """
-    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    # explicit whitespace class, NOT \s: Java regex \s includes
+    # vertical tab where RE2 (the DuckDB oracle's engine) does not —
+    # the explicit class is identical in both
+    words = F.filter(
+        F.split(F.col("text"), "[ \t\n\x0b\f\r]+"), lambda w: w != ""
+    )
     words_l = F.transform(words, F.lower)
     lines = F.filter(
         F.split(F.col("text"), r"\n"), lambda x: F.trim(x) != ""

@@ -3371,7 +3371,8 @@ def q_gopher_rules(
     return f"""
 WITH gp_w AS (
   SELECT doc_id, text,
-    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+    list_filter(string_split_regex(text, '[ 	
+]+'), x -> x <> '') AS words,
     list_filter(string_split(text, chr(10)), x -> trim(x) <> '') AS lines
   FROM documents
 ),

@@ -165,6 +165,38 @@ def _fact_result(row) -> dict:
     }
 
 
+def run_fact_search(graph, query: str, group_ids, max_facts: int,
+                    center_uuid: str | None = None) -> list[dict]:
+    """Shared edge-lane search + hydration for the HTTP and MCP
+    surfaces: max_facts threads through as the lane limit (the
+    reference passes it as num_results, retrieve.py:19-22 — the
+    default config would silently cap at DEFAULT_SEARCH_LIMIT), a
+    center node swaps in the node-distance reranker exactly as the
+    reference swaps recipes when centered, and the ranked (id, score)
+    lane output is hydrated to FactResult rows off the edges ledger
+    (get_fact_result_from_edge works from loaded EntityEdges)."""
+    from pyspark.sql import functions as F
+
+    from graphiti_spark.search_api import LaneConfig, SearchConfig
+
+    lane = (
+        LaneConfig(limit=max_facts, reranker="node_distance")
+        if center_uuid
+        else LaneConfig(limit=max_facts)
+    )
+    res = graph.search(query, config=SearchConfig(edges=lane),
+                       group_ids=group_ids, center_uuid=center_uuid)
+    if res.edges is None:
+        return []
+    hits = res.edges.select(F.col("id").alias("uuid"), "score").limit(max_facts)
+    rows = (
+        graph.edges.join(hits, "uuid")
+        .orderBy(F.col("score").desc(), "uuid")
+        .collect()
+    )
+    return [_fact_result(r.asDict()) for r in rows]
+
+
 def episodes_frame_from_messages(spark, group_id: str, messages: list[dict]):
     """Build the 1-row-per-message episodes DataFrame the engine
     ingests. Episode body is the reference's composition
@@ -289,28 +321,8 @@ def create_app(graph, worker: IngestWorker | None = None):
 
     def _run_search(query: str, group_ids, max_facts: int,
                     center_uuid: str | None = None):
-        from graphiti_spark.search_api import LaneConfig, SearchConfig
-
-        # thread max_facts through as the lane limit (the reference
-        # passes it as num_results, retrieve.py:19-22) — the default
-        # config would silently cap results at DEFAULT_SEARCH_LIMIT
-        config = SearchConfig(edges=LaneConfig(limit=max_facts))
-        res = graph.search(query, config=config, group_ids=group_ids,
-                           center_uuid=center_uuid)
-        if res.edges is None:
-            return []
-        # the search lanes return ranked (id, score); hydrate to full
-        # FactResult rows off the edges table (the reference's
-        # get_fact_result_from_edge works from loaded EntityEdges)
-        hits = res.edges.select(
-            F.col("id").alias("uuid"), "score"
-        ).limit(max_facts)
-        rows = (
-            graph.edges.join(hits, "uuid")
-            .orderBy(F.col("score").desc(), "uuid")
-            .collect()
-        )
-        return [_fact_result(r.asDict()) for r in rows]
+        return run_fact_search(graph, query, group_ids, max_facts,
+                               center_uuid=center_uuid)
 
     @app.post("/search")
     def search():

@@ -136,3 +136,75 @@ def test_stdio_framing_roundtrip(mcp):
     resps = [json.loads(x) for x in out.getvalue().strip().split("\n")]
     assert [r["id"] for r in resps] == [1, 2]  # notification skipped
     assert resps[0]["result"]["serverInfo"]["name"] == "graphiti-spark"
+
+
+def test_post_clear_reingest_entity_filter_and_centered_facts(mcp):
+    """Covers the review fixes: the graph works again after
+    clear_graph; the entity filter constrains the candidate pool
+    PRE-ranking (an Organization comes back even at max_nodes=1 when
+    a Person outranks it); centered facts search swaps in the
+    node-distance reranker instead of silently ignoring the center."""
+    graph, server = mcp
+    _, ack = _tool(server, "add_memory", {
+        "name": "ep9", "episode_body":
+        "Alice Pine works for Acme Corp since 2019.",
+        "group_id": "g9", "uuid": "mcp-doc-9",
+    })
+    assert server.worker.flush(timeout=600)
+    _, st = _tool(server, "get_status")
+    assert st["errors"] == 0
+    # "Alice Pine Acme" matches the Person on two tokens and the
+    # Organization on one, so at max_nodes=1 the person wins
+    # unfiltered...
+    _, top1 = _tool(server, "search_memory_nodes", {
+        "query": "Alice Pine Acme", "group_ids": ["g9"], "max_nodes": 1,
+    })
+    assert [n["name"] for n in top1["nodes"]] == ["Alice Pine"]
+    # ...but with the Organization filter the org must come back —
+    # the filter constrains the candidate pool PRE-ranking; a
+    # post-top-k filter would return [] here
+    _, only_org = _tool(server, "search_memory_nodes", {
+        "query": "Alice Pine Acme", "group_ids": ["g9"], "max_nodes": 1,
+        "entity": "Organization",
+    })
+    assert len(only_org["nodes"]) == 1
+    assert "Organization" in only_org["nodes"][0]["labels"]
+    assert only_org["nodes"][0]["name"] == "Acme Corp"
+    # centered facts search runs the node-distance lane and returns
+    # hydrated FactResults
+    center = only_org["nodes"][0]["uuid"]
+    _, facts = _tool(server, "search_memory_facts", {
+        "query": "works for", "group_ids": ["g9"], "max_facts": 5,
+        "center_node_uuid": center,
+    })
+    assert len(facts["facts"]) > 0
+
+
+def test_stdio_parse_error_and_idless_notifications(mcp):
+    import io
+
+    graph, server = mcp
+    lines = "\n".join([
+        "{this is not json",
+        json.dumps({"jsonrpc": "2.0", "method": "ping"}),  # id-less
+        json.dumps({"jsonrpc": "2.0", "id": 7, "method": "ping"}),
+    ]) + "\n"
+    out = io.StringIO()
+    server.serve_stdio(stdin=io.StringIO(lines), stdout=out)
+    resps = [json.loads(x) for x in out.getvalue().strip().split("\n")]
+    # bad line -> -32700 response, server keeps serving; the id-less
+    # ping is a notification (executed, no response); id=7 answered
+    assert resps[0]["error"]["code"] == -32700
+    assert [r.get("id") for r in resps] == [None, 7]
+    assert resps[1]["result"] == {}
+
+
+def test_clear_graph_drops_every_table_dir(mcp, spark):
+    graph, server = mcp
+    # a table the old hand-maintained list never knew about
+    graph.io.write("ft_probe_postings",
+                   spark.createDataFrame([(1,)], "x long"))
+    assert graph.io.exists("ft_probe_postings")
+    _tool(server, "clear_graph")
+    assert not graph.io.exists("ft_probe_postings")
+    assert not graph.io.exists("episodes")
